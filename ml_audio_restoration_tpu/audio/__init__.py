@@ -1,0 +1,30 @@
+"""Audio I/O, normalization, resampling and analytics."""
+
+from .wav import read_wav, write_wav, wav_info, WavInfo
+from .io import (
+    load_audio,
+    load_audio_chunk,
+    save_audio,
+    normalize_audio,
+    resample,
+    add_noise,
+    apply_highpass_filter,
+    find_audio_files,
+    AUDIO_EXTENSIONS,
+)
+
+__all__ = [
+    "read_wav",
+    "write_wav",
+    "wav_info",
+    "WavInfo",
+    "load_audio",
+    "load_audio_chunk",
+    "save_audio",
+    "normalize_audio",
+    "resample",
+    "add_noise",
+    "apply_highpass_filter",
+    "find_audio_files",
+    "AUDIO_EXTENSIONS",
+]

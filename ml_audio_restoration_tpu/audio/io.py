@@ -1,0 +1,136 @@
+"""Audio load/save/normalize/resample — parity layer over the codec.
+
+Semantics mirror /root/reference/src/utils/audio_processing.py:10-119:
+- load_audio: read -> [channels, samples] float32, optional mono mixdown
+  (mean over channels), resample to the target rate.
+- save_audio: [channels, samples] -> file (PCM_16 like torchaudio.save).
+- normalize_audio: RMS-normalize to target dB (-20 default) with a
+  peak-clip guard.
+- add_noise / apply_highpass_filter: augmentation helpers.
+
+Resampling uses a polyphase windowed-sinc (Kaiser) FIR, the standard
+high-quality resampler (scipy.signal.resample_poly), run on host — file I/O
+is host-side anyway; on-device resampling for fixed x2 ratios lives in
+ops/interp.py.
+"""
+from __future__ import annotations
+
+import math
+from pathlib import Path
+
+import numpy as np
+
+from .wav import read_wav, write_wav, wav_info
+
+AUDIO_EXTENSIONS = (".wav", ".mp3", ".flac", ".ogg")
+
+
+def _read_any(path, start: int = 0, frames: int = -1):
+    """Dispatch on extension. Only WAV decodes natively; other containers are
+    supported when soundfile happens to be installed (gated, optional)."""
+    path = str(path)
+    if path.lower().endswith(".wav"):
+        return read_wav(path, start=start, frames=frames)
+    try:  # pragma: no cover - optional dependency
+        import soundfile as sf
+
+        data, sr = sf.read(path, start=start,
+                           frames=frames if frames > 0 else -1,
+                           dtype="float32", always_2d=True)
+        return data, sr
+    except ImportError:
+        raise ValueError(
+            f"cannot decode {path!r}: only .wav is supported natively "
+            "(install soundfile for mp3/flac/ogg)")
+
+
+def resample(audio: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
+    """Polyphase resample along the last axis of [C, T]."""
+    if orig_sr == target_sr:
+        return audio
+    from scipy.signal import resample_poly
+
+    g = math.gcd(orig_sr, target_sr)
+    return resample_poly(audio, target_sr // g, orig_sr // g,
+                         axis=-1).astype(np.float32)
+
+
+def load_audio(path, sample_rate: int = 22050, mono: bool = True):
+    """-> (float32 [channels, samples], sample_rate)."""
+    data, sr = _read_any(path)
+    audio = data.T.astype(np.float32)  # [C, T]
+    if mono and audio.shape[0] > 1:
+        audio = audio.mean(axis=0, keepdims=True)
+    if sr != sample_rate:
+        audio = resample(audio, sr, sample_rate)
+        sr = sample_rate
+    return audio, sr
+
+
+def load_audio_chunk(path, chunk_size: int, rng: np.random.Generator,
+                     sample_rate: int = 22050, mono: bool = True):
+    """Seek-read one random chunk (reference preprocessing.py:64-87):
+    if the file is longer than `chunk_size` frames, decode only a random
+    window; otherwise load + resample the whole file."""
+    p = str(path)
+    if p.lower().endswith(".wav"):
+        info = wav_info(p)
+        if info.frames > chunk_size:
+            start = int(rng.integers(0, info.frames - chunk_size + 1))
+            data, _sr = read_wav(p, start=start, frames=chunk_size)
+            audio = data.T.astype(np.float32)
+            if mono and audio.shape[0] > 1:
+                audio = audio.mean(axis=0, keepdims=True)
+            return audio
+    audio, _ = load_audio(p, sample_rate, mono=mono)
+    return audio
+
+
+def save_audio(path, audio: np.ndarray, sample_rate: int = 22050,
+               subtype: str = "PCM_16"):
+    """audio: [channels, samples] -> file."""
+    audio = np.asarray(audio, np.float32)
+    write_wav(path, audio.T, sample_rate, subtype=subtype)
+
+
+def normalize_audio(audio, target_db: float = -20.0):
+    """RMS-normalize to target dB with peak-clip guard
+    (audio_processing.py:58-87). Works on numpy or jnp arrays."""
+    xp = np
+    if type(audio).__module__.startswith("jax"):
+        import jax.numpy as xp  # noqa: F811
+
+    rms = xp.sqrt(xp.mean(audio**2))
+    target_rms = 10.0 ** (target_db / 20.0)
+    gain = xp.where(rms == 0, 1.0, target_rms / xp.maximum(rms, 1e-12))
+    normalized = audio * gain
+    peak = xp.max(xp.abs(normalized))
+    return xp.where(peak > 1.0, normalized / peak, normalized)
+
+
+def add_noise(audio, noise_level: float = 0.01, rng=None):
+    rng = rng or np.random.default_rng()
+    return audio + rng.normal(0, noise_level, audio.shape).astype(np.float32)
+
+
+def apply_highpass_filter(audio, sample_rate: int, cutoff_freq: float = 80.0):
+    """Biquad highpass (rumble removal), matching torchaudio.transforms
+    .Highpass semantics (Q=0.707 RBJ biquad)."""
+    from scipy.signal import lfilter
+
+    w0 = 2 * math.pi * cutoff_freq / sample_rate
+    q = 0.707
+    alpha = math.sin(w0) / (2 * q)
+    cosw = math.cos(w0)
+    b = np.array([(1 + cosw) / 2, -(1 + cosw), (1 + cosw) / 2])
+    a = np.array([1 + alpha, -2 * cosw, 1 - alpha])
+    return lfilter(b / a[0], a / a[0], audio, axis=-1).astype(np.float32)
+
+
+def find_audio_files(directory, extensions=AUDIO_EXTENSIONS, recursive=True):
+    directory = Path(directory)
+    pattern = "**/*" if recursive else "*"
+    return sorted(
+        p for p in directory.glob(pattern)
+        if p.suffix.lower() in extensions and p.is_file()
+    )

@@ -1,0 +1,102 @@
+"""Stereo-quality losses and metrics.
+
+Parity targets:
+- spectral_clustering_loss / temporal_consistency_loss:
+  /root/reference/src/training/stereo_losses.py:7-87 (used in training with
+  weights 0.1 / 0.05, trainer.py:366-368).
+- stereo_balance_loss / decorrelation_loss / low_frequency_centering_loss:
+  defined in the reference trainer (trainer.py:121-225) but never wired into
+  its loop; provided here for completeness and usable via config.
+- stereo_metrics: trainer.py:227-254 (correlation + width monitoring).
+
+All functions take [B, T, 2] channels-last stereo.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..ops import stft_magnitude
+
+_EPS = 1e-8
+
+
+def _smooth_l1(x):
+    """Huber (beta=1), matching F.smooth_l1_loss defaults."""
+    absx = jnp.abs(x)
+    return jnp.mean(jnp.where(absx < 1.0, 0.5 * x * x, absx - 0.5))
+
+
+def spectral_clustering_loss(stereo, n_fft: int = 2048):
+    """Smooth-L1 on adjacent-frequency-bin differences of the stereo position
+    (L-R)/(L+R) — similar frequencies should pan together."""
+    hop = n_fft // 4
+    left_mag = stft_magnitude(stereo[:, :, 0], n_fft, hop)   # [B, frames, bins]
+    right_mag = stft_magnitude(stereo[:, :, 1], n_fft, hop)
+    position = (left_mag - right_mag) / (left_mag + right_mag + _EPS)
+    position_diff = jnp.diff(position, axis=-1)  # along frequency
+    return _smooth_l1(position_diff)
+
+
+def temporal_consistency_loss(stereo, window: int = 512, hop: int = 256):
+    """L2 on adjacent-window changes of the instantaneous width measure
+    side/(mid+side), computed over RMS energies of 512-sample windows."""
+    t = stereo.shape[1]
+    num_windows = (t - window) // hop + 1
+    idx = (jnp.arange(num_windows) * hop)[:, None] + jnp.arange(window)[None, :]
+    lw = stereo[:, :, 0][:, idx]  # [B, W, window]
+    rw = stereo[:, :, 1][:, idx]
+    l_rms = jnp.sqrt(jnp.mean(lw**2, axis=-1) + _EPS)
+    r_rms = jnp.sqrt(jnp.mean(rw**2, axis=-1) + _EPS)
+    mid = (l_rms + r_rms) / 2.0
+    side = jnp.abs(l_rms - r_rms) / 2.0
+    width = side / (mid + side + _EPS)
+    return jnp.mean(jnp.square(jnp.diff(width, axis=-1)))
+
+
+def stereo_balance_loss(output, target, threshold: float = 0.5):
+    """Hinge on |log L/R RMS ratio deviation| beyond `threshold` (~60/40)."""
+    def ratio(x):
+        l_rms = jnp.sqrt(jnp.mean(x[:, :, 0] ** 2, axis=1) + _EPS)
+        r_rms = jnp.sqrt(jnp.mean(x[:, :, 1] ** 2, axis=1) + _EPS)
+        return l_rms / (r_rms + _EPS)
+
+    diff = jnp.log(ratio(output) + _EPS) - jnp.log(ratio(target) + _EPS)
+    return jnp.mean(jnp.maximum(jnp.abs(diff) - threshold, 0.0))
+
+
+def decorrelation_loss(output):
+    """Squared Pearson correlation of L and R."""
+    left = output[:, :, 0]
+    right = output[:, :, 1]
+    ln = (left - left.mean(axis=1, keepdims=True)) / (
+        left.std(axis=1, keepdims=True) + _EPS)
+    rn = (right - right.mean(axis=1, keepdims=True)) / (
+        right.std(axis=1, keepdims=True) + _EPS)
+    corr = jnp.mean(ln * rn, axis=1)
+    return jnp.mean(corr**2)
+
+
+def low_frequency_centering_loss(output, n_fft: int = 2048,
+                                 low_freq_bins: int = 14):
+    """L1 between L/R STFT magnitudes below ~150 Hz (bins 0..13 @22.05 kHz)."""
+    hop = n_fft // 4
+    lm = stft_magnitude(output[:, :, 0], n_fft, hop)[:, :, :low_freq_bins]
+    rm = stft_magnitude(output[:, :, 1], n_fft, hop)[:, :, :low_freq_bins]
+    return jnp.mean(jnp.abs(lm - rm))
+
+
+def stereo_metrics(output):
+    """Monitoring metrics: |L/R correlation| and width = side/(mid+side)."""
+    left = output[:, :, 0]
+    right = output[:, :, 1]
+    ln = (left - left.mean(axis=1, keepdims=True)) / (
+        left.std(axis=1, keepdims=True) + _EPS)
+    rn = (right - right.mean(axis=1, keepdims=True)) / (
+        right.std(axis=1, keepdims=True) + _EPS)
+    correlation = jnp.abs(jnp.mean(ln * rn))
+    mid = (left + right) / 2.0
+    side = (left - right) / 2.0
+    mid_e = jnp.mean(mid**2)
+    side_e = jnp.mean(side**2)
+    width = side_e / (mid_e + side_e + _EPS)
+    return {"correlation": correlation, "width": width}

@@ -1,0 +1,30 @@
+"""Linear interpolation / resampling primitives.
+
+`interp_linear` reproduces torch.nn.functional.interpolate(mode='linear',
+align_corners=False) exactly — the reference relies on it for the
+super-resolution global residual (/root/reference/src/models/super_resolution.py:96-99)
+and for making low-rate training inputs
+(/root/reference/src/training/train_super_resolution.py:63-68), so bit-parity
+here is required for the <=1e-3 end-to-end bar.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def interp_linear(x, out_len: int):
+    """Resize [B, T, C] -> [B, out_len, C] with align_corners=False linear
+    interpolation (half-pixel centers, edge clamped)."""
+    t = x.shape[1]
+    scale = t / out_len
+    src = (jnp.arange(out_len) + 0.5) * scale - 0.5
+    src = jnp.clip(src, 0.0, t - 1)
+    lo = jnp.floor(src).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, t - 1)
+    w = (src - lo)[None, :, None].astype(x.dtype)
+    return x[:, lo, :] * (1 - w) + x[:, hi, :] * w
+
+
+def upsample_linear(x, factor: int):
+    """interp_linear with out_len = T * factor (the SR residual path)."""
+    return interp_linear(x, x.shape[1] * factor)

@@ -1,0 +1,84 @@
+"""STFT ops with torch.stft-compatible semantics.
+
+The reference computes all spectral losses with torch.stft(center=True,
+pad_mode='reflect', periodic hann, onesided) —
+/root/reference/src/training/trainer.py:256-301 and
+/root/reference/src/models/super_resolution.py:193-226. We reproduce the
+framing exactly (1 + T//hop frames) so converted losses are numerically
+comparable.
+
+TPU note: framing is a strided gather; XLA turns the [B, F, n_fft] gather +
+rfft into batched FFTs that keep the lanes full. Frequency axis is returned
+last ([B, frames, bins]) — channels-last friendly; callers that need the
+torch [B, bins, frames] order can transpose.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+
+
+@functools.lru_cache(maxsize=32)
+def _hann_cache(n_fft: int):
+    # torch.hann_window default is periodic: 0.5*(1 - cos(2*pi*n/N))
+    import numpy as np
+
+    n = np.arange(n_fft)
+    return jnp.asarray(0.5 - 0.5 * np.cos(2.0 * np.pi * n / n_fft), jnp.float32)
+
+
+def hann_window(n_fft: int, dtype=jnp.float32):
+    return _hann_cache(n_fft).astype(dtype)
+
+
+def frame(x, frame_length: int, hop: int, *, center: bool = True):
+    """Slice [B, T] into overlapping frames [B, num_frames, frame_length].
+
+    center=True reflect-pads by frame_length//2 on both sides (torch.stft
+    default), giving 1 + T//hop frames.
+    """
+    if center:
+        pad = frame_length // 2
+        x = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
+        num_frames = 1 + (x.shape[1] - frame_length) // hop
+    else:
+        num_frames = 1 + (x.shape[1] - frame_length) // hop
+    starts = jnp.arange(num_frames) * hop
+    idx = starts[:, None] + jnp.arange(frame_length)[None, :]
+    return x[:, idx]
+
+
+def stft(x, n_fft: int, hop: int, *, window=None, center: bool = True):
+    """Complex STFT of [B, T] -> [B, frames, n_fft//2+1]."""
+    if window is None:
+        window = hann_window(n_fft, x.dtype)
+    frames = frame(x, n_fft, hop, center=center)
+    return jnp.fft.rfft(frames * window, axis=-1)
+
+
+def stft_magnitude(x, n_fft: int, hop: int, *, window=None, center: bool = True):
+    return jnp.abs(stft(x, n_fft, hop, window=window, center=center))
+
+
+def istft(spec, n_fft: int, hop: int, *, window=None, length: int | None = None):
+    """Inverse STFT (overlap-add with window-square normalization).
+
+    spec: [B, frames, n_fft//2+1] -> [B, length]
+    """
+    if window is None:
+        window = hann_window(n_fft, jnp.float32)
+    frames = jnp.fft.irfft(spec, n=n_fft, axis=-1) * window
+    b, nf, _ = frames.shape
+    total = n_fft + hop * (nf - 1)
+    out = jnp.zeros((b, total), frames.dtype)
+    norm = jnp.zeros((total,), frames.dtype)
+    idx = jnp.arange(nf)[:, None] * hop + jnp.arange(n_fft)[None, :]
+    out = out.at[:, idx.reshape(-1)].add(frames.reshape(b, -1))
+    norm = norm.at[idx.reshape(-1)].add(jnp.tile(window**2, (nf,)))
+    out = out / jnp.maximum(norm, 1e-8)
+    pad = n_fft // 2
+    out = out[:, pad:total - pad]
+    if length is not None:
+        out = out[:, :length]
+    return out

@@ -1,0 +1,217 @@
+"""Unit tests for ops/ primitives against torch/scipy semantics."""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+import ml_audio_restoration_tpu.ops as ops
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+
+
+def _np(x):
+    return np.asarray(x)
+
+
+class TestConv:
+    def test_conv1d_matches_torch(self, rng):
+        x = rng.normal(size=(2, 64, 3)).astype(np.float32)
+        w = rng.normal(size=(5, 3, 7)).astype(np.float32)
+        b = rng.normal(size=(7,)).astype(np.float32)
+        ours = ops.conv1d(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b),
+                          padding=2)
+        theirs = F.conv1d(
+            torch.from_numpy(x.transpose(0, 2, 1)),
+            torch.from_numpy(w.transpose(2, 1, 0)),
+            torch.from_numpy(b),
+            padding=2,
+        ).numpy().transpose(0, 2, 1)
+        np.testing.assert_allclose(_np(ours), theirs, atol=1e-5)
+
+    @pytest.mark.parametrize("dilation", [1, 2, 4, 8])
+    def test_conv1d_dilated(self, rng, dilation):
+        x = rng.normal(size=(1, 128, 4)).astype(np.float32)
+        w = rng.normal(size=(3, 4, 4)).astype(np.float32)
+        ours = ops.conv1d(jnp.asarray(x), jnp.asarray(w), padding=dilation,
+                          dilation=dilation)
+        theirs = F.conv1d(
+            torch.from_numpy(x.transpose(0, 2, 1)),
+            torch.from_numpy(w.transpose(2, 1, 0)),
+            padding=dilation,
+            dilation=dilation,
+        ).numpy().transpose(0, 2, 1)
+        np.testing.assert_allclose(_np(ours), theirs, atol=1e-5)
+
+    @pytest.mark.parametrize("k,stride,padding", [(2, 2, 0), (4, 2, 1)])
+    def test_conv_transpose1d_matches_torch(self, rng, k, stride, padding):
+        x = rng.normal(size=(2, 50, 6)).astype(np.float32)
+        w = rng.normal(size=(k, 6, 4)).astype(np.float32)  # [k, in, out]
+        b = rng.normal(size=(4,)).astype(np.float32)
+        ours = ops.conv_transpose1d(jnp.asarray(x), jnp.asarray(w),
+                                    jnp.asarray(b), stride=stride,
+                                    padding=padding)
+        theirs = F.conv_transpose1d(
+            torch.from_numpy(x.transpose(0, 2, 1)),
+            torch.from_numpy(w.transpose(1, 2, 0)),  # [in, out, k]
+            torch.from_numpy(b),
+            stride=stride,
+            padding=padding,
+        ).numpy().transpose(0, 2, 1)
+        np.testing.assert_allclose(_np(ours), theirs, atol=1e-5)
+
+    def test_max_pool(self, rng):
+        x = rng.normal(size=(2, 64, 3)).astype(np.float32)
+        ours = ops.max_pool1d(jnp.asarray(x))
+        theirs = F.max_pool1d(torch.from_numpy(x.transpose(0, 2, 1)), 2, 2)
+        np.testing.assert_allclose(
+            _np(ours), theirs.numpy().transpose(0, 2, 1), atol=1e-6)
+
+    def test_batch_norm_eval(self, rng):
+        x = rng.normal(size=(2, 32, 8)).astype(np.float32)
+        scale = rng.normal(size=(8,)).astype(np.float32)
+        bias = rng.normal(size=(8,)).astype(np.float32)
+        mean = rng.normal(size=(8,)).astype(np.float32)
+        var = rng.uniform(0.5, 2.0, size=(8,)).astype(np.float32)
+        ours = ops.batch_norm(jnp.asarray(x), scale, bias, mean, var)
+        theirs = F.batch_norm(
+            torch.from_numpy(x.transpose(0, 2, 1)),
+            torch.from_numpy(mean), torch.from_numpy(var),
+            torch.from_numpy(scale), torch.from_numpy(bias),
+            training=False, eps=1e-5,
+        ).numpy().transpose(0, 2, 1)
+        np.testing.assert_allclose(_np(ours), theirs, atol=1e-5)
+
+    def test_batch_norm_train_matches_torch(self, rng):
+        x = rng.normal(size=(4, 32, 8)).astype(np.float32)
+        scale = np.ones(8, np.float32)
+        bias = np.zeros(8, np.float32)
+        rmean = np.zeros(8, np.float32)
+        rvar = np.ones(8, np.float32)
+        y, nm, nv = ops.batch_norm_train(
+            jnp.asarray(x), scale, bias, rmean, rvar)
+
+        bn = torch.nn.BatchNorm1d(8)
+        with torch.no_grad():
+            ty = bn(torch.from_numpy(x.transpose(0, 2, 1)))
+        np.testing.assert_allclose(
+            _np(y), ty.numpy().transpose(0, 2, 1), atol=1e-4)
+        np.testing.assert_allclose(_np(nm), bn.running_mean.numpy(), atol=1e-5)
+        np.testing.assert_allclose(_np(nv), bn.running_var.numpy(), atol=1e-4)
+
+
+class TestInterp:
+    @pytest.mark.parametrize("t_in,t_out", [(100, 200), (100, 50), (101, 202)])
+    def test_linear_interp_matches_torch(self, rng, t_in, t_out):
+        x = rng.normal(size=(2, t_in, 3)).astype(np.float32)
+        ours = ops.interp_linear(jnp.asarray(x), t_out)
+        theirs = F.interpolate(
+            torch.from_numpy(x.transpose(0, 2, 1)), size=t_out,
+            mode="linear", align_corners=False,
+        ).numpy().transpose(0, 2, 1)
+        np.testing.assert_allclose(_np(ours), theirs, atol=1e-5)
+
+
+class TestSTFT:
+    @pytest.mark.parametrize("n_fft", [512, 1024, 2048])
+    def test_stft_matches_torch(self, rng, n_fft):
+        t = 8192
+        hop = n_fft // 4
+        x = rng.normal(size=(2, t)).astype(np.float32)
+        ours = ops.stft(jnp.asarray(x), n_fft, hop)  # [B, frames, bins]
+        theirs = torch.stft(
+            torch.from_numpy(x), n_fft=n_fft, hop_length=hop,
+            window=torch.hann_window(n_fft), return_complex=True,
+        ).numpy()  # [B, bins, frames]
+        np.testing.assert_allclose(
+            np.abs(_np(ours)), np.abs(theirs).transpose(0, 2, 1),
+            atol=2e-3, rtol=1e-4)
+
+    def test_istft_roundtrip(self, rng):
+        t = 8192
+        x = rng.normal(size=(1, t)).astype(np.float32)
+        spec = ops.stft(jnp.asarray(x), 512, 128)
+        rec = ops.istft(spec, 512, 128, length=t)
+        np.testing.assert_allclose(_np(rec)[:, 256:-256],
+                                   x[:, 256:-256], atol=1e-3)
+
+
+class TestLSTM:
+    def test_lstm_matches_torch(self, rng):
+        b, t, c, h = 3, 64, 16, 8
+        x = rng.normal(size=(b, t, c)).astype(np.float32)
+        tl = torch.nn.LSTM(c, h, batch_first=True)
+        params = {
+            "w_ih": jnp.asarray(tl.weight_ih_l0.detach().numpy().T),
+            "w_hh": jnp.asarray(tl.weight_hh_l0.detach().numpy().T),
+            "b_ih": jnp.asarray(tl.bias_ih_l0.detach().numpy()),
+            "b_hh": jnp.asarray(tl.bias_hh_l0.detach().numpy()),
+        }
+        ours = ops.lstm(jnp.asarray(x), params)
+        with torch.no_grad():
+            theirs, _ = tl(torch.from_numpy(x))
+        np.testing.assert_allclose(_np(ours), theirs.numpy(), atol=1e-5)
+
+
+class TestFilters:
+    def test_lfilter_matches_scipy(self, rng):
+        from scipy import signal as sig
+
+        b, a = sig.butter(4, 0.2, btype="high")
+        x = rng.normal(size=(2, 500)).astype(np.float32)
+        ours = ops.lfilter(jnp.asarray(b, dtype=jnp.float32),
+                           jnp.asarray(a, dtype=jnp.float32), jnp.asarray(x))
+        theirs = sig.lfilter(b, a, x, axis=-1)
+        np.testing.assert_allclose(_np(ours), theirs, atol=1e-4)
+
+    @pytest.mark.parametrize("btype,cutoff,order", [
+        ("high", 2500.0, 4), ("low", 100.0, 4), ("low", 7000.0, 3)])
+    def test_sosfiltfilt_matches_scipy(self, rng, btype, cutoff, order):
+        from scipy import signal as sig
+
+        sr = 22050
+        x = rng.normal(size=(1, 4000)).astype(np.float32)
+        ours = ops.butter_filtfilt(jnp.asarray(x), order, cutoff, sr, btype)
+        sos = sig.butter(order, cutoff / (sr / 2), btype=btype, output="sos")
+        theirs = sig.sosfiltfilt(sos, x, axis=-1)
+        np.testing.assert_allclose(_np(ours), theirs, atol=2e-3)
+
+    def test_sosfilt_matches_scipy(self, rng):
+        from scipy import signal as sig
+
+        sos = sig.butter(4, 0.2, btype="high", output="sos")
+        x = rng.normal(size=(2, 500)).astype(np.float32)
+        ours = ops.sosfilt(jnp.asarray(sos, dtype=jnp.float32), jnp.asarray(x))
+        theirs = sig.sosfilt(sos, x, axis=-1)
+        np.testing.assert_allclose(_np(ours), theirs, atol=1e-4)
+
+    def test_lfilter_zi_matches_scipy(self):
+        from scipy import signal as sig
+
+        b, a = sig.butter(4, 0.3, btype="low")
+        from ml_audio_restoration_tpu.ops.filters import _lfilter_zi_jnp
+
+        ours = _lfilter_zi_jnp(jnp.asarray(b), jnp.asarray(a))
+        np.testing.assert_allclose(_np(ours), sig.lfilter_zi(b, a), atol=1e-5)
+
+
+class TestChunking:
+    def test_roundtrip_no_overlap(self, rng):
+        x = rng.normal(size=(1, 10000)).astype(np.float32)
+        chunks, length = ops.chunk_signal(jnp.asarray(x), 4096, 4096)
+        rec = ops.overlap_add(chunks, 4096, length, overlap=0)
+        np.testing.assert_allclose(_np(rec), x, atol=1e-6)
+
+    def test_roundtrip_with_overlap(self, rng):
+        x = rng.normal(size=(2, 44100)).astype(np.float32)
+        chunk, overlap = 8192, 1024
+        hop = chunk - overlap
+        chunks, length = ops.chunk_signal(jnp.asarray(x), chunk, hop)
+        rec = ops.overlap_add(chunks, hop, length, overlap=overlap)
+        np.testing.assert_allclose(_np(rec), x, atol=1e-5)
+
+    def test_short_signal(self, rng):
+        x = rng.normal(size=(1, 100)).astype(np.float32)
+        chunks, length = ops.chunk_signal(jnp.asarray(x), 4096, 4096)
+        assert chunks.shape == (1, 1, 4096)
+        rec = ops.overlap_add(chunks, 4096, length, overlap=0)
+        np.testing.assert_allclose(_np(rec), x, atol=1e-6)
