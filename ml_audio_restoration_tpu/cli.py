@@ -1,0 +1,136 @@
+"""Command-line interface.
+
+    python -m ml_audio_restoration_tpu.cli restore in.wav out.wav [...]
+    python -m ml_audio_restoration_tpu.cli train denoiser --data-dir ... [...]
+    python -m ml_audio_restoration_tpu.cli analyze recording.wav
+    python -m ml_audio_restoration_tpu.cli bench [...]
+
+Surface parity: `restore` mirrors the reference CLI
+(/root/reference/src/inference.py:111-143 — positional input/output,
+--denoiser/--super-res/--stereo checkpoint paths, --sample-rate,
+--no-super-res, plus our chunking controls). `train` replaces the three
+hard-coded train_*.py entry scripts with one config-driven command.
+`analyze` is the impulse-analytics CLI (analyze_impulses.py:294-313).
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _add_restore(sub):
+    p = sub.add_parser("restore", help="restore a 78rpm recording")
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--denoiser", default="models/checkpoints/best_model.pth")
+    p.add_argument("--super-res",
+                   default="models/checkpoints/super_resolution/best_model.pth")
+    p.add_argument("--stereo",
+                   default="models/checkpoints/stereo/best_model.pth")
+    p.add_argument("--sample-rate", type=int, default=22050)
+    p.add_argument("--no-super-res", action="store_true")
+    p.add_argument("--no-stereo", action="store_true")
+    p.add_argument("--no-denoise", action="store_true")
+    p.add_argument("--whole-file", action="store_true",
+                   help="single unchunked forward (reference behavior)")
+    p.add_argument("--chunk-seconds", type=float, default=2.0)
+    p.add_argument("--overlap-seconds", type=float, default=0.05)
+    return p
+
+
+def _cmd_restore(args):
+    from .config import PipelineConfig
+    from .pipeline import RestorationPipeline
+
+    config = PipelineConfig(
+        sample_rate=args.sample_rate,
+        chunk_seconds=args.chunk_seconds,
+        overlap_seconds=args.overlap_seconds,
+        enable_super_resolution=not args.no_super_res,
+        whole_file=args.whole_file,
+    )
+    pipe = RestorationPipeline.from_checkpoints(
+        denoiser_path=None if args.no_denoise else args.denoiser,
+        super_res_path=None if args.no_super_res else args.super_res,
+        stereo_path=None if args.no_stereo else args.stereo,
+        config=config,
+    )
+    out, rate = pipe.restore_file(args.input, args.output)
+    print(f"restored -> {out} @ {rate} Hz")
+    return 0
+
+
+def _add_train(sub):
+    p = sub.add_parser("train", help="train a model")
+    p.add_argument("model", choices=["denoiser", "super_resolution",
+                                     "stereo_separator"])
+    p.add_argument("--config", default=None, help="YAML config overlay")
+    p.add_argument("--data-dir", default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--num-epochs", type=int, default=None)
+    p.add_argument("--learning-rate", type=float, default=None)
+    p.add_argument("--chunk-duration", type=float, default=None)
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--test-audio-dir", default=None)
+    p.add_argument("--data-parallel", type=int, default=None,
+                   help="size of the data-parallel mesh axis")
+    p.add_argument("--steps-per-epoch", type=int, default=None)
+    return p
+
+
+def _cmd_train(args):
+    from .config import load_config
+    from .train.trainer import train_from_config
+
+    overrides = {"train": {"model": args.model}, "data": {}}
+    for field, section in [
+        ("batch_size", "train"), ("num_epochs", "train"),
+        ("learning_rate", "train"), ("checkpoint_dir", "train"),
+        ("test_audio_dir", "train"), ("data_parallel", "train"),
+        ("data_dir", "data"), ("chunk_duration", "data"),
+    ]:
+        v = getattr(args, field)
+        if v is not None:
+            overrides[section][field] = v
+    cfg = load_config(args.config, overrides)
+    train_from_config(cfg, steps_per_epoch=args.steps_per_epoch)
+    return 0
+
+
+def _add_analyze(sub):
+    p = sub.add_parser("analyze", help="impulse analytics for a recording")
+    p.add_argument("input")
+    p.add_argument("--sample-rate", type=int, default=22050)
+    p.add_argument("--plot", action="store_true")
+    return p
+
+
+def _cmd_analyze(args):
+    from .audio.analyze import analyze_78rpm_recording
+
+    analyze_78rpm_recording(args.input, sample_rate=args.sample_rate,
+                            plot=args.plot)
+    return 0
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        prog="ml_audio_restoration_tpu",
+        description="TPU-native 78rpm audio restoration")
+    sub = parser.add_subparsers(dest="command", required=True)
+    _add_restore(sub)
+    _add_train(sub)
+    _add_analyze(sub)
+
+    args = parser.parse_args(argv)
+    if args.command == "restore":
+        return _cmd_restore(args)
+    if args.command == "train":
+        return _cmd_train(args)
+    if args.command == "analyze":
+        return _cmd_analyze(args)
+    parser.error(f"unknown command {args.command}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

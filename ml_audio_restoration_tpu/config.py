@@ -1,0 +1,142 @@
+"""One real config system (dataclasses + YAML), consumed by both library and CLI.
+
+The reference has config *drift by design*: hard-coded dicts in each training
+script (/root/reference/src/training/train_denoiser.py:17-30) plus YAML files
+in config/ that are never parsed and disagree with the code defaults
+(e.g. features [64,128,256,512] vs code [32,64,128]) — its remote script even
+edits the dict with sed (scripts/train_remote.sh:31-33). Here the dataclasses
+are the single source of truth; YAML overlays them field-by-field.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Optional, Tuple
+
+
+@dataclass
+class DenoiserConfig:
+    in_channels: int = 1
+    out_channels: int = 1
+    features: Tuple[int, ...] = (32, 64, 128)
+
+
+@dataclass
+class SuperResolutionConfig:
+    upscale_factor: int = 2
+    channels: int = 1
+    base_channels: int = 32
+    num_residual_blocks: int = 4
+
+
+@dataclass
+class StereoSeparatorConfig:
+    base_channels: int = 32
+    lstm_hidden: int = 64
+    num_lstm_layers: int = 1
+
+
+@dataclass
+class ArtifactConfig:
+    """simulate_vinyl_artifacts knobs (audio_processing.py:122-147)."""
+    impulse_rate: float = 10.0
+    impulse_amplitude: Tuple[float, float] = (0.1, 0.5)
+    surface_noise_level: Tuple[float, float] = (0.015, 0.03)
+    crackle_level: Tuple[float, float] = (0.01, 0.02)
+    add_rumble: bool = True
+    add_rolloff: bool = True
+    rumble_level: Tuple[float, float] = (0.005, 0.015)
+    rolloff_freq: Tuple[float, float] = (6000.0, 8000.0)
+
+
+@dataclass
+class DataConfig:
+    data_dir: str = "data/raw"
+    degraded_dir: Optional[str] = None
+    sample_rate: int = 22050
+    chunk_duration: float = 2.0
+    val_split: float = 0.1
+    synthetic_ratio: float = 0.7
+    artifacts: ArtifactConfig = field(default_factory=ArtifactConfig)
+
+
+@dataclass
+class TrainConfig:
+    model: str = "denoiser"  # denoiser | super_resolution | stereo_separator
+    batch_size: int = 4
+    num_epochs: int = 100
+    learning_rate: float = 1e-4
+    save_every: int = 10
+    seed: int = 0
+    checkpoint_dir: str = "models/checkpoints"
+    log_dir: str = "runs"
+    test_audio_dir: Optional[str] = None
+    test_output_dir: Optional[str] = None
+    # plateau scheduler (reference: patience 5, factor 0.5, trainer.py:85-87)
+    plateau_patience: int = 5
+    plateau_factor: float = 0.5
+    # numerics: f32 params; bf16 compute is the TPU analogue of AMP
+    compute_dtype: str = "float32"
+    # data-parallel mesh axis size (1 = single chip)
+    data_parallel: int = 1
+    sync_batchnorm: bool = False
+
+
+@dataclass
+class PipelineConfig:
+    sample_rate: int = 22050
+    chunk_seconds: float = 2.0
+    overlap_seconds: float = 0.05
+    enable_super_resolution: bool = True
+    whole_file: bool = False  # reference inference.py runs unchunked
+    compute_dtype: str = "float32"
+
+
+@dataclass
+class Config:
+    denoiser: DenoiserConfig = field(default_factory=DenoiserConfig)
+    super_resolution: SuperResolutionConfig = field(
+        default_factory=SuperResolutionConfig)
+    stereo_separator: StereoSeparatorConfig = field(
+        default_factory=StereoSeparatorConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    pipeline: PipelineConfig = field(default_factory=PipelineConfig)
+
+
+def _overlay(obj, updates: dict):
+    for key, value in updates.items():
+        if not hasattr(obj, key):
+            raise KeyError(
+                f"unknown config field {key!r} for {type(obj).__name__}")
+        current = getattr(obj, key)
+        if dataclasses.is_dataclass(current) and isinstance(value, dict):
+            _overlay(current, value)
+        else:
+            if isinstance(current, tuple) and isinstance(value, list):
+                value = tuple(value)
+            setattr(obj, key, value)
+    return obj
+
+
+def load_config(path=None, overrides: dict | None = None) -> Config:
+    """Defaults <- YAML file (optional) <- overrides dict (optional)."""
+    cfg = Config()
+    if path is not None:
+        import yaml
+
+        with open(path) as f:
+            data = yaml.safe_load(f) or {}
+        _overlay(cfg, data)
+    if overrides:
+        _overlay(cfg, overrides)
+    return cfg
+
+
+def save_config(cfg: Config, path):
+    import yaml
+
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "w") as f:
+        yaml.safe_dump(dataclasses.asdict(cfg), f, sort_keys=False)

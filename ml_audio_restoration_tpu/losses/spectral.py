@@ -46,7 +46,9 @@ def detect_transients(audio):
     audio: [B, T] -> binary-ish mask [B, T] in [0, 1].
     """
     env = jnp.abs(audio)[:, :, None]  # [B, T, 1]
-    env_smooth = moving_average(env, 64)[:, :, 0]  # 'same' box smoothing
+    # odd kernel -> exact 'same' length (the reference's even k=64 is what
+    # breaks its shapes)
+    env_smooth = moving_average(env, 65)[:, :, 0]
     diff = jnp.abs(env_smooth[:, 1:] - env_smooth[:, :-1])
     diff = jnp.pad(diff, ((0, 0), (0, 1)))
     threshold = jnp.quantile(diff, 0.9, axis=-1, keepdims=True)

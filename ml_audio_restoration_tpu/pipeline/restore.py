@@ -1,0 +1,197 @@
+"""End-to-end restoration pipeline: denoise -> super-resolution -> stereo.
+
+Capability parity with /root/reference/src/inference.py:17-108 (load ->
+normalize -> denoiser -> optional SR (x2 rate) -> stereo -> normalize -> save),
+rebuilt TPU-first:
+
+- The reference runs ONE unchunked forward per model (inference.py:59-95) and,
+  during training rendering, a sequential Python loop over 2-s chunks with
+  hard seams (trainer.py:652-681). Here the recording is framed into a
+  *batch* of overlapping chunks, all three models run over the batch inside a
+  single jit (one XLA program, MXU kept full), and seams are crossfaded with
+  COLA overlap-add.
+- Chunk-count is bucketed (padded up with zero chunks) so arbitrary-length
+  recordings hit a handful of compiled programs instead of one per length.
+- `whole_file=True` reproduces the reference CLI behavior exactly (single
+  chunk spanning the recording) for parity testing.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import PipelineConfig
+from ..models import denoiser as denoiser_mod
+from ..models import super_resolution as sr_mod
+from ..models import stereo_separator as stereo_mod
+from ..ops import chunk_signal, overlap_add
+from ..audio import load_audio, save_audio, normalize_audio
+
+
+def _bucket(n: int, granularity: int = 4) -> int:
+    """Round the chunk count up so recompiles are bounded."""
+    return max(granularity, ((n + granularity - 1) // granularity) * granularity)
+
+
+class RestorationPipeline:
+    """Holds (params, state) per stage and jit-compiled chunk processors.
+
+    Any stage may be None: the bench configs need denoise-only, SR-only and
+    stereo-only paths as well as the full chain.
+    """
+
+    def __init__(self,
+                 denoiser: Optional[Tuple] = None,
+                 super_resolution: Optional[Tuple] = None,
+                 stereo: Optional[Tuple] = None,
+                 config: Optional[PipelineConfig] = None):
+        self.config = config or PipelineConfig()
+        self.denoiser = denoiser
+        self.super_resolution = super_resolution
+        self.stereo = stereo
+        self._compiled = {}
+
+    # ---------------------------------------------------------------- setup
+    @classmethod
+    def from_checkpoints(cls, denoiser_path=None, super_res_path=None,
+                         stereo_path=None, config=None):
+        """Load stages from reference .pth or our native checkpoints
+        (dispatch on extension)."""
+        from ..compat import load_model
+        from ..train.checkpoints import load_native
+
+        def _load(path, name):
+            if path is None:
+                return None
+            p = str(path)
+            if p.endswith(".pth"):
+                return load_model(p, name)
+            return load_native(p, name)
+
+        return cls(
+            denoiser=_load(denoiser_path, "denoiser"),
+            super_resolution=_load(super_res_path, "super_resolution"),
+            stereo=_load(stereo_path, "stereo_separator"),
+            config=config,
+        )
+
+    # ------------------------------------------------------------- compiled
+    def _stages_key(self):
+        return (self.denoiser is not None,
+                self.super_resolution is not None,
+                self.stereo is not None)
+
+    @property
+    def upscale_factor(self) -> int:
+        if self.super_resolution is None:
+            return 1
+        return 2 ** len(self.super_resolution[0]["upsample"])
+
+    @property
+    def out_channels(self) -> int:
+        return 2 if self.stereo is not None else 1
+
+    def _get_processor(self, n_chunks: int, chunk_size: int):
+        key = (n_chunks, chunk_size, self._stages_key(),
+               self.config.compute_dtype)
+        if key in self._compiled:
+            return self._compiled[key]
+
+        dtype = jnp.dtype(self.config.compute_dtype)
+        has_dn, has_sr, has_st = self._stages_key()
+
+        def process(dn, sr, st, chunks):
+            x = chunks.astype(dtype)  # [N, chunk, 1]
+            if has_dn:
+                x, _ = denoiser_mod.apply(dn[0], dn[1], x)
+            if has_sr:
+                x, _ = sr_mod.apply(sr[0], sr[1], x)
+            if has_st:
+                x, _ = stereo_mod.apply(st[0], st[1], x)
+            return x.astype(jnp.float32)
+
+        jitted = jax.jit(process)
+        self._compiled[key] = jitted
+        return jitted
+
+    # ---------------------------------------------------------------- run
+    def restore(self, audio, sample_rate: Optional[int] = None):
+        """audio: [C, T] (mono mixed down if C>1) -> ([out_ch, T*f], out_rate).
+
+        Mirrors the reference restore_audio body after loading: the input is
+        assumed normalized by the caller (restore_file normalizes).
+        """
+        cfg = self.config
+        sample_rate = sample_rate or cfg.sample_rate
+        audio = jnp.asarray(audio, jnp.float32)
+        if audio.ndim == 1:
+            audio = audio[None]
+        if audio.shape[0] > 1:
+            audio = jnp.mean(audio, axis=0, keepdims=True)
+
+        t = audio.shape[1]
+        if cfg.whole_file:
+            chunk_size, hop, overlap = t, t, 0
+        else:
+            chunk_size = int(round(cfg.chunk_seconds * sample_rate))
+            overlap = int(round(cfg.overlap_seconds * sample_rate))
+            hop = chunk_size - overlap
+
+        chunks, length = chunk_signal(audio, chunk_size, hop)  # [N, 1, chunk]
+        n = chunks.shape[0]
+        n_padded = n if cfg.whole_file else _bucket(n)
+        if n_padded > n:
+            chunks = jnp.pad(chunks, ((0, n_padded - n), (0, 0), (0, 0)))
+
+        proc = self._get_processor(n_padded, chunk_size)
+        out = proc(self.denoiser, self.super_resolution, self.stereo,
+                   chunks.transpose(0, 2, 1))  # [N, chunk*f, out_ch]
+        out = out[:n].transpose(0, 2, 1)  # [N, out_ch, chunk*f]
+
+        f = self.upscale_factor
+        restored = overlap_add(out, hop * f, length * f, overlap=overlap * f)
+        return restored, sample_rate * f
+
+    def restore_file(self, input_path, output_path,
+                     sample_rate: Optional[int] = None,
+                     normalize: bool = True):
+        """Full file-to-file restore (reference inference.py:17-108)."""
+        cfg = self.config
+        sr_in = sample_rate or cfg.sample_rate
+        audio, _ = load_audio(input_path, sample_rate=sr_in, mono=True)
+        if normalize:
+            audio = np.asarray(normalize_audio(audio))
+        restored, out_rate = self.restore(audio, sr_in)
+        restored = np.asarray(normalize_audio(restored))
+        save_audio(output_path, restored, out_rate)
+        return output_path, out_rate
+
+
+def restore_audio(input_path, output_path, *,
+                  denoiser_checkpoint="models/checkpoints/best_model.pth",
+                  super_res_checkpoint="models/checkpoints/super_resolution/best_model.pth",
+                  stereo_checkpoint="models/checkpoints/stereo/best_model.pth",
+                  sample_rate: int = 22050,
+                  enable_super_resolution: bool = True,
+                  whole_file: bool = False,
+                  chunk_seconds: float = 2.0,
+                  overlap_seconds: float = 0.05):
+    """Functional entry point mirroring the reference CLI surface
+    (inference.py:111-143)."""
+    config = PipelineConfig(
+        sample_rate=sample_rate,
+        chunk_seconds=chunk_seconds,
+        overlap_seconds=overlap_seconds,
+        enable_super_resolution=enable_super_resolution,
+        whole_file=whole_file,
+    )
+    pipe = RestorationPipeline.from_checkpoints(
+        denoiser_path=denoiser_checkpoint,
+        super_res_path=super_res_checkpoint if enable_super_resolution else None,
+        stereo_path=stereo_checkpoint,
+        config=config,
+    )
+    return pipe.restore_file(input_path, output_path)

@@ -1,0 +1,86 @@
+"""Checkpointing: native msgpack pytree checkpoints + retention policy.
+
+Capability parity with the reference's checkpoint story
+(/root/reference/src/training/trainer.py:724-761): a checkpoint carries
+{epoch, model params+state, optimizer state, scheduler state, best_val_loss,
+history}; retention keeps only the latest epoch checkpoint plus best_model;
+entry points auto-resume from the newest checkpoint.
+
+Format: flax.serialization msgpack of a nested dict — single file, atomic
+rename, no torch dependency. Reference .pth files are read through
+compat.torch_loader instead (pipeline dispatches on extension).
+"""
+from __future__ import annotations
+
+import os
+import re
+import tempfile
+from pathlib import Path
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def save_checkpoint(path, payload: dict):
+    """Atomically serialize a pytree dict to `path`."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    payload = jax.tree_util.tree_map(np.asarray, payload)
+    data = serialization.msgpack_serialize(payload)
+    fd, tmp = tempfile.mkstemp(dir=path.parent, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+    return path
+
+
+def load_checkpoint(path) -> dict:
+    with open(path, "rb") as f:
+        return serialization.msgpack_restore(f.read())
+
+
+def load_native(path, model: str | None = None):
+    """Load (params, state) from a native checkpoint file.
+
+    `model` is accepted for signature symmetry with compat.load_model; the
+    checkpoint is self-describing so it is unused.
+    """
+    ckpt = load_checkpoint(path)
+    return ckpt["params"], ckpt["model_state"]
+
+
+_EPOCH_RE = re.compile(r"checkpoint_epoch_(\d+)\.msgpack$")
+
+
+def epoch_checkpoint_name(epoch: int) -> str:
+    return f"checkpoint_epoch_{epoch}.msgpack"
+
+
+def cleanup_old_epochs(checkpoint_dir, keep_path):
+    """Keep only `keep_path` among epoch checkpoints (trainer.py:737-743)."""
+    keep = Path(keep_path)
+    for p in Path(checkpoint_dir).glob("checkpoint_epoch_*.msgpack"):
+        if p != keep:
+            p.unlink()
+
+
+def latest_checkpoint(checkpoint_dir):
+    """Newest epoch checkpoint, else best_model, else None — the reference's
+    auto-resume discovery (train_denoiser.py:130-156)."""
+    d = Path(checkpoint_dir)
+    if not d.is_dir():
+        return None
+    epochs = []
+    for p in d.glob("checkpoint_epoch_*.msgpack"):
+        m = _EPOCH_RE.search(p.name)
+        if m:
+            epochs.append((int(m.group(1)), p))
+    if epochs:
+        return max(epochs)[1]
+    best = d / "best_model.msgpack"
+    return best if best.exists() else None

@@ -1,0 +1,148 @@
+"""End-to-end pipeline tests: parity vs the chained torch reference models,
+chunked-vs-whole consistency, and file-to-file restore."""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from conftest import has_reference, reference_models
+from ml_audio_restoration_tpu.compat import torch_loader
+from ml_audio_restoration_tpu.config import PipelineConfig
+from ml_audio_restoration_tpu.pipeline import RestorationPipeline
+
+torch = pytest.importorskip("torch")
+
+pytestmark = pytest.mark.skipif(
+    not has_reference(), reason="reference repo not mounted")
+
+
+def _sd(module):
+    return {k: v.detach().cpu().numpy() for k, v in module.state_dict().items()}
+
+
+@pytest.fixture(scope="module")
+def torch_models():
+    den_mod, sr_mod, st_mod = reference_models()
+    torch.manual_seed(7)
+    dn = den_mod.AudioDenoiser()
+    sr = sr_mod.AudioSuperResolution(upscale_factor=2)
+    st = st_mod.StereoSeparator()
+    for m in (dn, sr, st):
+        m.eval()
+    return dn, sr, st
+
+
+@pytest.fixture(scope="module")
+def pipeline_stages(torch_models):
+    dn, sr, st = torch_models
+    return {
+        "denoiser": torch_loader.convert_denoiser(_sd(dn)),
+        "super_resolution": torch_loader.convert_super_resolution(_sd(sr)),
+        "stereo": torch_loader.convert_stereo_separator(_sd(st)),
+    }
+
+
+def _torch_chain(torch_models, audio):
+    """The reference inference chain (inference.py:59-95): single unchunked
+    forward per model."""
+    dn, sr, st = torch_models
+    x = torch.from_numpy(audio[None])  # [1, 1, T]
+    with torch.no_grad():
+        x = dn(x)
+        x = sr(x)
+        x = st(x)
+    return x[0].numpy()  # [2, 2T]
+
+
+def test_full_pipeline_whole_file_parity(pipeline_stages, torch_models, rng):
+    t = 8192
+    audio = (rng.normal(size=(1, t)) * 0.2).astype(np.float32)
+
+    want = _torch_chain(torch_models, audio)
+
+    pipe = RestorationPipeline(
+        denoiser=pipeline_stages["denoiser"],
+        super_resolution=pipeline_stages["super_resolution"],
+        stereo=pipeline_stages["stereo"],
+        config=PipelineConfig(whole_file=True),
+    )
+    got, out_rate = pipe.restore(audio, sample_rate=22050)
+    got = np.asarray(got)
+
+    assert out_rate == 44100
+    assert got.shape == want.shape
+    # BASELINE.json bar: <=1e-3 max waveform deviation vs PyTorch CPU.
+    assert np.max(np.abs(got - want)) < 1e-3
+
+
+def test_denoise_only_chunked_matches_whole_interior(pipeline_stages, rng):
+    """Chunked overlap-add must equal the unchunked forward away from seams
+    (the U-Net is fully convolutional with a bounded receptive field)."""
+    t = 8000
+    audio = (rng.normal(size=(1, t)) * 0.2).astype(np.float32)
+    stages = dict(denoiser=pipeline_stages["denoiser"])
+
+    whole = RestorationPipeline(
+        **stages, config=PipelineConfig(whole_file=True))
+    chunked = RestorationPipeline(
+        **stages,
+        config=PipelineConfig(chunk_seconds=2000 / 22050,
+                              overlap_seconds=200 / 22050))
+
+    w, _ = whole.restore(audio, 22050)
+    c, _ = chunked.restore(audio, 22050)
+    w, c = np.asarray(w), np.asarray(c)
+    assert w.shape == c.shape == (1, t)
+
+    hop = 2000 - 200
+    mask = np.ones(t, bool)
+    for seam in range(hop, t, hop):
+        mask[max(0, seam - 600):seam + 600] = False
+    # the final receptive field sees the last chunk's zero tail-padding,
+    # which legitimately differs from whole-file edge semantics
+    mask[-600:] = False
+    assert np.max(np.abs(w[0][mask] - c[0][mask])) < 1e-4
+
+
+def test_chunk_count_bucketing_pads_with_zeros(pipeline_stages, rng):
+    """Zero-padded bucket chunks must not affect real output."""
+    audio = (rng.normal(size=(1, 5000)) * 0.2).astype(np.float32)
+    pipe = RestorationPipeline(
+        denoiser=pipeline_stages["denoiser"],
+        config=PipelineConfig(chunk_seconds=1000 / 22050, overlap_seconds=0))
+    out, _ = pipe.restore(audio, 22050)  # 5 chunks -> bucket 8
+    whole = RestorationPipeline(
+        denoiser=pipeline_stages["denoiser"],
+        config=PipelineConfig(whole_file=True))
+    w, _ = whole.restore(audio, 22050)
+    # interior check away from the 4 seams
+    mask = np.ones(5000, bool)
+    for seam in range(1000, 5000, 1000):
+        mask[seam - 600:seam + 600] = False
+    mask[-600:] = False
+    assert np.max(np.abs(np.asarray(out)[0][mask] - np.asarray(w)[0][mask])) < 1e-4
+
+
+def test_restore_file_roundtrip(pipeline_stages, tmp_path, rng):
+    from ml_audio_restoration_tpu.audio import save_audio, wav_info
+
+    sr_hz = 22050
+    t = 4096
+    sig = (0.4 * np.sin(2 * np.pi * 440 * np.arange(t) / sr_hz)).astype(
+        np.float32)[None]
+    in_path = tmp_path / "in.wav"
+    out_path = tmp_path / "out.wav"
+    save_audio(in_path, sig, sr_hz)
+
+    pipe = RestorationPipeline(
+        denoiser=pipeline_stages["denoiser"],
+        super_resolution=pipeline_stages["super_resolution"],
+        stereo=pipeline_stages["stereo"],
+        config=PipelineConfig(whole_file=True),
+    )
+    _, out_rate = pipe.restore_file(in_path, out_path)
+
+    info = wav_info(out_path)
+    assert out_rate == 44100
+    assert info.sample_rate == 44100
+    assert info.channels == 2
+    assert info.frames == t * 2
