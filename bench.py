@@ -1,0 +1,104 @@
+"""Benchmark: full restore pipeline xRT (audio-seconds per wall-second per chip).
+
+Measures the BASELINE.json north-star config — denoise -> super-res -> stereo
+over a 78rpm-style mono 22.05 kHz recording in 2-s chunks — on whatever
+jax.devices()[0] is (the real TPU under the driver). Prints ONE JSON line:
+{"metric", "value", "unit", "vs_baseline"} where vs_baseline is xRT / 200
+(the >=200x-realtime target; the PyTorch reference publishes no numbers,
+BASELINE.md).
+
+Sub-stage xRTs (denoise-only / SR-only / stereo-only, matching the other
+BASELINE configs) are included under "extra".
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def _make_audio(seconds: float, sr: int = 22050):
+    rng = np.random.default_rng(0)
+    t = np.arange(int(seconds * sr)) / sr
+    sig = (0.35 * np.sin(2 * np.pi * 440 * t)
+           + 0.15 * np.sin(2 * np.pi * 1320 * t)
+           + 0.02 * rng.normal(size=t.shape)).astype(np.float32)
+    return sig[None]
+
+
+def _sync(out):
+    """Force execution with a scalar checksum readback.
+
+    This backend's block_until_ready returns before execution finishes, so a
+    readback is required for honest timing; a full-output D2H would measure
+    the dev-tunnel's 42 MB/s transfer path (real TPU hosts move >10 GB/s over
+    PCIe), so the checksum (4 bytes) is the faithful compute+sync measurement.
+    """
+    return float(out.sum())
+
+
+def _time_pipeline(pipe, audio, sr, *, warmup: int = 1, iters: int = 3):
+    for _ in range(warmup):
+        out, _ = pipe.restore(audio, sr)
+        _sync(out)
+    times = []
+    for _ in range(iters):
+        start = time.perf_counter()
+        out, _ = pipe.restore(audio, sr)
+        _sync(out)
+        times.append(time.perf_counter() - start)
+    return min(times)
+
+
+def main():
+    import jax
+
+    from ml_audio_restoration_tpu.config import PipelineConfig
+    from ml_audio_restoration_tpu.models import (
+        denoiser, super_resolution, stereo_separator)
+    from ml_audio_restoration_tpu.pipeline import RestorationPipeline
+
+    seconds = float(sys.argv[1]) if len(sys.argv) > 1 else 60.0
+    sr = 22050
+    audio = _make_audio(seconds, sr)
+
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    stages = {
+        "denoiser": denoiser.init(k1),
+        "super_resolution": super_resolution.init(k2),
+        "stereo": stereo_separator.init(k3),
+    }
+    cfg = PipelineConfig(chunk_seconds=2.0, overlap_seconds=0.05)
+
+    extra = {"device": str(jax.devices()[0]), "audio_seconds": seconds}
+
+    full = RestorationPipeline(**stages, config=cfg)
+    wall = _time_pipeline(full, audio, sr)
+    xrt = seconds / wall
+    extra["full_pipeline_wall_s"] = round(wall, 4)
+
+    for name, kwargs in [
+        ("denoise_only", dict(denoiser=stages["denoiser"])),
+        ("super_res_only", dict(super_resolution=stages["super_resolution"])),
+        ("stereo_only", dict(stereo=stages["stereo"])),
+    ]:
+        pipe = RestorationPipeline(**kwargs, config=cfg)
+        w = _time_pipeline(pipe, audio, sr, warmup=1, iters=2)
+        extra[f"{name}_xrt"] = round(seconds / w, 1)
+
+    print(json.dumps({
+        "metric": "full_pipeline_xrt",
+        "value": round(xrt, 2),
+        "unit": "audio_sec/sec/chip",
+        "vs_baseline": round(xrt / 200.0, 3),
+        "extra": extra,
+    }))
+
+
+if __name__ == "__main__":
+    main()

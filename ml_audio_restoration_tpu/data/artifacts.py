@@ -63,11 +63,11 @@ def zero_phase_fir(order: int, cutoff_hz: float, sample_rate: float,
 def zero_phase_fir_bank(order: int, f_lo: float, f_hi: float,
                         sample_rate: float, btype: str, numtaps: int,
                         num: int = 33):
-    kernels = [
+    # cached as numpy — a jnp array built under a jit trace is a tracer
+    return np.stack([
         zero_phase_fir(order, float(f), sample_rate, btype, numtaps)
         for f in np.linspace(f_lo, f_hi, num)
-    ]
-    return jnp.asarray(np.stack(kernels))
+    ])
 
 
 def _fir_same(x, kernel):
@@ -200,7 +200,8 @@ def simulate_vinyl_artifacts(key, audio, sample_rate: int,
                                   cfg.rolloff_freq[0], cfg.rolloff_freq[1])
         f_lo, f_hi = cfg.rolloff_freq
         if filter_mode == "fir":
-            bank = zero_phase_fir_bank(3, f_lo, f_hi, sample_rate, "low", 129)
+            bank = jnp.asarray(
+                zero_phase_fir_bank(3, f_lo, f_hi, sample_rate, "low", 129))
             num = bank.shape[0]
             idx = jnp.clip(jnp.round(
                 (freq - f_lo) / (f_hi - f_lo) * (num - 1)).astype(jnp.int32),

@@ -64,18 +64,18 @@ def butter_bank(order: int, f_lo: float, f_hi: float, sample_rate: float,
     """Stacked SOS (sos, zi) over a grid of cutoffs in [f_lo, f_hi] — lets a
     *traced* random cutoff select static-order filter coefficients under jit
     (the reference draws its roll-off cutoff U(6,8) kHz per sample,
-    audio_processing.py:220)."""
+    audio_processing.py:220). Cached as numpy (jnp under trace = tracer)."""
     soss, zis = [], []
     for f in np.linspace(f_lo, f_hi, num):
         sos, zi = butter_sos(order, float(f), sample_rate, btype)
         soss.append(sos)
         zis.append(zi)
-    return jnp.stack(soss), jnp.stack(zis)
+    return np.stack(soss), np.stack(zis)
 
 
 def bank_select(bank, freq, f_lo: float, f_hi: float):
     """Pick the nearest bank entry for a (traced) cutoff frequency."""
-    soss, zis = bank
+    soss, zis = jnp.asarray(bank[0]), jnp.asarray(bank[1])
     num = soss.shape[0]
     idx = jnp.clip(
         jnp.round((freq - f_lo) / (f_hi - f_lo) * (num - 1)).astype(jnp.int32),

@@ -21,15 +21,17 @@ import jax.numpy as jnp
 
 @functools.lru_cache(maxsize=32)
 def _hann_cache(n_fft: int):
-    # torch.hann_window default is periodic: 0.5*(1 - cos(2*pi*n/N))
+    # torch.hann_window default is periodic: 0.5*(1 - cos(2*pi*n/N)).
+    # Cache holds NUMPY (never jnp): a jnp array built inside a jit trace is
+    # a tracer, and caching one poisons every later trace.
     import numpy as np
 
     n = np.arange(n_fft)
-    return jnp.asarray(0.5 - 0.5 * np.cos(2.0 * np.pi * n / n_fft), jnp.float32)
+    return np.asarray(0.5 - 0.5 * np.cos(2.0 * np.pi * n / n_fft), np.float32)
 
 
 def hann_window(n_fft: int, dtype=jnp.float32):
-    return _hann_cache(n_fft).astype(dtype)
+    return jnp.asarray(_hann_cache(n_fft), dtype)
 
 
 def frame(x, frame_length: int, hop: int, *, center: bool = True):

@@ -27,7 +27,8 @@ from ..config import PipelineConfig
 from ..models import denoiser as denoiser_mod
 from ..models import super_resolution as sr_mod
 from ..models import stereo_separator as stereo_mod
-from ..ops import chunk_signal, overlap_add
+from ..ops import overlap_add
+from ..ops.chunking import num_chunks
 from ..audio import load_audio, save_audio, normalize_audio
 
 
@@ -94,24 +95,33 @@ class RestorationPipeline:
     def out_channels(self) -> int:
         return 2 if self.stereo is not None else 1
 
-    def _get_processor(self, n_chunks: int, chunk_size: int):
-        key = (n_chunks, chunk_size, self._stages_key(),
+    def _get_processor(self, n_chunks: int, chunk_size: int, hop: int,
+                       overlap: int):
+        key = (n_chunks, chunk_size, hop, self._stages_key(),
                self.config.compute_dtype)
         if key in self._compiled:
             return self._compiled[key]
 
         dtype = jnp.dtype(self.config.compute_dtype)
         has_dn, has_sr, has_st = self._stages_key()
+        f = self.upscale_factor
 
-        def process(dn, sr, st, chunks):
-            x = chunks.astype(dtype)  # [N, chunk, 1]
+        def process(dn, sr, st, audio_padded):
+            # frame -> stages -> overlap-add, all in ONE XLA program (no
+            # eager scatter dispatches between device ops)
+            starts = jnp.arange(n_chunks) * hop
+            idx = starts[:, None] + jnp.arange(chunk_size)[None, :]
+            chunks = jnp.transpose(audio_padded[:, idx], (1, 2, 0))
+            x = chunks.astype(dtype)  # [N, chunk, C]
             if has_dn:
                 x, _ = denoiser_mod.apply(dn[0], dn[1], x)
             if has_sr:
                 x, _ = sr_mod.apply(sr[0], sr[1], x)
             if has_st:
                 x, _ = stereo_mod.apply(st[0], st[1], x)
-            return x.astype(jnp.float32)
+            x = x.astype(jnp.float32).transpose(0, 2, 1)  # [N, C_out, chunk*f]
+            total = (n_chunks - 1) * hop + chunk_size
+            return overlap_add(x, hop * f, total * f, overlap=overlap * f)
 
         jitted = jax.jit(process)
         self._compiled[key] = jitted
@@ -135,25 +145,22 @@ class RestorationPipeline:
         t = audio.shape[1]
         if cfg.whole_file:
             chunk_size, hop, overlap = t, t, 0
+            n = 1
         else:
             chunk_size = int(round(cfg.chunk_seconds * sample_rate))
             overlap = int(round(cfg.overlap_seconds * sample_rate))
             hop = chunk_size - overlap
+            n = _bucket(num_chunks(t, chunk_size, hop))
 
-        chunks, length = chunk_signal(audio, chunk_size, hop)  # [N, 1, chunk]
-        n = chunks.shape[0]
-        n_padded = n if cfg.whole_file else _bucket(n)
-        if n_padded > n:
-            chunks = jnp.pad(chunks, ((0, n_padded - n), (0, 0), (0, 0)))
+        total = (n - 1) * hop + chunk_size
+        audio_padded = jnp.pad(audio, ((0, 0), (0, total - t)))
 
-        proc = self._get_processor(n_padded, chunk_size)
+        proc = self._get_processor(n, chunk_size, hop, overlap)
         out = proc(self.denoiser, self.super_resolution, self.stereo,
-                   chunks.transpose(0, 2, 1))  # [N, chunk*f, out_ch]
-        out = out[:n].transpose(0, 2, 1)  # [N, out_ch, chunk*f]
+                   audio_padded)  # [out_ch, total*f]
 
         f = self.upscale_factor
-        restored = overlap_add(out, hop * f, length * f, overlap=overlap * f)
-        return restored, sample_rate * f
+        return out[:, :t * f], sample_rate * f
 
     def restore_file(self, input_path, output_path,
                      sample_rate: Optional[int] = None,

@@ -26,7 +26,9 @@ def save_checkpoint(path, payload: dict):
     """Atomically serialize a pytree dict to `path`."""
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
-    payload = jax.tree_util.tree_map(np.asarray, payload)
+    payload = jax.tree_util.tree_map(
+        lambda x: x if isinstance(x, (str, bytes, int, float)) else np.asarray(x),
+        payload)
     data = serialization.msgpack_serialize(payload)
     fd, tmp = tempfile.mkstemp(dir=path.parent, suffix=".tmp")
     try:

@@ -1,0 +1,162 @@
+"""Training-runtime tests: all pairings step, loss decreases, checkpoint
+resume, plateau scheduler, data-parallel mesh equivalence."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from ml_audio_restoration_tpu.config import TrainConfig, ArtifactConfig
+from ml_audio_restoration_tpu.data.loader import DataLoader
+from ml_audio_restoration_tpu.models import (
+    denoiser, super_resolution, stereo_separator)
+from ml_audio_restoration_tpu.train.trainer import Trainer
+
+SR = 22050
+CHUNK = 2048
+
+
+def _sine(i, n=CHUNK, ch=1):
+    t = np.arange(n) / SR
+    x = 0.3 * np.sin(2 * np.pi * (220 + 17 * i) * t)
+    out = np.stack([x * (1.0 if c == 0 else 0.6) for c in range(ch)])
+    return out.astype(np.float32)
+
+
+class ToyDataset:
+    pairing = "degrade"
+
+    def __init__(self, n=8, key="clean", ch=1, chunk=CHUNK):
+        self.n, self.key, self.ch, self.chunk = n, key, ch, chunk
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return {self.key: _sine(i, self.chunk, self.ch)}
+
+
+def _quiet_artifacts():
+    # mild artifacts keep toy losses stable
+    return ArtifactConfig(impulse_rate=4.0, add_rumble=False)
+
+
+def _make_trainer(model_name, module, dataset, *, dp=1, lr=1e-3, **init_kw):
+    params, state = module.init(jax.random.PRNGKey(0), **init_kw)
+    loader = DataLoader(dataset, batch_size=4, num_workers=1, seed=0)
+    cfg = TrainConfig(model=model_name, learning_rate=lr, data_parallel=dp,
+                      num_epochs=2)
+    return Trainer(model_name, params, state, loader, None, config=cfg,
+                   artifact_config=_quiet_artifacts())
+
+
+def test_denoiser_degrade_training_reduces_loss(tmp_path):
+    tr = _make_trainer("denoiser", denoiser, ToyDataset(n=8))
+    tr.checkpoint_dir = tmp_path
+    first = tr.train_epoch(jax.random.PRNGKey(1))
+    for e in range(3):
+        last = tr.train_epoch(jax.random.PRNGKey(2 + e))
+    assert np.isfinite(first) and np.isfinite(last)
+    assert last < first
+
+
+def test_stereo_pairing_steps(tmp_path):
+    ds = ToyDataset(n=4, key="stereo", ch=2)
+    ds.pairing = "mono_target_stereo"
+    tr = _make_trainer("stereo_separator", stereo_separator, ds)
+    loss = tr.train_epoch(jax.random.PRNGKey(0))
+    assert np.isfinite(loss)
+
+
+def test_super_resolution_pairing_steps(tmp_path):
+    ds = ToyDataset(n=4, key="high", chunk=4096)
+    ds.pairing = "downsample"
+    tr = _make_trainer("super_resolution", super_resolution, ds)
+    loss = tr.train_epoch(jax.random.PRNGKey(0))
+    assert np.isfinite(loss)
+
+
+def test_mixed_pairing_semi_supervised(tmp_path):
+    class MixedToy(ToyDataset):
+        pairing = "mixed"
+
+        def __getitem__(self, i):
+            return {"audio": _sine(i),
+                    "is_synthetic": np.float32(1.0 if i % 2 == 0 else 0.0)}
+
+    tr = _make_trainer("denoiser", denoiser, MixedToy(n=8))
+    loss = tr.train_epoch(jax.random.PRNGKey(0))
+    assert np.isfinite(loss)
+
+
+def test_adaptive_pairing_steps(tmp_path):
+    class AdaptiveToy(ToyDataset):
+        pairing = "degrade_adaptive"
+
+        def __getitem__(self, i):
+            return {"clean": _sine(i),
+                    "impulse_rate": np.float32(12.0),
+                    "impulse_amplitude_max": np.float32(0.4),
+                    "noise_level": np.float32(0.02)}
+
+    tr = _make_trainer("denoiser", denoiser, AdaptiveToy(n=4))
+    loss = tr.train_epoch(jax.random.PRNGKey(0))
+    assert np.isfinite(loss)
+
+
+def test_checkpoint_save_resume_roundtrip(tmp_path):
+    tr = _make_trainer("denoiser", denoiser, ToyDataset(n=4))
+    tr.checkpoint_dir = tmp_path
+    tr.train_epoch(jax.random.PRNGKey(0))
+    tr.epoch = 3
+    tr.best_val_loss = 0.123
+    tr.history["train_loss"] = [1.0, 0.5, 0.3]
+    tr.save_checkpoint("checkpoint_epoch_3.msgpack")
+
+    tr2 = _make_trainer("denoiser", denoiser, ToyDataset(n=4))
+    tr2.checkpoint_dir = tmp_path
+    assert tr2.maybe_resume()
+    assert tr2.epoch == 3
+    assert abs(tr2.best_val_loss - 0.123) < 1e-9
+    assert list(tr2.history["train_loss"]) == [1.0, 0.5, 0.3]
+    p1 = jax.tree_util.tree_leaves(tr.state["params"])
+    p2 = jax.tree_util.tree_leaves(tr2.state["params"])
+    for a, b in zip(p1, p2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # training continues from the restored state
+    loss = tr2.train_epoch(jax.random.PRNGKey(1))
+    assert np.isfinite(loss)
+
+
+def test_checkpoint_retention(tmp_path):
+    tr = _make_trainer("denoiser", denoiser, ToyDataset(n=4))
+    tr.checkpoint_dir = tmp_path
+    tr.save_checkpoint("checkpoint_epoch_1.msgpack")
+    tr.save_checkpoint("best_model.msgpack")
+    tr.save_checkpoint("checkpoint_epoch_2.msgpack")
+    names = sorted(p.name for p in tmp_path.glob("*.msgpack"))
+    assert names == ["best_model.msgpack", "checkpoint_epoch_2.msgpack"]
+
+
+def test_plateau_scheduler_halves_lr():
+    tr = _make_trainer("denoiser", denoiser, ToyDataset(n=4), lr=1e-3)
+    tr.best_val_loss = 1.0
+    for _ in range(tr.cfg.plateau_patience + 1):
+        tr._plateau_step(2.0)  # no improvement
+    assert abs(tr.lr - 5e-4) < 1e-12
+    lr_in_opt = float(tr.state["opt_state"].hyperparams["learning_rate"])
+    assert abs(lr_in_opt - 5e-4) < 1e-9
+
+
+def test_data_parallel_matches_single_device():
+    """One dp=4 sharded step must match dp=1 (same global batch): identical
+    degradation keys, global-batch BN stats, all-reduced grads. Tolerance
+    covers cross-shard reduction-order float noise only."""
+    ds = ToyDataset(n=4)  # one batch per epoch -> exactly one step
+    tr1 = _make_trainer("denoiser", denoiser, ds)
+    tr4 = _make_trainer("denoiser", denoiser, ds, dp=4)
+    l1 = tr1.train_epoch(jax.random.PRNGKey(5))
+    l4 = tr4.train_epoch(jax.random.PRNGKey(5))
+    assert abs(l1 - l4) < 1e-4 * max(1.0, abs(l1))
+    for a, b in zip(jax.tree_util.tree_leaves(tr1.state["params"]),
+                    jax.tree_util.tree_leaves(tr4.state["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
