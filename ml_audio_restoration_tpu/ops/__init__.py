@@ -23,7 +23,13 @@ from .filters import (
     sosfiltfilt,
     butter_filtfilt,
 )
-from .chunking import chunk_signal, overlap_add, crossfade_window, num_chunks
+from .chunking import (
+    chunk_signal,
+    overlap_add,
+    crossfade_window,
+    num_chunks,
+    frame_structured,
+)
 
 __all__ = [
     "conv1d",
@@ -53,6 +59,7 @@ __all__ = [
     "butter_filtfilt",
     "chunk_signal",
     "overlap_add",
+    "frame_structured",
     "crossfade_window",
     "num_chunks",
 ]

@@ -55,16 +55,66 @@ def overlap_add(chunks, hop: int, length: int, *, overlap: int = 0):
     window and the output normalized by the accumulated window sum, so any
     chunk/hop combination (including the reference's hop == chunk_size) is
     exact.
+
+    TPU note: implemented with reshapes + one shifted add, NOT scatter-add —
+    requires overlap <= hop (every output sample touched by at most two
+    chunks), which holds for any sane chunking. XLA lowers scatters with
+    serialization guarantees that cost ~0.5 s on a 2-minute recording; this
+    formulation is pure vector math.
     """
     n, c, chunk_size = chunks.shape
+    if hop > chunk_size or (chunk_size - hop) != overlap:
+        raise ValueError("expect chunk_size = hop + overlap")
+    if overlap > hop:
+        raise ValueError("overlap must be <= hop (each sample in <=2 chunks)")
     win = crossfade_window(chunk_size, overlap, chunks.dtype)
     total = (n - 1) * hop + chunk_size
-    idx = (jnp.arange(n) * hop)[:, None] + jnp.arange(chunk_size)[None, :]
-    flat_idx = idx.reshape(-1)
+    weighted = chunks * win[None, None, :]
 
-    weighted = (chunks * win[None, None, :]).transpose(1, 0, 2).reshape(c, -1)
-    out = jnp.zeros((c, total), chunks.dtype).at[:, flat_idx].add(weighted)
-    norm = jnp.zeros((total,), chunks.dtype).at[flat_idx].add(
-        jnp.tile(win, (n,))
-    )
+    if overlap == 0:
+        out = weighted.transpose(1, 0, 2).reshape(c, n * chunk_size)
+        return out[:, :length]
+
+    body = weighted[:, :, :hop]    # [N, C, hop]
+    tail = weighted[:, :, hop:]    # [N, C, overlap] — lands in the next body
+    flat_body = body.transpose(1, 0, 2).reshape(c, n * hop)
+    flat_body = jnp.pad(flat_body, ((0, 0), (0, overlap)))  # [C, total]
+    tail_padded = jnp.pad(tail, ((0, 0), (0, 0), (0, hop - overlap)))
+    flat_tail = tail_padded.transpose(1, 0, 2).reshape(c, n * hop)
+    shifted_tail = jnp.pad(flat_tail, ((0, 0), (hop, 0)))[:, :total]
+    out = flat_body + shifted_tail
+
+    # window-sum normalization (same construction on a constant -> folded)
+    ones = jnp.broadcast_to(win[None, None, :], (n, 1, chunk_size))
+    nb = ones[:, :, :hop].transpose(1, 0, 2).reshape(1, n * hop)
+    nb = jnp.pad(nb, ((0, 0), (0, overlap)))
+    nt = jnp.pad(ones[:, :, hop:], ((0, 0), (0, 0), (0, hop - overlap)))
+    nt = nt.transpose(1, 0, 2).reshape(1, n * hop)
+    nt = jnp.pad(nt, ((0, 0), (hop, 0)))[:, :total]
+    norm = nb + nt
     return (out / jnp.maximum(norm, 1e-12))[:, :length]
+
+
+def frame_structured(audio, n_chunks: int, chunk_size: int, hop: int):
+    """Frame padded [C, total] into [N, chunk_size, C] WITHOUT a gather:
+    chunk i = body rows of a [N, hop] reshape + the head of row i+1.
+    Requires overlap = chunk_size - hop <= hop and
+    audio.shape[1] == (n_chunks-1)*hop + chunk_size."""
+    c = audio.shape[0]
+    overlap = chunk_size - hop
+    if overlap == 0:
+        return audio.reshape(c, n_chunks, chunk_size).transpose(1, 2, 0)
+    if overlap > hop:
+        raise ValueError("overlap must be <= hop")
+    body = audio[:, :n_chunks * hop].reshape(c, n_chunks, hop)
+    # head of the next row; final chunk's head comes from the padded tail
+    next_head = jnp.concatenate(
+        [audio[:, hop:n_chunks * hop].reshape(c, n_chunks - 1, hop),
+         audio[:, n_chunks * hop:][:, None, :hop]
+         if audio.shape[1] - n_chunks * hop >= hop
+         else jnp.pad(audio[:, n_chunks * hop:],
+                      ((0, 0), (0, hop - (audio.shape[1] - n_chunks * hop)))
+                      )[:, None, :]],
+        axis=1)  # [C, N, hop]
+    chunks = jnp.concatenate([body, next_head[:, :, :overlap]], axis=-1)
+    return chunks.transpose(1, 2, 0)  # [N, chunk, C]

@@ -27,7 +27,7 @@ from ..config import PipelineConfig
 from ..models import denoiser as denoiser_mod
 from ..models import super_resolution as sr_mod
 from ..models import stereo_separator as stereo_mod
-from ..ops import overlap_add
+from ..ops import overlap_add, frame_structured
 from ..ops.chunking import num_chunks
 from ..audio import load_audio, save_audio, normalize_audio
 
@@ -107,11 +107,9 @@ class RestorationPipeline:
         f = self.upscale_factor
 
         def process(dn, sr, st, audio_padded):
-            # frame -> stages -> overlap-add, all in ONE XLA program (no
-            # eager scatter dispatches between device ops)
-            starts = jnp.arange(n_chunks) * hop
-            idx = starts[:, None] + jnp.arange(chunk_size)[None, :]
-            chunks = jnp.transpose(audio_padded[:, idx], (1, 2, 0))
+            # frame -> stages -> overlap-add, all in ONE XLA program, with
+            # reshape-based framing/reassembly (no gather/scatter HLOs)
+            chunks = frame_structured(audio_padded, n_chunks, chunk_size, hop)
             x = chunks.astype(dtype)  # [N, chunk, C]
             if has_dn:
                 x, _ = denoiser_mod.apply(dn[0], dn[1], x)

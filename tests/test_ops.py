@@ -215,3 +215,17 @@ class TestChunking:
         assert chunks.shape == (1, 1, 4096)
         rec = ops.overlap_add(chunks, 4096, length, overlap=0)
         np.testing.assert_allclose(_np(rec), x, atol=1e-6)
+
+
+class TestFrameStructured:
+    @pytest.mark.parametrize("overlap", [0, 512, 1024])
+    def test_matches_gather_framing(self, rng, overlap):
+        chunk = 2048
+        hop = chunk - overlap
+        n = 7
+        total = (n - 1) * hop + chunk
+        x = rng.normal(size=(2, total)).astype(np.float32)
+        want, _ = ops.chunk_signal(jnp.asarray(x), chunk, hop)  # [N, C, chunk]
+        got = ops.frame_structured(jnp.asarray(x), n, chunk, hop)
+        np.testing.assert_array_equal(
+            _np(got), _np(want).transpose(0, 2, 1))
