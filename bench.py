@@ -91,6 +91,18 @@ def main():
         w = _time_pipeline(pipe, audio, sr, warmup=1, iters=2)
         extra[f"{name}_xrt"] = round(seconds / w, 1)
 
+    # bf16 fast mode: speed + deviation vs the f32 (parity) pipeline
+    import dataclasses
+
+    bf16_cfg = dataclasses.replace(cfg, compute_dtype="bfloat16")
+    bf16 = RestorationPipeline(**stages, config=bf16_cfg)
+    w16 = _time_pipeline(bf16, audio, sr, warmup=1, iters=2)
+    extra["bf16_full_pipeline_xrt"] = round(seconds / w16, 1)
+    out32, _ = full.restore(audio, sr)
+    out16, _ = bf16.restore(audio, sr)
+    extra["bf16_max_dev_vs_f32"] = float(
+        np.abs(np.asarray(out32) - np.asarray(out16)).max())
+
     print(json.dumps({
         "metric": "full_pipeline_xrt",
         "value": round(xrt, 2),

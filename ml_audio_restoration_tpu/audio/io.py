@@ -26,10 +26,16 @@ AUDIO_EXTENSIONS = (".wav", ".mp3", ".flac", ".ogg")
 
 
 def _read_any(path, start: int = 0, frames: int = -1):
-    """Dispatch on extension. Only WAV decodes natively; other containers are
-    supported when soundfile happens to be installed (gated, optional)."""
+    """Dispatch on extension. WAV decodes through the C++ codec when built
+    (native/wavio.cpp, bit-identical to the numpy path), else pure numpy;
+    other containers are supported when soundfile happens to be installed."""
     path = str(path)
     if path.lower().endswith(".wav"):
+        from . import native
+
+        res = native.read(path, start=start, frames=frames)
+        if res is not None:
+            return res
         return read_wav(path, start=start, frames=frames)
     try:  # pragma: no cover - optional dependency
         import soundfile as sf

@@ -113,6 +113,33 @@ def _cmd_analyze(args):
     return 0
 
 
+def _add_acquire(sub):
+    p = sub.add_parser("acquire",
+                       help="download eligible stereo training data")
+    p.add_argument("source", choices=["internetarchive", "freesound",
+                                      "musopen"])
+    p.add_argument("--output-dir", default="data/raw")
+    p.add_argument("--max-files", type=int, default=50)
+    p.add_argument("--freesound-api-key", default=None)
+    return p
+
+
+def _cmd_acquire(args):
+    from .acquire import SCRAPERS, ScraperConfig
+
+    cfg = ScraperConfig(output_dir=args.output_dir,
+                        max_files_per_source=args.max_files)
+    kwargs = {}
+    if args.source == "freesound" and args.freesound_api_key:
+        kwargs["api_key"] = args.freesound_api_key
+    scraper = SCRAPERS[args.source](cfg, **kwargs)
+    stats = scraper.run()
+    print(f"{args.source}: searched={stats.searched} "
+          f"eligible={stats.eligible} downloaded={stats.downloaded} "
+          f"skipped={stats.skipped} failed={stats.failed}")
+    return 0
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(
         prog="ml_audio_restoration_tpu",
@@ -121,6 +148,7 @@ def main(argv=None):
     _add_restore(sub)
     _add_train(sub)
     _add_analyze(sub)
+    _add_acquire(sub)
 
     args = parser.parse_args(argv)
     if args.command == "restore":
@@ -129,6 +157,8 @@ def main(argv=None):
         return _cmd_train(args)
     if args.command == "analyze":
         return _cmd_analyze(args)
+    if args.command == "acquire":
+        return _cmd_acquire(args)
     parser.error(f"unknown command {args.command}")
 
 

@@ -8,6 +8,13 @@ from .torch_loader import (
     convert_stereo_separator,
     CONVERTERS,
 )
+from .torch_saver import (
+    save_pth,
+    export_denoiser,
+    export_super_resolution,
+    export_stereo_separator,
+    EXPORTERS,
+)
 
 __all__ = [
     "load_state_dict",
@@ -16,4 +23,9 @@ __all__ = [
     "convert_super_resolution",
     "convert_stereo_separator",
     "CONVERTERS",
+    "save_pth",
+    "export_denoiser",
+    "export_super_resolution",
+    "export_stereo_separator",
+    "EXPORTERS",
 ]

@@ -65,7 +65,43 @@ class ChunkDataset:
         raise NotImplementedError
 
 
-class RestorationDataset(ChunkDataset):
+class _MonoBatchReadMixin:
+    """Parallel native batch decode for mono chunk datasets — one ctypes call
+    decodes the whole batch across a C++ thread pool (DataLoader uses
+    `getitems` when present). Falls back to per-item __getitem__ when the
+    native library or WAV-only file set is unavailable."""
+
+    _batch_key = "clean"
+
+    def getitems(self, indices):
+        from ..audio import native
+        from ..audio.io import normalize_audio as _norm
+
+        paths = [self.files[i] for i in indices]
+        if not native.available() or not all(
+                str(p).lower().endswith(".wav") for p in paths):
+            return [self[i] for i in indices]
+        starts = []
+        for p in paths:
+            meta = native.info(p)
+            if meta is None or meta["sample_rate"] != self.sample_rate:
+                return [self[i] for i in indices]
+            max_start = max(meta["frames"] - self.chunk_size, 0)
+            starts.append(int(self.rng.integers(0, max_start + 1)))
+        batch = native.read_batch_mono(paths, starts, self.chunk_size)
+        if batch is None:
+            return [self[i] for i in indices]
+        # -20 dB RMS normalize + clip guard, vectorized over the batch
+        rms = np.sqrt(np.mean(batch**2, axis=1, keepdims=True))
+        gain = np.where(rms == 0, 1.0, 10 ** (-20 / 20) / np.maximum(rms, 1e-12))
+        batch = batch * gain
+        peak = np.max(np.abs(batch), axis=1, keepdims=True)
+        batch = np.where(peak > 1.0, batch / np.maximum(peak, 1e-12), batch)
+        return [{self._batch_key: row[None].astype(np.float32)}
+                for row in batch]
+
+
+class RestorationDataset(_MonoBatchReadMixin, ChunkDataset):
     """Clean mono chunks; the train step degrades them on-device
     (replaces AudioRestorationDataset, preprocessing.py:9-111)."""
 

@@ -70,12 +70,17 @@ class DataLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        getitems = getattr(self.dataset, "getitems", None)
+
         def worker():
             try:
                 for batch_idx in batches:
                     if stop.is_set():
                         return
-                    items = [self.dataset[int(j)] for j in batch_idx]
+                    if getitems is not None:
+                        items = getitems([int(j) for j in batch_idx])
+                    else:
+                        items = [self.dataset[int(j)] for j in batch_idx]
                     q.put(collate(items))
                 q.put(None)
             except BaseException as e:  # surfaced on the consumer side

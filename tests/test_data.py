@@ -189,6 +189,8 @@ class TestDatasets:
 
     def test_loader_propagates_errors(self, wav_dir):
         class Broken(RestorationDataset):
+            getitems = None  # force the per-item path
+
             def __getitem__(self, idx):
                 raise RuntimeError("boom")
 

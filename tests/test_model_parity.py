@@ -121,3 +121,36 @@ def test_pth_checkpoint_roundtrip(ref, tmp_path):
     got, _ = models.denoiser.apply(params, state,
                                    jnp.asarray(x.transpose(0, 2, 1)))
     assert np.max(np.abs(np.asarray(got).transpose(0, 2, 1) - want)) < 1e-4
+
+
+@pytest.mark.parametrize("model_name,ref_key", [
+    ("denoiser", "denoiser"),
+    ("super_resolution", "super_resolution"),
+    ("stereo_separator", "stereo_separator"),
+])
+def test_pth_export_roundtrip(ref, tmp_path, rng, model_name, ref_key):
+    """Export our weights to .pth, load into the reference torch module, and
+    check the outputs match — the reverse interop direction."""
+    import jax
+
+    from ml_audio_restoration_tpu.compat import save_pth
+
+    module = getattr(models, model_name)
+    params, state = module.init(jax.random.PRNGKey(3))
+    path = tmp_path / f"{model_name}.pth"
+    save_pth(path, model_name, params, state)
+
+    ref_mod = ref[ref_key]
+    cls = {"denoiser": "AudioDenoiser",
+           "super_resolution": "AudioSuperResolution",
+           "stereo_separator": "StereoSeparator"}[model_name]
+    tmodel = getattr(ref_mod, cls)()
+    sd = torch.load(path, weights_only=False)["model_state_dict"]
+    tmodel.load_state_dict(sd)  # raises on any key/shape mismatch
+    tmodel.eval()
+
+    x = rng.normal(size=(1, 1, 4096)).astype(np.float32) * 0.3
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(x)).numpy()
+    got, _ = module.apply(params, state, jnp.asarray(x.transpose(0, 2, 1)))
+    assert np.max(np.abs(np.asarray(got).transpose(0, 2, 1) - want)) < 1e-4

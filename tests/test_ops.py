@@ -229,3 +229,32 @@ class TestFrameStructured:
         got = ops.frame_structured(jnp.asarray(x), n, chunk, hop)
         np.testing.assert_array_equal(
             _np(got), _np(want).transpose(0, 2, 1))
+
+
+class TestPallasLSTM:
+    def test_interpret_matches_scan(self, rng):
+        import jax
+        from ml_audio_restoration_tpu.ops.lstm import lstm_recurrence_scan
+        from ml_audio_restoration_tpu.ops.pallas.lstm import (
+            lstm_recurrence_pallas)
+
+        gates = jnp.asarray(
+            rng.normal(size=(3, 300, 32)).astype(np.float32) * 0.3)
+        w_hh = jnp.asarray(rng.normal(size=(8, 32)).astype(np.float32) * 0.2)
+        want = lstm_recurrence_scan(gates, w_hh)
+        got = lstm_recurrence_pallas(gates, w_hh, block_t=64, interpret=True)
+        np.testing.assert_allclose(_np(got), _np(want), atol=1e-6)
+
+    def test_scan_impl_grads_flow(self, rng):
+        import jax
+        from ml_audio_restoration_tpu import ops
+
+        p = ops.lstm_init(jax.random.PRNGKey(0), 8, 4)
+        x = jnp.asarray(rng.normal(size=(2, 50, 8)).astype(np.float32))
+
+        def loss(p):
+            return jnp.sum(ops.lstm(x, p, impl="scan") ** 2)
+
+        g = jax.grad(loss)(p)
+        assert all(np.isfinite(_np(v)).all()
+                   for v in jax.tree_util.tree_leaves(g))
