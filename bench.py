@@ -62,7 +62,7 @@ def main():
         denoiser, super_resolution, stereo_separator)
     from ml_audio_restoration_tpu.pipeline import RestorationPipeline
 
-    seconds = float(sys.argv[1]) if len(sys.argv) > 1 else 60.0
+    seconds = float(sys.argv[1]) if len(sys.argv) > 1 else 120.0
     sr = 22050
     audio = _make_audio(seconds, sr)
 
@@ -78,7 +78,7 @@ def main():
     extra = {"device": str(jax.devices()[0]), "audio_seconds": seconds}
 
     full = RestorationPipeline(**stages, config=cfg)
-    wall = _time_pipeline(full, audio, sr)
+    wall = _time_pipeline(full, audio, sr, warmup=2, iters=5)
     xrt = seconds / wall
     extra["full_pipeline_wall_s"] = round(wall, 4)
 

@@ -48,11 +48,16 @@ class RestorationPipeline:
                  denoiser: Optional[Tuple] = None,
                  super_resolution: Optional[Tuple] = None,
                  stereo: Optional[Tuple] = None,
-                 config: Optional[PipelineConfig] = None):
+                 config: Optional[PipelineConfig] = None,
+                 mesh=None):
+        """`mesh`: optional jax.sharding.Mesh with a 'data' axis — the chunk
+        batch is sharded across it (multi-chip serving scale-out; the
+        reference is strictly single-device, inference.py:59-95)."""
         self.config = config or PipelineConfig()
         self.denoiser = denoiser
         self.super_resolution = super_resolution
         self.stereo = stereo
+        self.mesh = mesh
         self._compiled = {}
 
     # ---------------------------------------------------------------- setup
@@ -106,11 +111,28 @@ class RestorationPipeline:
         has_dn, has_sr, has_st = self._stages_key()
         f = self.upscale_factor
 
+        def cast(tree):
+            if tree is None or dtype == jnp.float32:
+                return tree
+            return jax.tree_util.tree_map(
+                lambda a: a.astype(dtype)
+                if jnp.issubdtype(a.dtype, jnp.floating) else a, tree)
+
+        mesh = self.mesh
+
         def process(dn, sr, st, audio_padded):
             # frame -> stages -> overlap-add, all in ONE XLA program, with
             # reshape-based framing/reassembly (no gather/scatter HLOs)
+            dn, sr, st = cast(dn), cast(sr), cast(st)
             chunks = frame_structured(audio_padded, n_chunks, chunk_size, hop)
             x = chunks.astype(dtype)  # [N, chunk, C]
+            if mesh is not None:
+                # shard the chunk batch across the mesh; XLA partitions all
+                # three stages and all-gathers before the overlap-add
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                x = jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, P("data", None, None)))
             if has_dn:
                 x, _ = denoiser_mod.apply(dn[0], dn[1], x)
             if has_sr:
@@ -148,7 +170,12 @@ class RestorationPipeline:
             chunk_size = int(round(cfg.chunk_seconds * sample_rate))
             overlap = int(round(cfg.overlap_seconds * sample_rate))
             hop = chunk_size - overlap
-            n = _bucket(num_chunks(t, chunk_size, hop))
+            gran = 4
+            if self.mesh is not None:
+                import math
+
+                gran = math.lcm(4, self.mesh.shape["data"])
+            n = _bucket(num_chunks(t, chunk_size, hop), gran)
 
         total = (n - 1) * hop + chunk_size
         audio_padded = jnp.pad(audio, ((0, 0), (0, total - t)))

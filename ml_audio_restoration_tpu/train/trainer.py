@@ -293,6 +293,10 @@ class Trainer:
                                            self.epoch)
                 self.logger.add_scalar("Time/epoch_duration", took,
                                        self.epoch)
+                # audio samples every 10 epochs (reference trainer.py:508-510)
+                if self.epoch % 10 == 0 and self.val_loader is not None:
+                    self.log_audio_samples(
+                        jax.random.fold_in(base_key, -self.epoch))
             print(f"epoch {self.epoch}/{num_epochs} {took:.2f}s "
                   f"train {train_loss:.6f} val {val_loss:.6f}")
 
@@ -309,6 +313,26 @@ class Trainer:
                 self.save_checkpoint(ckpt.epoch_checkpoint_name(self.epoch))
                 break
         return self.history
+
+    def log_audio_samples(self, key):
+        """Render one validation item and log degraded/clean/restored audio
+        (reference log_audio_samples, trainer.py:542-580; stereo channels
+        are written as separate tracks by MetricsLogger's wav sink)."""
+        if self.logger is None or self.val_loader is None:
+            return
+        batch = next(iter(self.val_loader), None)
+        if batch is None:
+            return
+        batch = shard_batch(self.mesh, batch)
+        inputs, targets = self._derive(batch, jax.random.fold_in(key, 0))
+        out, _ = self.module.apply(self.state["params"],
+                                   self.state["model_state"], inputs,
+                                   train=False)
+        for tag, arr in (("degraded", inputs), ("clean", targets),
+                         ("restored", out)):
+            audio = np.asarray(arr[0]).T  # [C, T]
+            self.logger.add_audio(f"Audio/{tag}", audio, self.sample_rate,
+                                  self.epoch)
 
     # --------------------------------------------------------- checkpoints
     def save_checkpoint(self, filename: str):
@@ -429,14 +453,21 @@ def render_test_outputs(trainer: Trainer, suffix: str,
 
 
 # ---------------------------------------------------------------- frontend
-def train_from_config(cfg: Config, steps_per_epoch: Optional[int] = None):
-    """Config-driven entry replacing the reference's three train_*.py scripts."""
+def train_from_config(cfg: Config, steps_per_epoch: Optional[int] = None,
+                      dataset_kind: str = "standard"):
+    """Config-driven entry replacing the reference's three train_*.py scripts.
+
+    dataset_kind: 'standard' | 'mixed' (semi-supervised synthetic+real) |
+    'adaptive' (artifact statistics fitted to real recordings).
+    """
     import dataclasses
 
     from ..data import (
         RestorationDataset,
         StereoDataset,
         SuperResolutionDataset,
+        MixedRestorationDataset,
+        AdaptiveArtifactDataset,
         DataLoader,
         train_val_split,
     )
@@ -444,8 +475,16 @@ def train_from_config(cfg: Config, steps_per_epoch: Optional[int] = None):
     name = cfg.train.model
     d = cfg.data
     if name == "denoiser":
-        dataset = RestorationDataset(d.data_dir, d.sample_rate,
-                                     d.chunk_duration)
+        if dataset_kind == "mixed":
+            dataset = MixedRestorationDataset(
+                d.data_dir, d.degraded_dir, d.sample_rate, d.chunk_duration,
+                synthetic_ratio=d.synthetic_ratio)
+        elif dataset_kind == "adaptive":
+            dataset = AdaptiveArtifactDataset(
+                d.data_dir, d.degraded_dir, d.sample_rate, d.chunk_duration)
+        else:
+            dataset = RestorationDataset(d.data_dir, d.sample_rate,
+                                         d.chunk_duration)
         model_kwargs = dataclasses.asdict(cfg.denoiser)
     elif name == "super_resolution":
         dataset = SuperResolutionDataset(d.data_dir,

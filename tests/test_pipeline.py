@@ -146,3 +146,23 @@ def test_restore_file_roundtrip(pipeline_stages, tmp_path, rng):
     assert info.sample_rate == 44100
     assert info.channels == 2
     assert info.frames == t * 2
+
+
+def test_multichip_sharded_pipeline_matches_single(pipeline_stages, rng):
+    """Chunk batch sharded over an 8-device mesh == single-device output."""
+    from ml_audio_restoration_tpu.parallel import make_mesh
+
+    audio = (rng.normal(size=(1, 22050)) * 0.2).astype(np.float32)
+    cfg = PipelineConfig(chunk_seconds=2000 / 22050,
+                         overlap_seconds=200 / 22050)
+    stages = dict(denoiser=pipeline_stages["denoiser"],
+                  super_resolution=pipeline_stages["super_resolution"],
+                  stereo=pipeline_stages["stereo"])
+    single = RestorationPipeline(**stages, config=cfg)
+    sharded = RestorationPipeline(**stages, config=cfg,
+                                  mesh=make_mesh(data_parallel=8))
+    a, ra = single.restore(audio, 22050)
+    b, rb = sharded.restore(audio, 22050)
+    assert ra == rb == 44100
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=2e-5, rtol=1e-4)
