@@ -16,7 +16,7 @@ import numpy as np
 def _t(x):
     import torch
 
-    return torch.from_numpy(np.asarray(x))
+    return torch.from_numpy(np.array(x, copy=True))
 
 
 def _conv(sd, prefix, p):

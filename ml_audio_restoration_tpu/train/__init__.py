@@ -7,6 +7,7 @@ from .checkpoints import (
     latest_checkpoint,
     cleanup_old_epochs,
     epoch_checkpoint_name,
+    AsyncCheckpointer,
 )
 
 __all__ = [
@@ -16,4 +17,5 @@ __all__ = [
     "latest_checkpoint",
     "cleanup_old_epochs",
     "epoch_checkpoint_name",
+    "AsyncCheckpointer",
 ]

@@ -46,6 +46,36 @@ def load_checkpoint(path) -> dict:
         return serialization.msgpack_restore(f.read())
 
 
+class AsyncCheckpointer:
+    """Async checkpoint writes: snapshot to host, serialize on a background
+    thread so the train loop never blocks on disk (the orbax-style pattern;
+    the reference's torch.save is fully synchronous, trainer.py:727)."""
+
+    def __init__(self):
+        import threading
+
+        self._thread: threading.Thread | None = None
+
+    def save(self, path, payload: dict):
+        import threading
+
+        # device->host snapshot happens HERE (before params can be donated
+        # away by the next step); only serialization/IO is deferred
+        snapshot = jax.tree_util.tree_map(
+            lambda x: x if isinstance(x, (str, bytes, int, float))
+            else np.asarray(x), payload)
+        self.wait()
+        self._thread = threading.Thread(
+            target=save_checkpoint, args=(path, snapshot), daemon=True)
+        self._thread.start()
+        return path
+
+    def wait(self):
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+
+
 def load_native(path, model: str | None = None):
     """Load (params, state) from a native checkpoint file.
 

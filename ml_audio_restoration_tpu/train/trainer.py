@@ -335,7 +335,7 @@ class Trainer:
                                   self.epoch)
 
     # --------------------------------------------------------- checkpoints
-    def save_checkpoint(self, filename: str):
+    def save_checkpoint(self, filename: str, async_: bool = False):
         path = self.checkpoint_dir / filename
         payload = {
             "params": self.state["params"],
@@ -349,7 +349,12 @@ class Trainer:
                         for k, v in self.history.items()},
             "model_name": self.model_name,
         }
-        ckpt.save_checkpoint(path, payload)
+        if async_:
+            if not hasattr(self, "_async_ckpt"):
+                self._async_ckpt = ckpt.AsyncCheckpointer()
+            self._async_ckpt.save(path, payload)
+        else:
+            ckpt.save_checkpoint(path, payload)
         if filename.startswith("checkpoint_epoch_"):
             ckpt.cleanup_old_epochs(self.checkpoint_dir, path)
         print(f"checkpoint saved: {path}")

@@ -1,0 +1,176 @@
+"""Cross-cutting framework tests: CLI surfaces, config-driven training,
+test-audio rendering, async checkpointing, profiling, time-sharded conv
+inference."""
+import json
+import os
+from pathlib import Path
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from ml_audio_restoration_tpu.audio import save_audio, read_wav
+
+
+SR = 22050
+
+
+@pytest.fixture
+def data_dir(tmp_path):
+    d = tmp_path / "raw"
+    for i in range(6):
+        t = np.arange(2 * SR) / SR
+        x = (0.4 * np.sin(2 * np.pi * (180 + 60 * i) * t)).astype(np.float32)
+        save_audio(d / f"f{i}.wav", np.stack([x, 0.5 * x]), SR)
+    return d
+
+
+def test_cli_train_denoiser_smoke(data_dir, tmp_path, capsys):
+    from ml_audio_restoration_tpu.cli import main
+
+    rc = main(["train", "denoiser",
+               "--data-dir", str(data_dir),
+               "--num-epochs", "1",
+               "--batch-size", "2",
+               "--chunk-duration", "0.25",
+               "--checkpoint-dir", str(tmp_path / "ckpt")])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "epoch 1/1" in out
+
+
+def test_cli_restore_smoke(data_dir, tmp_path):
+    from ml_audio_restoration_tpu.cli import main
+    from ml_audio_restoration_tpu.compat import save_pth
+    from ml_audio_restoration_tpu.models import denoiser
+
+    params, state = denoiser.init(jax.random.PRNGKey(0))
+    ckpt = tmp_path / "dn.pth"
+    save_pth(ckpt, "denoiser", params, state)
+
+    out = tmp_path / "out.wav"
+    rc = main(["restore", str(data_dir / "f0.wav"), str(out),
+               "--denoiser", str(ckpt), "--no-super-res", "--no-stereo",
+               "--chunk-seconds", "0.25", "--overlap-seconds", "0.02"])
+    assert rc == 0
+    data, sr = read_wav(out)
+    assert sr == SR
+    assert data.shape[0] == 2 * SR
+
+
+def test_cli_analyze_smoke(data_dir, capsys):
+    from ml_audio_restoration_tpu.cli import main
+
+    rc = main(["analyze", str(data_dir / "f0.wav")])
+    assert rc == 0
+    assert "Impulse statistics" in capsys.readouterr().out
+
+
+def test_train_from_config_mixed(data_dir, tmp_path):
+    from ml_audio_restoration_tpu.config import load_config
+    from ml_audio_restoration_tpu.train.trainer import train_from_config
+
+    real = tmp_path / "real"
+    t = np.arange(SR) / SR
+    save_audio(real / "r0.wav",
+               (0.2 * np.sin(2 * np.pi * 300 * t)).astype(np.float32)[None],
+               SR)
+    cfg = load_config(None, {
+        "train": {"model": "denoiser", "num_epochs": 1, "batch_size": 2,
+                  "checkpoint_dir": str(tmp_path / "ck"),
+                  "log_dir": str(tmp_path / "runs")},
+        "data": {"data_dir": str(data_dir), "degraded_dir": str(real),
+                 "chunk_duration": 0.25, "val_split": 0.0},
+    })
+    history = train_from_config(cfg, dataset_kind="mixed")
+    assert len(history["train_loss"]) == 1
+    assert np.isfinite(history["train_loss"][0])
+
+
+def test_render_test_outputs(data_dir, tmp_path):
+    from ml_audio_restoration_tpu.config import TrainConfig
+    from ml_audio_restoration_tpu.data import RestorationDataset, DataLoader
+    from ml_audio_restoration_tpu.models import denoiser
+    from ml_audio_restoration_tpu.train.trainer import (
+        Trainer, render_test_outputs)
+
+    params, state = denoiser.init(jax.random.PRNGKey(0))
+    ds = RestorationDataset(data_dir, chunk_duration=0.25)
+    tr = Trainer("denoiser", params, state,
+                 DataLoader(ds, 2, num_workers=1),
+                 config=TrainConfig(model="denoiser"))
+    out_dir = tmp_path / "outs"
+    render_test_outputs(tr, "epoch_2", data_dir, out_dir,
+                        max_seconds=1, chunk_seconds=0.25)
+    names = sorted(p.name for p in out_dir.glob("f0_*"))
+    assert "f0_original.wav" in names
+    assert "f0_degraded_epoch_2.wav" in names
+    assert "f0_restored_epoch_2.wav" in names
+    # retention: rendering a later epoch removes the older one
+    render_test_outputs(tr, "epoch_4", data_dir, out_dir,
+                        max_seconds=1, chunk_seconds=0.25)
+    names = sorted(p.name for p in out_dir.glob("f0_*"))
+    assert "f0_restored_epoch_4.wav" in names
+    assert "f0_restored_epoch_2.wav" not in names
+
+
+def test_async_checkpointer(tmp_path):
+    from ml_audio_restoration_tpu.train import AsyncCheckpointer, load_checkpoint
+
+    ck = AsyncCheckpointer()
+    payload = {"params": {"w": np.arange(8, dtype=np.float32)}, "epoch": 3}
+    path = tmp_path / "a.msgpack"
+    ck.save(path, payload)
+    ck.wait()
+    back = load_checkpoint(path)
+    np.testing.assert_array_equal(back["params"]["w"], payload["params"]["w"])
+    assert back["epoch"] == 3
+
+
+def test_metrics_logger_jsonl(tmp_path):
+    from ml_audio_restoration_tpu.train.metrics import MetricsLogger
+
+    logger = MetricsLogger(tmp_path, "test")
+    logger.add_scalar("Loss/x", 1.5, 0)
+    logger.add_scalars({"a": 1.0, "b": 2.0}, 1, prefix="P/")
+    logger.add_audio("Audio/t", np.zeros((1, 100), np.float32), SR, 2)
+    logger.close()
+    events = [json.loads(l) for l in (tmp_path / "test.jsonl").open()]
+    tags = {e["tag"] for e in events}
+    assert {"Loss/x", "P/a", "P/b"} <= tags
+    assert (tmp_path / "audio" / "Audio_t_2.wav").exists()
+
+
+def test_step_timer():
+    from ml_audio_restoration_tpu.utils import StepTimer
+
+    timer = StepTimer()
+    for _ in range(3):
+        with timer:
+            pass
+    s = timer.summary()
+    assert s["steps"] == 3
+    assert s["min_s"] <= s["mean_s"] <= s["max_s"]
+
+
+def test_time_sharded_denoiser_matches_replicated(rng):
+    """Whole-file conv inference with the TIME axis sharded across devices
+    (sequence parallelism — XLA inserts the conv halo exchanges) must match
+    the unsharded result."""
+    from ml_audio_restoration_tpu.models import denoiser
+    from ml_audio_restoration_tpu.parallel import make_mesh, time_sharding
+
+    params, state = denoiser.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(rng.normal(size=(1, 16384, 1)).astype(np.float32) * 0.2)
+
+    want, _ = jax.jit(lambda p, s, x: denoiser.apply(p, s, x))(
+        params, state, x)
+
+    mesh = make_mesh(data_parallel=1, model_parallel=8)
+    xs = jax.device_put(x, time_sharding(mesh))
+
+    got, _ = jax.jit(lambda p, s, x: denoiser.apply(p, s, x))(
+        params, state, xs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5)
