@@ -103,6 +103,13 @@ def main():
     extra["bf16_max_dev_vs_f32"] = float(
         np.abs(np.asarray(out32) - np.asarray(out16)).max())
 
+    # throughput mode: 0.5 s internal stereo windows (4x fewer sequential
+    # LSTM steps; trades LSTM context for speed)
+    fast_cfg = dataclasses.replace(cfg, stereo_chunk_seconds=0.5)
+    fast = RestorationPipeline(**stages, config=fast_cfg)
+    wf = _time_pipeline(fast, audio, sr, warmup=1, iters=2)
+    extra["stereo_subchunk_xrt"] = round(seconds / wf, 1)
+
     print(json.dumps({
         "metric": "full_pipeline_xrt",
         "value": round(xrt, 2),

@@ -35,6 +35,11 @@ def _add_restore(sub):
                    help="single unchunked forward (reference behavior)")
     p.add_argument("--chunk-seconds", type=float, default=2.0)
     p.add_argument("--overlap-seconds", type=float, default=0.05)
+    p.add_argument("--data-parallel", type=int, default=None,
+                   help="shard the chunk batch over this many devices")
+    p.add_argument("--dtype", choices=["float32", "bfloat16"],
+                   default="float32",
+                   help="compute dtype (bfloat16 ~ 1.5e-4 deviation)")
     return p
 
 
@@ -48,13 +53,20 @@ def _cmd_restore(args):
         overlap_seconds=args.overlap_seconds,
         enable_super_resolution=not args.no_super_res,
         whole_file=args.whole_file,
+        compute_dtype=args.dtype,
     )
+    mesh = None
+    if args.data_parallel:
+        from .parallel import make_mesh
+
+        mesh = make_mesh(data_parallel=args.data_parallel)
     pipe = RestorationPipeline.from_checkpoints(
         denoiser_path=None if args.no_denoise else args.denoiser,
         super_res_path=None if args.no_super_res else args.super_res,
         stereo_path=None if args.no_stereo else args.stereo,
         config=config,
     )
+    pipe.mesh = mesh
     out, rate = pipe.restore_file(args.input, args.output)
     print(f"restored -> {out} @ {rate} Hz")
     return 0

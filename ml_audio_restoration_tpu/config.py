@@ -76,6 +76,16 @@ class TrainConfig:
     # plateau scheduler (reference: patience 5, factor 0.5, trainer.py:85-87)
     plateau_patience: int = 5
     plateau_factor: float = 0.5
+    # loss weights (reference trainer.py:70-79). The last three exist in the
+    # reference but are never wired into its loop (trainer.py:121-225);
+    # default 0.0 preserves parity, set >0 to enable them.
+    spectral_weight: float = 0.5
+    impulse_weight: float = 0.3
+    clustering_weight: float = 0.1
+    consistency_weight: float = 0.05
+    balance_weight: float = 0.0
+    decorrelation_weight: float = 0.0
+    lf_centering_weight: float = 0.0
     # numerics: f32 params; bf16 compute is the TPU analogue of AMP
     compute_dtype: str = "float32"
     # data-parallel mesh axis size (1 = single chip)
@@ -91,6 +101,9 @@ class PipelineConfig:
     enable_super_resolution: bool = True
     whole_file: bool = False  # reference inference.py runs unchunked
     compute_dtype: str = "float32"
+    # finer internal chunking for the LSTM stereo stage (None = outer chunks;
+    # e.g. 0.5 trades LSTM context for ~4x fewer sequential steps)
+    stereo_chunk_seconds: Optional[float] = None
 
 
 @dataclass

@@ -32,28 +32,49 @@ CLUSTERING_WEIGHT = 0.1
 CONSISTENCY_WEIGHT = 0.05
 
 
-def restoration_loss(output, target):
+def restoration_loss(output, target, *,
+                     spectral_weight: float = SPECTRAL_WEIGHT,
+                     impulse_weight: float = IMPULSE_WEIGHT,
+                     clustering_weight: float = CLUSTERING_WEIGHT,
+                     consistency_weight: float = CONSISTENCY_WEIGHT,
+                     balance_weight: float = 0.0,
+                     decorrelation_weight: float = 0.0,
+                     lf_centering_weight: float = 0.0):
     """The reference Trainer's combined per-batch loss (trainer.py:352-368):
     time MSE + 0.5*multi-scale-spectral, plus impulse loss (mono output) or
-    spectral-clustering + temporal-consistency (stereo output).
+    spectral-clustering + temporal-consistency (stereo output). The balance /
+    decorrelation / LF-centering terms are defined-but-unwired in the
+    reference (trainer.py:121-225) — weight 0 preserves parity.
 
     Channel-count dispatch is static under jit (shapes are trace-time).
     Returns (total, components dict).
     """
     time_loss = jnp.mean(jnp.square(output - target))
     spec = multiscale_spectral_loss(output, target)
-    recon = time_loss + SPECTRAL_WEIGHT * spec
+    recon = time_loss + spectral_weight * spec
     parts = {"time": time_loss, "spectral": spec}
     if output.shape[-1] == 1:
         imp = impulse_loss(output, target)
         parts["impulse"] = imp
-        total = recon + IMPULSE_WEIGHT * imp
+        total = recon + impulse_weight * imp
     else:
         clus = spectral_clustering_loss(output)
         cons = temporal_consistency_loss(output)
         parts["clustering"] = clus
         parts["consistency"] = cons
-        total = recon + CLUSTERING_WEIGHT * clus + CONSISTENCY_WEIGHT * cons
+        total = recon + clustering_weight * clus + consistency_weight * cons
+        if balance_weight > 0:
+            bal = stereo_balance_loss(output, target)
+            parts["balance"] = bal
+            total = total + balance_weight * bal
+        if decorrelation_weight > 0:
+            dec = decorrelation_loss(output)
+            parts["decorrelation"] = dec
+            total = total + decorrelation_weight * dec
+        if lf_centering_weight > 0:
+            lfc = low_frequency_centering_loss(output)
+            parts["lf_centering"] = lfc
+            total = total + lf_centering_weight * lfc
     parts["total"] = total
     return total, parts
 

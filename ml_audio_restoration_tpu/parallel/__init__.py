@@ -1,5 +1,6 @@
 """Mesh construction + sharding for multi-chip training/inference."""
 
+from .distributed import initialize, is_primary, global_device_count
 from .mesh import (
     make_mesh,
     batch_sharding,
@@ -16,4 +17,7 @@ __all__ = [
     "shard_batch",
     "replicate",
     "time_sharding",
+    "initialize",
+    "is_primary",
+    "global_device_count",
 ]

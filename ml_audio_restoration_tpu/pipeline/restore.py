@@ -103,7 +103,7 @@ class RestorationPipeline:
     def _get_processor(self, n_chunks: int, chunk_size: int, hop: int,
                        overlap: int):
         key = (n_chunks, chunk_size, hop, self._stages_key(),
-               self.config.compute_dtype)
+               self.config.compute_dtype, self.config.stereo_chunk_seconds)
         if key in self._compiled:
             return self._compiled[key]
 
@@ -119,6 +119,38 @@ class RestorationPipeline:
                 if jnp.issubdtype(a.dtype, jnp.floating) else a, tree)
 
         mesh = self.mesh
+
+        # optional finer chunking for the stereo stage: the LSTM's wall time
+        # is its sequential step count, so re-framing the SR output into
+        # shorter windows (more batch, fewer steps) trades LSTM context
+        # length for throughput; None keeps the stage on the outer chunks.
+        sub_cfg = None
+        if has_st and self.config.stereo_chunk_seconds is not None:
+            in_rate = self.config.sample_rate
+            sub = int(round(self.config.stereo_chunk_seconds * in_rate * f))
+            sub_ov = min(int(round(self.config.overlap_seconds * in_rate * f)),
+                         sub // 4)
+            if sub < chunk_size * f:
+                sub_cfg = (sub, sub - sub_ov, sub_ov)
+
+        def apply_stereo(st, x):
+            if sub_cfg is None:
+                y, _ = stereo_mod.apply(st[0], st[1], x)
+                return y
+            sub, sub_hop, sub_ov = sub_cfg
+            n, t2, c = x.shape
+            m = num_chunks(t2, sub, sub_hop)
+            total2 = (m - 1) * sub_hop + sub
+            xp = jnp.pad(x, ((0, 0), (0, total2 - t2), (0, 0)))
+            # [N, T2, C] -> [N, M, sub, C] -> [N*M, sub, C]
+            frames = jax.vmap(
+                lambda row: frame_structured(row.T, m, sub, sub_hop))(xp)
+            y, _ = stereo_mod.apply(st[0], st[1],
+                                    frames.reshape(n * m, sub, c))
+            y = y.reshape(n, m, sub, 2).transpose(0, 1, 3, 2)  # [N, M, 2, sub]
+            out = jax.vmap(
+                lambda ch: overlap_add(ch, sub_hop, t2, overlap=sub_ov))(y)
+            return out.transpose(0, 2, 1)  # [N, T2, 2]
 
         def process(dn, sr, st, audio_padded):
             # frame -> stages -> overlap-add, all in ONE XLA program, with
@@ -138,7 +170,7 @@ class RestorationPipeline:
             if has_sr:
                 x, _ = sr_mod.apply(sr[0], sr[1], x)
             if has_st:
-                x, _ = stereo_mod.apply(st[0], st[1], x)
+                x = apply_stereo(st, x)
             x = x.astype(jnp.float32).transpose(0, 2, 1)  # [N, C_out, chunk*f]
             total = (n_chunks - 1) * hop + chunk_size
             return overlap_add(x, hop * f, total * f, overlap=overlap * f)

@@ -182,7 +182,16 @@ class Trainer:
                 out, inputs, targets, batch["is_synthetic"],
                 model_fn=model_fn, redegrade_fn=redegrade)
         else:
-            total, parts = restoration_loss(out, targets)
+            c = self.cfg
+            total, parts = restoration_loss(
+                out, targets,
+                spectral_weight=c.spectral_weight,
+                impulse_weight=c.impulse_weight,
+                clustering_weight=c.clustering_weight,
+                consistency_weight=c.consistency_weight,
+                balance_weight=c.balance_weight,
+                decorrelation_weight=c.decorrelation_weight,
+                lf_centering_weight=c.lf_centering_weight)
         return total, (parts, new_state, out)
 
     def _step(self, state, batch, key, train: bool):

@@ -160,3 +160,18 @@ def test_data_parallel_matches_single_device():
     for a, b in zip(jax.tree_util.tree_leaves(tr1.state["params"]),
                     jax.tree_util.tree_leaves(tr4.state["params"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+
+
+def test_optional_stereo_losses_enabled(tmp_path):
+    """balance/decorrelation/LF-centering (unwired in the reference) train
+    when their weights are configured >0."""
+    ds = ToyDataset(n=4, key="stereo", ch=2)
+    ds.pairing = "mono_target_stereo"
+    params, state = stereo_separator.init(jax.random.PRNGKey(0))
+    loader = DataLoader(ds, batch_size=4, num_workers=1, seed=0)
+    cfg = TrainConfig(model="stereo_separator", balance_weight=0.1,
+                      decorrelation_weight=0.05, lf_centering_weight=0.05)
+    tr = Trainer("stereo_separator", params, state, loader, None, config=cfg,
+                 artifact_config=_quiet_artifacts())
+    loss = tr.train_epoch(jax.random.PRNGKey(0))
+    assert np.isfinite(loss)
