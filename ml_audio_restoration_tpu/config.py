@@ -104,6 +104,10 @@ class PipelineConfig:
     # finer internal chunking for the LSTM stereo stage (None = outer chunks;
     # e.g. 0.5 trades LSTM context for ~4x fewer sequential steps)
     stereo_chunk_seconds: Optional[float] = None
+    # bound on chunks per compiled program: longer recordings are processed
+    # in slabs of this many chunks (bounded HBM, one compile reused) and the
+    # slab outputs crossfaded — bit-exact vs single-shot
+    max_chunks_per_program: int = 64
 
 
 @dataclass

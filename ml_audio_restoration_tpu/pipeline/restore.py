@@ -73,6 +73,13 @@ class RestorationPipeline:
             if path is None:
                 return None
             p = str(path)
+            import os
+
+            if not os.path.exists(p):
+                raise FileNotFoundError(
+                    f"{name} checkpoint not found: {p!r} — pass a reference "
+                    f".pth or a native .msgpack checkpoint, or disable the "
+                    f"stage (--no-denoise/--no-super-res/--no-stereo)")
             if p.endswith(".pth"):
                 return load_model(p, name)
             return load_native(p, name)
@@ -195,6 +202,7 @@ class RestorationPipeline:
             audio = jnp.mean(audio, axis=0, keepdims=True)
 
         t = audio.shape[1]
+        f = self.upscale_factor
         if cfg.whole_file:
             chunk_size, hop, overlap = t, t, 0
             n = 1
@@ -209,14 +217,35 @@ class RestorationPipeline:
                 gran = math.lcm(4, self.mesh.shape["data"])
             n = _bucket(num_chunks(t, chunk_size, hop), gran)
 
-        total = (n - 1) * hop + chunk_size
-        audio_padded = jnp.pad(audio, ((0, 0), (0, total - t)))
+        max_n = max(cfg.max_chunks_per_program, 4)
+        if cfg.whole_file or n <= max_n:
+            total = (n - 1) * hop + chunk_size
+            audio_padded = jnp.pad(audio, ((0, 0), (0, total - t)))
+            proc = self._get_processor(n, chunk_size, hop, overlap)
+            out = proc(self.denoiser, self.super_resolution, self.stereo,
+                       audio_padded)  # [out_ch, total*f]
+            return out[:, :t * f], sample_rate * f
 
-        proc = self._get_processor(n, chunk_size, hop, overlap)
-        out = proc(self.denoiser, self.super_resolution, self.stereo,
-                   audio_padded)  # [out_ch, total*f]
-
-        f = self.upscale_factor
+        # Long recording: process fixed-size slabs of chunks with ONE reused
+        # compiled program (bounded HBM), then crossfade slab outputs.
+        # Adjacent slabs share exactly `overlap` input samples, so the
+        # trapezoid slab crossfade reproduces the single-shot chunk-level
+        # overlap-add exactly.
+        s = max_n
+        num_slabs = -(-n // s)
+        slab_len = (s - 1) * hop + chunk_size
+        needed = (num_slabs - 1) * s * hop + slab_len
+        audio_padded = jnp.pad(audio, ((0, 0), (0, needed - t)))
+        proc = self._get_processor(s, chunk_size, hop, overlap)
+        outs = []
+        for i in range(num_slabs):
+            seg = jax.lax.dynamic_slice_in_dim(
+                audio_padded, i * s * hop, slab_len, axis=1)
+            outs.append(proc(self.denoiser, self.super_resolution,
+                             self.stereo, seg))
+        stacked = jnp.stack(outs)  # [num_slabs, out_ch, slab_len*f]
+        out = overlap_add(stacked, s * hop * f, needed * f,
+                          overlap=overlap * f)
         return out[:, :t * f], sample_rate * f
 
     def restore_file(self, input_path, output_path,

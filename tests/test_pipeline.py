@@ -194,3 +194,22 @@ def test_stereo_subchunking(pipeline_stages, rng):
     # same model, shorter context: outputs correlated but not identical
     corr = np.corrcoef(np.asarray(a)[0], np.asarray(c)[0])[0, 1]
     assert corr > 0.9
+
+
+def test_slab_processing_matches_single_shot(pipeline_stages, rng):
+    """Long recordings processed in bounded slabs must match the single-shot
+    program (the slab crossfade is exact)."""
+    import dataclasses
+
+    audio = (rng.normal(size=(1, 30000)) * 0.2).astype(np.float32)
+    cfg = PipelineConfig(chunk_seconds=2000 / 22050,
+                         overlap_seconds=200 / 22050,
+                         max_chunks_per_program=1000)
+    stages = dict(denoiser=pipeline_stages["denoiser"])
+    single = RestorationPipeline(**stages, config=cfg)
+    slabbed = RestorationPipeline(**stages, config=dataclasses.replace(
+        cfg, max_chunks_per_program=8))  # 17 chunks -> 3 slabs
+    a, _ = single.restore(audio, 22050)
+    b, _ = slabbed.restore(audio, 22050)
+    assert np.asarray(b).shape == np.asarray(a).shape
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
