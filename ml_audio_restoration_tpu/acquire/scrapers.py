@@ -119,11 +119,18 @@ class BaseScraper:
             print(f"download failed: {f.name}: {e}")
             return False
 
-    def run(self) -> ScraperStats:
+    def run(self, concurrency: int = 3) -> ScraperStats:
+        """Search then download with a small worker pool (the reference uses
+        p-queue concurrency, data-scraper/src/index.ts:108-114)."""
+        from concurrent.futures import ThreadPoolExecutor
+
         files = self.search()
-        for f in files:
-            self.download(f)
-            time.sleep(self.config.rate_limit_s * 0.0)  # fetch is sync
+        if concurrency <= 1 or len(files) <= 1:
+            for f in files:
+                self.download(f)
+        else:
+            with ThreadPoolExecutor(max_workers=concurrency) as pool:
+                list(pool.map(self.download, files))
         return self.stats
 
 

@@ -144,12 +144,17 @@ def convert_stereo_separator(sd):
         blocks_s.append({"dilated": d_s, "pointwise": p_s})
     params["blocks"], state["blocks"] = blocks_p, blocks_s
 
-    params["lstm"] = {
-        "w_ih": jnp.asarray(sd["lstm.weight_ih_l0"].T),
-        "w_hh": jnp.asarray(sd["lstm.weight_hh_l0"].T),
-        "b_ih": jnp.asarray(sd["lstm.bias_ih_l0"]),
-        "b_hh": jnp.asarray(sd["lstm.bias_hh_l0"]),
-    }
+    layers = []
+    k = 0
+    while f"lstm.weight_ih_l{k}" in sd:
+        layers.append({
+            "w_ih": jnp.asarray(sd[f"lstm.weight_ih_l{k}"].T),
+            "w_hh": jnp.asarray(sd[f"lstm.weight_hh_l{k}"].T),
+            "b_ih": jnp.asarray(sd[f"lstm.bias_ih_l{k}"]),
+            "b_hh": jnp.asarray(sd[f"lstm.bias_hh_l{k}"]),
+        })
+        k += 1
+    params["lstm"] = layers
 
     def decoder(prefix):
         l1_p, l1_s = _conv_bn(sd, f"{prefix}.0", f"{prefix}.1")

@@ -90,11 +90,11 @@ def export_stereo_separator(params, state) -> dict:
                  s["dilated"])
         _conv_bn(sd, f"encoder.{i}.3", f"encoder.{i}.4", p["pointwise"],
                  s["pointwise"])
-    lstm = params["lstm"]
-    sd["lstm.weight_ih_l0"] = _t(np.asarray(lstm["w_ih"]).T)
-    sd["lstm.weight_hh_l0"] = _t(np.asarray(lstm["w_hh"]).T)
-    sd["lstm.bias_ih_l0"] = _t(lstm["b_ih"])
-    sd["lstm.bias_hh_l0"] = _t(lstm["b_hh"])
+    for k, layer in enumerate(params["lstm"]):
+        sd[f"lstm.weight_ih_l{k}"] = _t(np.asarray(layer["w_ih"]).T)
+        sd[f"lstm.weight_hh_l{k}"] = _t(np.asarray(layer["w_hh"]).T)
+        sd[f"lstm.bias_ih_l{k}"] = _t(layer["b_ih"])
+        sd[f"lstm.bias_hh_l{k}"] = _t(layer["b_hh"])
     for side in ("left", "right"):
         p, s = params[side], state[side]
         prefix = f"{side}_decoder"

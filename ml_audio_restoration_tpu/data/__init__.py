@@ -14,7 +14,7 @@ from .datasets import (
     MixedRestorationDataset,
     AdaptiveArtifactDataset,
 )
-from .loader import DataLoader, collate, train_val_split
+from .loader import DataLoader, collate, train_val_split, prepare_dataset
 
 __all__ = [
     "simulate_vinyl_artifacts",
@@ -30,4 +30,5 @@ __all__ = [
     "DataLoader",
     "collate",
     "train_val_split",
+    "prepare_dataset",
 ]

@@ -15,7 +15,8 @@ from __future__ import annotations
 
 import jax
 
-from ..ops import conv1d, lstm, lstm_init
+from ..ops import conv1d, lstm_init
+from ..ops.lstm import stacked_lstm
 from .common import (
     conv_init,
     bn_init,
@@ -34,7 +35,6 @@ def _conv_bn(key, k, in_ch, out_ch):
 
 def init(key, base_channels: int = 32, lstm_hidden: int = 64,
          num_lstm_layers: int = 1):
-    assert num_lstm_layers == 1, "reference uses a single LSTM layer"
     keys = iter(jax.random.split(key, 64))
     c = base_channels
     params, state = {}, {}
@@ -53,7 +53,11 @@ def init(key, base_channels: int = 32, lstm_hidden: int = 64,
         dils.append(dil)
     params["blocks"], state["blocks"] = blocks_p, blocks_s
 
-    params["lstm"] = lstm_init(next(keys), c * 4, lstm_hidden)
+    params["lstm"] = [
+        lstm_init(next(keys), c * 4 if layer == 0 else lstm_hidden,
+                  lstm_hidden)
+        for layer in range(num_lstm_layers)
+    ]
 
     def decoder(key):
         ks = jax.random.split(key, 4)
@@ -100,7 +104,7 @@ def apply(params, state, x, train: bool = False,
                                     padding=0, axis_name=axis_name)
         new_state["blocks"].append({"dilated": s1, "pointwise": s2})
 
-    h = lstm(h, params["lstm"])  # [B, T, H] — already channels-last
+    h = stacked_lstm(h, params["lstm"])  # [B, T, H] — already channels-last
 
     left, left_s = _decoder_apply(params["left"], state["left"], h, train,
                                   axis_name)

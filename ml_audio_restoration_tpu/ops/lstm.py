@@ -108,3 +108,11 @@ def lstm(x, params, *, unroll: int = 8, impl: str = "auto"):
     if impl == "pallas":
         return lstm_recurrence_fast(gates_x, w_hh).astype(x.dtype)
     return lstm_recurrence_scan(gates_x, w_hh, unroll=unroll)
+
+
+def stacked_lstm(x, layers, **kwargs):
+    """Multi-layer unidirectional LSTM (torch num_layers>1): each layer's
+    output feeds the next. `layers`: list of per-layer param dicts."""
+    for params in layers:
+        x = lstm(x, params, **kwargs)
+    return x

@@ -174,3 +174,23 @@ def test_time_sharded_denoiser_matches_replicated(rng):
         params, state, xs)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-5)
+
+
+def test_yaml_config_loads(tmp_path):
+    from ml_audio_restoration_tpu.config import load_config
+
+    cfg = load_config("config/denoiser.yaml")
+    assert cfg.train.model == "denoiser"
+    assert cfg.denoiser.features == (32, 64, 128)
+    with pytest.raises(KeyError):
+        p = tmp_path / "bad.yaml"
+        p.write_text("train:\n  no_such_field: 1\n")
+        load_config(p)
+
+
+def test_prepare_dataset(data_dir):
+    from ml_audio_restoration_tpu.data import prepare_dataset
+
+    loader = prepare_dataset(data_dir, batch_size=2, chunk_duration=0.25)
+    batch = next(iter(loader))
+    assert batch["clean"].shape == (2, 1, int(0.25 * SR))

@@ -154,3 +154,36 @@ def test_pth_export_roundtrip(ref, tmp_path, rng, model_name, ref_key):
         want = tmodel(torch.from_numpy(x)).numpy()
     got, _ = module.apply(params, state, jnp.asarray(x.transpose(0, 2, 1)))
     assert np.max(np.abs(np.asarray(got).transpose(0, 2, 1) - want)) < 1e-4
+
+
+def test_stereo_two_layer_lstm_parity(ref, rng):
+    torch.manual_seed(2)
+    tmodel = ref["stereo_separator"].StereoSeparator(num_lstm_layers=2)
+    tmodel.eval()
+    params, state = torch_loader.convert_stereo_separator(
+        _state_dict_np(tmodel))
+    assert len(params["lstm"]) == 2
+
+    x = rng.normal(size=(1, 1, 2048)).astype(np.float32) * 0.3
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(x)).numpy()
+    got, _ = models.stereo_separator.apply(params, state,
+                                           jnp.asarray(x.transpose(0, 2, 1)))
+    assert np.max(np.abs(np.asarray(got).transpose(0, 2, 1) - want)) < 1e-4
+
+
+def test_super_resolution_x4_parity(ref, rng):
+    torch.manual_seed(3)
+    tmodel = ref["super_resolution"].AudioSuperResolution(upscale_factor=4)
+    tmodel.eval()
+    params, state = torch_loader.convert_super_resolution(
+        _state_dict_np(tmodel))
+    assert len(params["upsample"]) == 2
+
+    x = rng.normal(size=(1, 1, 2048)).astype(np.float32) * 0.3
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(x)).numpy()
+    got, _ = models.super_resolution.apply(params, state,
+                                           jnp.asarray(x.transpose(0, 2, 1)))
+    assert got.shape[1] == 4 * 2048
+    assert np.max(np.abs(np.asarray(got).transpose(0, 2, 1) - want)) < 1e-4
