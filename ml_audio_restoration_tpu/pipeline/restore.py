@@ -195,11 +195,15 @@ class RestorationPipeline:
         """
         cfg = self.config
         sample_rate = sample_rate or cfg.sample_rate
-        audio = jnp.asarray(audio, jnp.float32)
+        # host-side prep: every eager device op costs a dispatch round trip,
+        # so mixdown/padding stay numpy and the jit call gets one H2D array
+        on_host = not isinstance(audio, jax.Array)
+        xp = np if on_host else jnp
+        audio = xp.asarray(audio, xp.float32)
         if audio.ndim == 1:
             audio = audio[None]
         if audio.shape[0] > 1:
-            audio = jnp.mean(audio, axis=0, keepdims=True)
+            audio = xp.mean(audio, axis=0, keepdims=True)
 
         t = audio.shape[1]
         f = self.upscale_factor
@@ -220,7 +224,7 @@ class RestorationPipeline:
         max_n = max(cfg.max_chunks_per_program, 4)
         if cfg.whole_file or n <= max_n:
             total = (n - 1) * hop + chunk_size
-            audio_padded = jnp.pad(audio, ((0, 0), (0, total - t)))
+            audio_padded = xp.pad(audio, ((0, 0), (0, total - t)))
             proc = self._get_processor(n, chunk_size, hop, overlap)
             out = proc(self.denoiser, self.super_resolution, self.stereo,
                        audio_padded)  # [out_ch, total*f]
@@ -235,12 +239,16 @@ class RestorationPipeline:
         num_slabs = -(-n // s)
         slab_len = (s - 1) * hop + chunk_size
         needed = (num_slabs - 1) * s * hop + slab_len
-        audio_padded = jnp.pad(audio, ((0, 0), (0, needed - t)))
+        audio_padded = xp.pad(audio, ((0, 0), (0, needed - t)))
         proc = self._get_processor(s, chunk_size, hop, overlap)
         outs = []
         for i in range(num_slabs):
-            seg = jax.lax.dynamic_slice_in_dim(
-                audio_padded, i * s * hop, slab_len, axis=1)
+            start = i * s * hop
+            if on_host:
+                seg = audio_padded[:, start:start + slab_len]
+            else:
+                seg = jax.lax.dynamic_slice_in_dim(
+                    audio_padded, start, slab_len, axis=1)
             outs.append(proc(self.denoiser, self.super_resolution,
                              self.stereo, seg))
         stacked = jnp.stack(outs)  # [num_slabs, out_ch, slab_len*f]
@@ -258,7 +266,9 @@ class RestorationPipeline:
         if normalize:
             audio = np.asarray(normalize_audio(audio))
         restored, out_rate = self.restore(audio, sr_in)
-        restored = np.asarray(normalize_audio(restored))
+        # transfer once, then normalize on host (eager device ops are
+        # round-trip-expensive; the D2H is needed for the file write anyway)
+        restored = normalize_audio(np.asarray(restored))
         save_audio(output_path, restored, out_rate)
         return output_path, out_rate
 
