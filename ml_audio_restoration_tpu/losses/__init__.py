@@ -17,6 +17,7 @@ from .stereo import (
     low_frequency_centering_loss,
     stereo_metrics,
 )
+from .metrics import snr, si_sdr, lsd
 from .semi_supervised import (
     supervised_loss,
     consistency_loss,
@@ -96,5 +97,8 @@ __all__ = [
     "cycle_consistency_loss",
     "semi_supervised_loss",
     "restoration_loss",
+    "snr",
+    "si_sdr",
+    "lsd",
     "FFT_SIZES",
 ]

@@ -108,6 +108,7 @@ class Trainer:
             partial(self._step, train=True),
             static_argnames=(), donate_argnames=("state",))
         self._eval_step = jax.jit(partial(self._step, train=False))
+        self._render_step = jax.jit(self._render)
 
         self.interrupted = False
         try:
@@ -305,7 +306,7 @@ class Trainer:
                 # audio samples every 10 epochs (reference trainer.py:508-510)
                 if self.epoch % 10 == 0 and self.val_loader is not None:
                     self.log_audio_samples(
-                        jax.random.fold_in(base_key, -self.epoch))
+                        jax.random.fold_in(base_key, 1_000_000 + self.epoch))
             print(f"epoch {self.epoch}/{num_epochs} {took:.2f}s "
                   f"train {train_loss:.6f} val {val_loss:.6f}")
 
@@ -323,6 +324,13 @@ class Trainer:
                 break
         return self.history
 
+    def _render(self, state, batch, key):
+        """(inputs, targets, restored) for audio logging — jit-compiled."""
+        inputs, targets = self._derive(batch, key)
+        out, _ = self.module.apply(state["params"], state["model_state"],
+                                   inputs, train=False)
+        return inputs, targets, out
+
     def log_audio_samples(self, key):
         """Render one validation item and log degraded/clean/restored audio
         (reference log_audio_samples, trainer.py:542-580; stereo channels
@@ -333,10 +341,7 @@ class Trainer:
         if batch is None:
             return
         batch = shard_batch(self.mesh, batch)
-        inputs, targets = self._derive(batch, jax.random.fold_in(key, 0))
-        out, _ = self.module.apply(self.state["params"],
-                                   self.state["model_state"], inputs,
-                                   train=False)
+        inputs, targets, out = self._render_step(self.state, batch, key)
         for tag, arr in (("degraded", inputs), ("clean", targets),
                          ("restored", out)):
             audio = np.asarray(arr[0]).T  # [C, T]

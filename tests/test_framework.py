@@ -194,3 +194,23 @@ def test_prepare_dataset(data_dir):
     loader = prepare_dataset(data_dir, batch_size=2, chunk_duration=0.25)
     batch = next(iter(loader))
     assert batch["clean"].shape == (2, 1, int(0.25 * SR))
+
+
+def test_evaluate_denoiser_untrained_runs(data_dir, tmp_path):
+    """evaluate module: untrained model still produces a valid report (and
+    SNR numbers are finite)."""
+    from ml_audio_restoration_tpu.compat import save_pth
+    from ml_audio_restoration_tpu.config import PipelineConfig
+    from ml_audio_restoration_tpu.evaluate import evaluate_denoiser
+    from ml_audio_restoration_tpu.models import denoiser
+    from ml_audio_restoration_tpu.pipeline import RestorationPipeline
+
+    params, state = denoiser.init(jax.random.PRNGKey(0))
+    pipe = RestorationPipeline(
+        denoiser=(params, state),
+        config=PipelineConfig(chunk_seconds=0.25, overlap_seconds=0.02))
+    files = sorted(data_dir.glob("*.wav"))[:2]
+    report = evaluate_denoiser(pipe, files, seconds=1.0)
+    assert report["num_files"] == 2
+    for k, v in report.items():
+        assert np.isfinite(v)

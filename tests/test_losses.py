@@ -175,3 +175,21 @@ def test_transient_spectral_loss_finite(rng):
     out, tgt = _pair(rng, t=4096)
     val = float(L.transient_spectral_loss(_j(out), _j(tgt)))
     assert np.isfinite(val)
+
+
+def test_quality_metrics(rng):
+    """snr/si_sdr/lsd sanity: perfect estimate -> high scores, noisier ->
+    monotonically worse."""
+    t = rng.normal(size=(2, 8192)).astype(np.float32)
+    clean = jnp.asarray(t)
+    assert float(L.snr(clean, clean).min()) > 60
+    assert float(L.si_sdr(clean, clean).min()) > 60
+    assert float(L.lsd(clean, clean)) < 1e-3
+
+    light = clean + 0.01 * jnp.asarray(rng.normal(size=t.shape), jnp.float32)
+    heavy = clean + 0.2 * jnp.asarray(rng.normal(size=t.shape), jnp.float32)
+    assert float(L.snr(light, clean).mean()) > float(L.snr(heavy, clean).mean())
+    assert float(L.lsd(light, clean)) < float(L.lsd(heavy, clean))
+    # si_sdr is gain-invariant
+    assert abs(float(L.si_sdr(2.0 * clean + 0.01 * light, clean).mean())
+               - float(L.si_sdr(clean + 0.005 * light, clean).mean())) < 25

@@ -175,3 +175,23 @@ def test_optional_stereo_losses_enabled(tmp_path):
                  artifact_config=_quiet_artifacts())
     loss = tr.train_epoch(jax.random.PRNGKey(0))
     assert np.isfinite(loss)
+
+
+def test_log_audio_samples(tmp_path):
+    """Regression: audio logging must be jitted (eager apply stalls) and
+    fold_in keys must be non-negative (epoch-10 crash)."""
+    from ml_audio_restoration_tpu.train.metrics import MetricsLogger
+
+    ds = ToyDataset(n=4)
+    params, state = denoiser.init(jax.random.PRNGKey(0))
+    loader = DataLoader(ds, batch_size=4, num_workers=1, seed=0)
+    logger = MetricsLogger(tmp_path, "t")
+    tr = Trainer("denoiser", params, state, loader, loader,
+                 config=TrainConfig(model="denoiser"),
+                 artifact_config=_quiet_artifacts(), logger=logger)
+    tr.epoch = 10
+    tr.log_audio_samples(jax.random.fold_in(jax.random.PRNGKey(0),
+                                            1_000_000 + tr.epoch))
+    logger.close()
+    wavs = list((tmp_path / "audio").glob("*.wav"))
+    assert len(wavs) == 3  # degraded / clean / restored
