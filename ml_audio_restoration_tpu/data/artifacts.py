@@ -30,8 +30,6 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Tuple
-
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -15,8 +15,6 @@ zero-padded to the chunk size, using seek-based partial reads for long files.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Optional
-
 import numpy as np
 
 from ..audio import (

@@ -13,8 +13,6 @@ the mask — identical expectation, static shapes.
 """
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

@@ -14,7 +14,6 @@ reference .pth checkpoints convert losslessly (see compat/torch_loader.py).
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 
