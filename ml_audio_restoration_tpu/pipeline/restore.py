@@ -94,12 +94,13 @@ class RestorationPipeline:
     # ------------------------------------------------------------- compiled
     def _stages_key(self):
         return (self.denoiser is not None,
-                self.super_resolution is not None,
+                self.super_resolution is not None
+                and self.config.enable_super_resolution,
                 self.stereo is not None)
 
     @property
     def upscale_factor(self) -> int:
-        if self.super_resolution is None:
+        if not self._stages_key()[1]:
             return 1
         return 2 ** len(self.super_resolution[0]["upsample"])
 
