@@ -197,3 +197,21 @@ class TestDatasets:
         ds = Broken(wav_dir, chunk_duration=0.5)
         with pytest.raises(RuntimeError, match="boom"):
             list(DataLoader(ds, batch_size=2))
+
+
+def test_compare_synthetic_vs_real(tmp_path, clean_sine):
+    """The analytics workflow that validates the simulator against a real
+    recording (analyze_impulses.py:245-291): runs end-to-end and reports
+    impulse rates for both sides."""
+    from ml_audio_restoration_tpu.audio import save_audio
+    from ml_audio_restoration_tpu.audio.analyze import compare_synthetic_vs_real
+
+    # a "real" degraded recording = clean + simulated artifacts on disk
+    degraded = simulate_vinyl_artifacts(jax.random.PRNGKey(5),
+                                        jnp.asarray(clean_sine), SR)
+    real_path = tmp_path / "real.wav"
+    save_audio(real_path, np.asarray(degraded), SR)
+
+    result = compare_synthetic_vs_real(real_path, clean_sine, SR)
+    assert result["real"]["impulse_stats"]["num_impulses"] >= 0
+    assert "impulses_per_second" in result["synthetic"]
