@@ -214,3 +214,16 @@ def test_evaluate_denoiser_untrained_runs(data_dir, tmp_path):
     assert report["num_files"] == 2
     for k, v in report.items():
         assert np.isfinite(v)
+
+
+def test_graft_entry_compiles():
+    """__graft_entry__.entry() must return a jittable full-chain forward."""
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (4, 8192, 2)  # x2 upsample, stereo
+    assert np.isfinite(np.asarray(out)).all()
