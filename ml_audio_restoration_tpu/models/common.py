@@ -60,6 +60,21 @@ def bn_apply(params, state, x, train: bool, axis_name: str | None = None):
     return y, state
 
 
+def fold_conv_bn(conv_p, bn_p, bn_s, eps: float = 1e-5):
+    """Fold inference-mode batch norm into the preceding conv's weights:
+    conv(x, w, b) then BN == conv(x, w*g, (b-mean)*g + beta) with
+    g = scale*rsqrt(var+eps). The transform touches only the (tiny) weights,
+    eliminating a full elementwise pass over the activation tensor — on TPU
+    that pass is pure HBM traffic the conv epilogue doesn't need."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    g = bn_p["scale"] * lax.rsqrt(bn_s["var"] + eps)
+    w = conv_p["w"] * g  # [k, in, out] * [out]
+    b = (conv_p["b"] - bn_s["mean"]) * g + bn_p["bias"]
+    return w, b
+
+
 def conv_bn_lrelu_init(key, k: int, in_ch: int, out_ch: int, *, dilation: int = 1):
     p = {"conv": conv_init(key, k, in_ch, out_ch)}
     bn_p, bn_s = bn_init(out_ch)
@@ -69,6 +84,10 @@ def conv_bn_lrelu_init(key, k: int, in_ch: int, out_ch: int, *, dilation: int = 
 
 def conv_bn_lrelu_apply(p, s, x, train: bool, *, padding: int, dilation: int = 1,
                         axis_name: str | None = None):
+    if not train:
+        w, b = fold_conv_bn(p["conv"], p["bn"], s["bn"])
+        x = conv1d(x, w, b, padding=padding, dilation=dilation)
+        return leaky_relu(x), s
     x = conv1d(x, p["conv"]["w"], p["conv"]["b"], padding=padding, dilation=dilation)
     x, bn_s = bn_apply(p["bn"], s["bn"], x, train, axis_name)
     return leaky_relu(x), {"bn": bn_s}

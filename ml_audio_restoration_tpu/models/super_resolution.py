@@ -16,7 +16,13 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import conv1d, conv_transpose1d, leaky_relu, upsample_linear
-from .common import conv_init, conv_transpose_init, bn_init, bn_apply
+from .common import (
+    conv_init,
+    conv_transpose_init,
+    bn_init,
+    bn_apply,
+    fold_conv_bn,
+)
 
 
 def init(key, upscale_factor: int = 2, channels: int = 1,
@@ -64,6 +70,13 @@ def apply(params, state, x, train: bool = False,
     h = h0
     for p, s in zip(params["blocks"], state["blocks"]):
         r = h
+        if not train:  # fold BN into the conv weights (models/common.py)
+            w1, b1 = fold_conv_bn(p["conv1"], p["bn1"], s["bn1"])
+            h = leaky_relu(conv1d(h, w1, b1, padding=1))
+            w2, b2 = fold_conv_bn(p["conv2"], p["bn2"], s["bn2"])
+            h = conv1d(h, w2, b2, padding=1) + r
+            new_state["blocks"].append(s)
+            continue
         h = conv1d(h, p["conv1"]["w"], p["conv1"]["b"], padding=1)
         h, bn1 = bn_apply(p["bn1"], s["bn1"], h, train, axis_name)
         h = leaky_relu(h)
@@ -72,11 +85,17 @@ def apply(params, state, x, train: bool = False,
         h = h + r
         new_state["blocks"].append({"bn1": bn1, "bn2": bn2})
 
-    h = conv1d(h, params["middle"]["conv"]["w"], params["middle"]["conv"]["b"],
-               padding=1)
-    h, mid_bn = bn_apply(params["middle"]["bn"], state["middle"]["bn"], h,
-                         train, axis_name)
-    new_state["middle"] = {"bn": mid_bn}
+    if not train:
+        wm, bm = fold_conv_bn(params["middle"]["conv"], params["middle"]["bn"],
+                              state["middle"]["bn"])
+        h = conv1d(h, wm, bm, padding=1)
+        new_state["middle"] = state["middle"]
+    else:
+        h = conv1d(h, params["middle"]["conv"]["w"],
+                   params["middle"]["conv"]["b"], padding=1)
+        h, mid_bn = bn_apply(params["middle"]["bn"], state["middle"]["bn"], h,
+                             train, axis_name)
+        new_state["middle"] = {"bn": mid_bn}
 
     h = h0 + h
 

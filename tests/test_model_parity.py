@@ -187,3 +187,22 @@ def test_super_resolution_x4_parity(ref, rng):
                                            jnp.asarray(x.transpose(0, 2, 1)))
     assert got.shape[1] == 4 * 2048
     assert np.max(np.abs(np.asarray(got).transpose(0, 2, 1) - want)) < 1e-4
+
+
+def test_denoiser_odd_length_parity(ref, rng):
+    """Odd input length exercises the decoder size-mismatch pad path
+    (denoiser.py:121-122): pooling floors T/2 so upsampled tensors come back
+    one sample short of the skip."""
+    torch.manual_seed(0)
+    tmodel = ref["denoiser"].AudioDenoiser()
+    tmodel.eval()
+    params, state = torch_loader.convert_denoiser(_state_dict_np(tmodel))
+
+    x = rng.normal(size=(1, 1, 4097)).astype(np.float32) * 0.3
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(x)).numpy()
+    got, _ = models.denoiser.apply(params, state,
+                                   jnp.asarray(x.transpose(0, 2, 1)))
+    got = np.asarray(got).transpose(0, 2, 1)
+    assert got.shape == want.shape == (1, 1, 4097)
+    assert np.max(np.abs(got - want)) < 1e-4
