@@ -67,6 +67,14 @@ def _cmd_restore(args):
         config=config,
     )
     pipe.mesh = mesh
+    import os
+
+    if os.path.isdir(args.input):
+        results = pipe.restore_directory(args.input, args.output)
+        for out, rate in results:
+            print(f"restored -> {out} @ {rate} Hz")
+        print(f"{len(results)} files restored")
+        return 0
     out, rate = pipe.restore_file(args.input, args.output)
     print(f"restored -> {out} @ {rate} Hz")
     return 0

@@ -273,6 +273,26 @@ class RestorationPipeline:
         save_audio(output_path, restored, out_rate)
         return output_path, out_rate
 
+    def restore_directory(self, input_dir, output_dir,
+                          sample_rate: Optional[int] = None,
+                          suffix: str = "_restored"):
+        """Batch-restore every audio file in a directory through ONE pipeline
+        instance: chunk-count bucketing + slab processing mean all files
+        share a handful of compiled programs, so throughput approaches the
+        steady-state device rate (the reference CLI reloads and recompiles
+        per invocation)."""
+        from pathlib import Path
+
+        from ..audio import find_audio_files
+
+        out_dir = Path(output_dir)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        results = []
+        for f in find_audio_files(input_dir, recursive=False):
+            out = out_dir / f"{f.stem}{suffix}.wav"
+            results.append(self.restore_file(f, out, sample_rate))
+        return results
+
 
 def restore_audio(input_path, output_path, *,
                   denoiser_checkpoint="models/checkpoints/best_model.pth",

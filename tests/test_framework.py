@@ -227,3 +227,21 @@ def test_graft_entry_compiles():
     out = jax.jit(fn)(*args)
     assert out.shape == (4, 8192, 2)  # x2 upsample, stereo
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_cli_restore_directory(data_dir, tmp_path, capsys):
+    from ml_audio_restoration_tpu.cli import main
+    from ml_audio_restoration_tpu.compat import save_pth
+    from ml_audio_restoration_tpu.models import denoiser
+
+    params, state = denoiser.init(jax.random.PRNGKey(0))
+    ckpt = tmp_path / "dn.pth"
+    save_pth(ckpt, "denoiser", params, state)
+    out_dir = tmp_path / "restored"
+    rc = main(["restore", str(data_dir), str(out_dir),
+               "--denoiser", str(ckpt), "--no-super-res", "--no-stereo",
+               "--chunk-seconds", "0.25", "--overlap-seconds", "0.02"])
+    assert rc == 0
+    outs = sorted(out_dir.glob("*.wav"))
+    assert len(outs) == 6
+    assert "6 files restored" in capsys.readouterr().out
