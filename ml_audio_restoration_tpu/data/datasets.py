@@ -170,7 +170,8 @@ class MixedRestorationDataset(ChunkDataset):
 
     def __init__(self, clean_data_dir, degraded_data_dir=None,
                  sample_rate: int = 22050, chunk_duration: float = 2.0,
-                 synthetic_ratio: float = 0.7, **kw):
+                 synthetic_ratio: float = 0.7, use_contrastive: bool = False,
+                 **kw):
         super().__init__(clean_data_dir, sample_rate, chunk_duration,
                          mono=True, **kw)
         self.degraded_files = []
@@ -182,19 +183,36 @@ class MixedRestorationDataset(ChunkDataset):
             self.num_synthetic = int(total * synthetic_ratio)
         else:
             self.num_synthetic = total
+        self.use_contrastive = use_contrastive and bool(self.degraded_files)
 
     def __getitem__(self, idx):
         use_synthetic = (not self.degraded_files) or idx < self.num_synthetic
         if use_synthetic:
-            return {
+            item = {
                 "audio": self._chunk(self.files[idx % len(self.files)]),
                 "is_synthetic": np.float32(1.0),
             }
-        real_idx = (idx - self.num_synthetic) % len(self.degraded_files)
-        return {
-            "audio": self._chunk(self.degraded_files[real_idx]),
-            "is_synthetic": np.float32(0.0),
-        }
+        else:
+            real_idx = (idx - self.num_synthetic) % len(self.degraded_files)
+            item = {
+                "audio": self._chunk(self.degraded_files[real_idx]),
+                "is_synthetic": np.float32(0.0),
+            }
+        if self.use_contrastive:
+            # pair each item with opposite-type audio for the contrastive
+            # loss (mixed_dataset.py:143-157; label 0 = different type).
+            # Synthetic pairs carry CLEAN audio — on-device degradation in
+            # the train step makes them synthetic-type.
+            if use_synthetic:
+                j = int(self.rng.integers(0, len(self.degraded_files)))
+                item["contrastive_pair"] = self._chunk(self.degraded_files[j])
+                item["contrastive_pair_is_synthetic"] = np.float32(0.0)
+            else:
+                j = int(self.rng.integers(0, len(self.files)))
+                item["contrastive_pair"] = self._chunk(self.files[j])
+                item["contrastive_pair_is_synthetic"] = np.float32(1.0)
+            item["contrastive_label"] = np.float32(0.0)
+        return item
 
 
 class AdaptiveArtifactDataset(ChunkDataset):

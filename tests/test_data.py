@@ -215,3 +215,22 @@ def test_compare_synthetic_vs_real(tmp_path, clean_sine):
     result = compare_synthetic_vs_real(real_path, clean_sine, SR)
     assert result["real"]["impulse_stats"]["num_impulses"] >= 0
     assert "impulses_per_second" in result["synthetic"]
+
+
+def test_mixed_dataset_contrastive_pairs(tmp_path, wav_dir):
+    real_dir = tmp_path / "real"
+    t = np.arange(SR) / SR
+    save_audio(real_dir / "r.wav",
+               (0.2 * np.sin(2 * np.pi * 300 * t)).astype(np.float32)[None],
+               SR)
+    ds = MixedRestorationDataset(wav_dir, real_dir, chunk_duration=0.5,
+                                 synthetic_ratio=0.5, use_contrastive=True)
+    syn = ds[0]
+    real = ds[len(ds) - 1]
+    assert syn["is_synthetic"] == 1.0 and real["is_synthetic"] == 0.0
+    for item in (syn, real):
+        assert item["contrastive_pair"].shape == item["audio"].shape
+        assert item["contrastive_label"] == 0.0
+    # pairs are opposite-type
+    assert syn["contrastive_pair_is_synthetic"] == 0.0
+    assert real["contrastive_pair_is_synthetic"] == 1.0

@@ -245,3 +245,12 @@ def test_cli_restore_directory(data_dir, tmp_path, capsys):
     outs = sorted(out_dir.glob("*.wav"))
     assert len(outs) == 6
     assert "6 files restored" in capsys.readouterr().out
+
+
+def test_analyze_plot_writes_png(data_dir):
+    from ml_audio_restoration_tpu.audio.analyze import analyze_78rpm_recording
+
+    f = sorted(data_dir.glob("*.wav"))[0]
+    analyze_78rpm_recording(f, plot=True)
+    png = f.parent / f"{f.stem}_impulse_analysis.png"
+    assert png.exists() and png.stat().st_size > 1000
