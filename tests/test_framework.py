@@ -254,3 +254,27 @@ def test_analyze_plot_writes_png(data_dir):
     analyze_78rpm_recording(f, plot=True)
     png = f.parent / f"{f.stem}_impulse_analysis.png"
     assert png.exists() and png.stat().st_size > 1000
+
+
+def test_evaluate_super_resolution_and_stereo(data_dir):
+    from ml_audio_restoration_tpu.config import PipelineConfig
+    from ml_audio_restoration_tpu.evaluate import (
+        evaluate_super_resolution, evaluate_stereo)
+    from ml_audio_restoration_tpu.models import (
+        super_resolution, stereo_separator)
+    from ml_audio_restoration_tpu.pipeline import RestorationPipeline
+
+    files = sorted(data_dir.glob("*.wav"))[:2]
+    cfg = PipelineConfig(chunk_seconds=0.25, overlap_seconds=0.02)
+
+    sr_pipe = RestorationPipeline(
+        super_resolution=super_resolution.init(jax.random.PRNGKey(0)),
+        config=cfg)
+    r = evaluate_super_resolution(sr_pipe, files, seconds=1.0)
+    assert r["num_files"] == 2 and np.isfinite(r["lsd_model"])
+
+    st_pipe = RestorationPipeline(
+        stereo=stereo_separator.init(jax.random.PRNGKey(1)), config=cfg)
+    r = evaluate_stereo(st_pipe, files, seconds=1.0)
+    assert r["num_files"] == 2
+    assert 0 <= r["width_upmix"] <= 1
