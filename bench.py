@@ -13,6 +13,7 @@ BASELINE configs) are included under "extra".
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -110,6 +111,12 @@ def main():
     from ml_audio_restoration_tpu.pipeline import RestorationPipeline
 
     seconds = float(sys.argv[1]) if len(sys.argv) > 1 else 120.0
+    budget_s = float(os.environ.get("MLAR_BENCH_BUDGET_S", "480"))
+    t_start = time.perf_counter()
+
+    def over_budget():
+        return time.perf_counter() - t_start > budget_s
+
     sr = 22050
     audio = _make_audio(seconds, sr)
 
@@ -134,6 +141,9 @@ def main():
         ("super_res_only", dict(super_resolution=stages["super_resolution"])),
         ("stereo_only", dict(stereo=stages["stereo"])),
     ]:
+        if over_budget():
+            extra["skipped"] = "sub-benches (time budget)"
+            break
         pipe = RestorationPipeline(**kwargs, config=cfg)
         w = _time_pipeline(pipe, audio, sr, warmup=1, iters=2)
         extra[f"{name}_xrt"] = round(seconds / w, 1)
@@ -142,25 +152,30 @@ def main():
     # well inside the <=1e-3 parity bar, so it is a valid headline config
     import dataclasses
 
-    bf16_cfg = dataclasses.replace(cfg, compute_dtype="bfloat16")
-    bf16 = RestorationPipeline(**stages, config=bf16_cfg)
-    w16 = _time_pipeline(bf16, audio, sr, warmup=1, iters=4)
-    extra["bf16_full_pipeline_xrt"] = round(seconds / w16, 1)
-    out32, _ = full.restore(audio, sr)
-    out16, _ = bf16.restore(audio, sr)
-    bf16_dev = float(np.abs(np.asarray(out32) - np.asarray(out16)).max())
-    extra["bf16_max_dev_vs_f32"] = bf16_dev
+    bf16_dev = 1.0
+    w16 = float("inf")
+    if not over_budget():
+        bf16_cfg = dataclasses.replace(cfg, compute_dtype="bfloat16")
+        bf16 = RestorationPipeline(**stages, config=bf16_cfg)
+        w16 = _time_pipeline(bf16, audio, sr, warmup=1, iters=4)
+        extra["bf16_full_pipeline_xrt"] = round(seconds / w16, 1)
+        out32, _ = full.restore(audio, sr)
+        out16, _ = bf16.restore(audio, sr)
+        bf16_dev = float(np.abs(np.asarray(out32) - np.asarray(out16)).max())
+        extra["bf16_max_dev_vs_f32"] = bf16_dev
 
     # throughput mode: 0.5 s internal stereo windows (4x fewer sequential
     # LSTM steps; trades LSTM context for speed)
-    fast_cfg = dataclasses.replace(cfg, stereo_chunk_seconds=0.5)
-    fast = RestorationPipeline(**stages, config=fast_cfg)
-    wf = _time_pipeline(fast, audio, sr, warmup=1, iters=2)
-    extra["stereo_subchunk_xrt"] = round(seconds / wf, 1)
+    if not over_budget():
+        fast_cfg = dataclasses.replace(cfg, stereo_chunk_seconds=0.5)
+        fast = RestorationPipeline(**stages, config=fast_cfg)
+        wf = _time_pipeline(fast, audio, sr, warmup=1, iters=2)
+        extra["stereo_subchunk_xrt"] = round(seconds / wf, 1)
 
     # training throughput (BASELINE config 5: denoiser, batch 2, 2-s chunks,
     # combined time-MSE + spectral loss; on-device degradation included)
-    extra["train_denoiser_audio_sec_per_sec"] = _train_throughput()
+    if not over_budget():
+        extra["train_denoiser_audio_sec_per_sec"] = _train_throughput()
 
     # re-measure at the end: the shared dev relay drifts by >50% between
     # minutes, so the headline is the best parity-satisfying configuration
