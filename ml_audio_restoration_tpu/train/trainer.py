@@ -80,6 +80,10 @@ class Trainer:
         self.pairing = pairing or getattr(train_loader.dataset, "pairing",
                                           "degrade")
         self.compute_dtype = jnp.dtype(self.cfg.compute_dtype)
+        # SR training derives the low-rate input from the high-rate target;
+        # the factor comes from the model itself (2 per transpose-conv stage)
+        self._sr_factor = (2 ** len(model_params["upsample"])
+                           if model_name == "super_resolution" else 2)
 
         self.mesh = make_mesh(data_parallel=self.cfg.data_parallel)
         self.logger = logger
@@ -151,7 +155,7 @@ class Trainer:
             return mono, stereo
         if p == "downsample":
             high = _nwc(batch["high"])  # [B, T_hi, 1]
-            low = interp_linear(high, high.shape[1] // 2)
+            low = interp_linear(high, high.shape[1] // self._sr_factor)
             return low, high
         if p == "mixed":
             audio = batch["audio"]  # [B, 1, T]; clean if synthetic else real
