@@ -195,3 +195,19 @@ def test_log_audio_samples(tmp_path):
     logger.close()
     wavs = list((tmp_path / "audio").glob("*.wav"))
     assert len(wavs) == 3  # degraded / clean / restored
+
+
+def test_bf16_compute_training_step():
+    """compute_dtype='bfloat16' (the TPU AMP analogue) must train with f32
+    params/optimizer and finite loss."""
+    ds = ToyDataset(n=4)
+    params, state = denoiser.init(jax.random.PRNGKey(0))
+    loader = DataLoader(ds, batch_size=4, num_workers=1, seed=0)
+    cfg = TrainConfig(model="denoiser", compute_dtype="bfloat16")
+    tr = Trainer("denoiser", params, state, loader, None, config=cfg,
+                 artifact_config=_quiet_artifacts())
+    loss = tr.train_epoch(jax.random.PRNGKey(0))
+    assert np.isfinite(loss)
+    # params stay f32
+    leaf = jax.tree_util.tree_leaves(tr.state["params"])[0]
+    assert leaf.dtype == jnp.float32
