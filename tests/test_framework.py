@@ -278,3 +278,16 @@ def test_evaluate_super_resolution_and_stereo(data_dir):
     r = evaluate_stereo(st_pipe, files, seconds=1.0)
     assert r["num_files"] == 2
     assert 0 <= r["width_upmix"] <= 1
+
+
+def test_profiler_trace_writes_xplane(tmp_path):
+    from ml_audio_restoration_tpu.utils import trace, annotate
+
+    f = jax.jit(lambda x: x * 2.0)
+    x = jnp.ones((128, 128))
+    f(x)
+    with trace(str(tmp_path)):
+        with annotate("step"):
+            f(x).block_until_ready()
+    files = list(Path(tmp_path).rglob("*.xplane.pb"))
+    assert files, "no xplane trace written"
