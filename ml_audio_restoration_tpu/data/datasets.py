@@ -73,7 +73,6 @@ class _MonoBatchReadMixin:
 
     def getitems(self, indices):
         from ..audio import native
-        from ..audio.io import normalize_audio as _norm
 
         paths = [self.files[i] for i in indices]
         if not native.available() or not all(

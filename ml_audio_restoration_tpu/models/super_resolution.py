@@ -13,7 +13,6 @@ from __future__ import annotations
 import math
 
 import jax
-import jax.numpy as jnp
 
 from ..ops import conv1d, conv_transpose1d, leaky_relu, upsample_linear
 from .common import (
