@@ -87,15 +87,13 @@ def _decoder_apply(p, s, h, train, axis_name):
     return h, {"l1": s1, "l2": s2, "l3": s3}
 
 
-def apply(params, state, x, train: bool = False,
-          axis_name: str | None = None):
-    """x: [B, T, 1] -> ([B, T, 2], new_state). Channel order: (L, R)."""
+def encode(params, state, x, train: bool = False,
+           axis_name: str | None = None):
+    """Stem + dilated blocks: [B, T, 1] -> ([B, T, 4C], new_block_states)."""
     new_state = {"blocks": []}
-
     h, stem_s = conv_bn_lrelu_apply(params["stem"], state["stem"], x, train,
                                     padding=3, axis_name=axis_name)
     new_state["stem"] = stem_s
-
     for p, s, dil in zip(params["blocks"], state["blocks"], _DILATIONS):
         h, s1 = conv_bn_lrelu_apply(p["dilated"], s["dilated"], h, train,
                                     padding=dil, dilation=dil,
@@ -103,13 +101,24 @@ def apply(params, state, x, train: bool = False,
         h, s2 = conv_bn_lrelu_apply(p["pointwise"], s["pointwise"], h, train,
                                     padding=0, axis_name=axis_name)
         new_state["blocks"].append({"dilated": s1, "pointwise": s2})
+    return h, new_state
 
-    h = stacked_lstm(h, params["lstm"])  # [B, T, H] — already channels-last
 
+def decode(params, state, h, train: bool = False,
+           axis_name: str | None = None):
+    """Dual decoders: LSTM output [B, T, H] -> ([B, T, 2], new_states)."""
     left, left_s = _decoder_apply(params["left"], state["left"], h, train,
                                   axis_name)
     right, right_s = _decoder_apply(params["right"], state["right"], h, train,
                                     axis_name)
-    new_state["left"], new_state["right"] = left_s, right_s
+    return jnp.concatenate([left, right], axis=-1), (left_s, right_s)
 
-    return jnp.concatenate([left, right], axis=-1), new_state
+
+def apply(params, state, x, train: bool = False,
+          axis_name: str | None = None):
+    """x: [B, T, 1] -> ([B, T, 2], new_state). Channel order: (L, R)."""
+    h, new_state = encode(params, state, x, train, axis_name)
+    h = stacked_lstm(h, params["lstm"])  # [B, T, H] — already channels-last
+    stereo, (left_s, right_s) = decode(params, state, h, train, axis_name)
+    new_state["left"], new_state["right"] = left_s, right_s
+    return stereo, new_state

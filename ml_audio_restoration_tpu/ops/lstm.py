@@ -38,8 +38,14 @@ def lstm_init(key, input_size: int, hidden_size: int, dtype=jnp.float32):
     }
 
 
-def lstm_recurrence_scan(gates_x, w_hh, *, unroll: int = 8):
-    """Reference recurrence: gates_x [B, T, 4H], w_hh [H, 4H] -> [B, T, H]."""
+def lstm_recurrence_scan(gates_x, w_hh, *, unroll: int = 8, carry=None,
+                         return_carry: bool = False):
+    """Reference recurrence: gates_x [B, T, 4H], w_hh [H, 4H] -> [B, T, H].
+
+    `carry`: optional ((h, c)) initial state — the streaming path threads the
+    final state of one block into the next (exact state continuity the
+    reference's per-chunk cuDNN calls cannot provide).
+    """
     b, t, g4 = gates_x.shape
     h_dim = g4 // 4
 
@@ -55,12 +61,13 @@ def lstm_recurrence_scan(gates_x, w_hh, *, unroll: int = 8):
         h = o * jnp.tanh(c)
         return (h, c), h
 
-    init = (
+    init = carry if carry is not None else (
         jnp.zeros((b, h_dim), gates_x.dtype),
         jnp.zeros((b, h_dim), gates_x.dtype),
     )
-    _, ys = lax.scan(step, init, gates_x.swapaxes(0, 1), unroll=unroll)
-    return ys.swapaxes(0, 1)
+    final, ys = lax.scan(step, init, gates_x.swapaxes(0, 1), unroll=unroll)
+    ys = ys.swapaxes(0, 1)
+    return (ys, final) if return_carry else ys
 
 
 @jax.custom_vjp
@@ -84,7 +91,8 @@ def _fast_bwd(residuals, g):
 lstm_recurrence_fast.defvjp(_fast_fwd, _fast_bwd)
 
 
-def lstm(x, params, *, unroll: int = 8, impl: str = "auto"):
+def lstm(x, params, *, unroll: int = 8, impl: str = "auto", carry=None,
+         return_carry: bool = False):
     """Run a single-layer unidirectional LSTM over [B, T, C] -> [B, T, H].
 
     Initial hidden/cell state is zero (the reference passes no state across
@@ -105,14 +113,23 @@ def lstm(x, params, *, unroll: int = 8, impl: str = "auto"):
 
     if impl == "auto":
         impl = "scan"
-    if impl == "pallas":
+    if impl == "pallas" and carry is None and not return_carry:
         return lstm_recurrence_fast(gates_x, w_hh).astype(x.dtype)
-    return lstm_recurrence_scan(gates_x, w_hh, unroll=unroll)
+    return lstm_recurrence_scan(gates_x, w_hh, unroll=unroll, carry=carry,
+                                return_carry=return_carry)
 
 
-def stacked_lstm(x, layers, **kwargs):
+def stacked_lstm(x, layers, *, carries=None, return_carries: bool = False,
+                 **kwargs):
     """Multi-layer unidirectional LSTM (torch num_layers>1): each layer's
-    output feeds the next. `layers`: list of per-layer param dicts."""
-    for params in layers:
-        x = lstm(x, params, **kwargs)
-    return x
+    output feeds the next. `layers`: list of per-layer param dicts;
+    `carries`: optional list of per-layer (h, c) states."""
+    new_carries = []
+    for i, params in enumerate(layers):
+        carry = carries[i] if carries is not None else None
+        if return_carries:
+            x, c = lstm(x, params, carry=carry, return_carry=True, **kwargs)
+            new_carries.append(c)
+        else:
+            x = lstm(x, params, carry=carry, **kwargs)
+    return (x, new_carries) if return_carries else x

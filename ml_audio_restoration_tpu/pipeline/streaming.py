@@ -1,0 +1,187 @@
+"""Streaming (block-by-block) restoration with exact recurrent state.
+
+A capability the reference architecture cannot offer: its cuDNN LSTM is
+called per 2-s chunk with state reset every time (stereo_separator.py:107,
+trainer.py:652-681), so chunked output differs from whole-recording output.
+Here a recording can be fed in arbitrary blocks as they arrive — a live
+digitization feed, a socket — and the output matches the single-shot forward
+everywhere except the first `context` samples:
+
+- conv stages (denoiser, SR, stereo encoder, stereo decoders) are given
+  `context` samples of re-computed left history per block and `lookahead`
+  samples of right holdback, so every emitted sample has its full receptive
+  field;
+- the stereo LSTM consumes each feature frame exactly once, carrying (h, c)
+  across blocks — exact state continuity, no context recomputation.
+
+Usage:
+    s = StreamingRestorer(denoiser=dn, super_resolution=sr, stereo=st)
+    for block in blocks:          # arbitrary block sizes
+        out.append(s.feed(block)) # [2, n*f] as samples become final
+    out.append(s.flush())
+
+One compiled step per block size; feed fixed-size blocks for a single
+compilation.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models import denoiser as denoiser_mod
+from ..models import super_resolution as sr_mod
+from ..models import stereo_separator as stereo_mod
+from ..ops.lstm import stacked_lstm
+
+
+class StreamingRestorer:
+    """Stateful block-wise denoise -> super-res -> stereo."""
+
+    def __init__(self,
+                 denoiser: Optional[Tuple] = None,
+                 super_resolution: Optional[Tuple] = None,
+                 stereo: Optional[Tuple] = None,
+                 context: int = 1024,
+                 lookahead: int = 512):
+        """context/lookahead in input-rate samples; both must exceed the conv
+        receptive field (~400 samples for the default models)."""
+        self.denoiser = denoiser
+        self.super_resolution = super_resolution
+        self.stereo = stereo
+        # the U-Net pools by 8, so window starts must stay on the pooling
+        # grid (the model is shift-variant modulo 8): context and emission
+        # lengths are kept multiples of the alignment
+        self._align = 8 if denoiser is not None else 1
+        self.context = -(-context // self._align) * self._align
+        self.lookahead = lookahead
+        self.f = (2 ** len(super_resolution[0]["upsample"])
+                  if super_resolution is not None else 1)
+        self._compiled = {}
+        self.reset()
+
+    def reset(self):
+        self._in_buffer = np.zeros((1, 0), np.float32)  # unemitted input
+        self._warm = 0  # samples of valid history in front of the buffer
+        self._fed = 0
+        self._emitted = 0
+        self._dec_hist_buf = None
+        if self.stereo is not None:
+            h_dim = self.stereo[0]["lstm"][0]["w_hh"].shape[0]
+            self._lstm_carry = [
+                (jnp.zeros((1, h_dim), jnp.float32),
+                 jnp.zeros((1, h_dim), jnp.float32))
+                for _ in self.stereo[0]["lstm"]
+            ]
+        else:
+            self._lstm_carry = None
+
+    # ------------------------------------------------------------ compiled
+    def _get_step(self, ctx: int, n: int, la: int):
+        key = (ctx, n, la)
+        if key in self._compiled:
+            return self._compiled[key]
+
+        f = self.f
+        dn, sr, st = self.denoiser, self.super_resolution, self.stereo
+
+        def step(carries, window):
+            # window: [1, ctx + n + la, 1] raw input; emit the middle n
+            x = window
+            if dn is not None:
+                x, _ = denoiser_mod.apply(dn[0], dn[1], x)
+            if sr is not None:
+                x, _ = sr_mod.apply(sr[0], sr[1], x)
+            if st is None:
+                return carries, x[:, ctx * f:(ctx + n) * f, :]
+            feats, _ = stereo_mod.encode(st[0], st[1], x)
+            # The LSTM consumes each NEW frame exactly once; the carried
+            # state supplies the past (exact). The conv context supplied the
+            # feature edges.
+            new_feats = feats[:, ctx * f:(ctx + n) * f, :]
+            lstm_out, new_carries = stacked_lstm(
+                new_feats, st[0]["lstm"], carries=carries,
+                return_carries=True)
+            # Decoders are centered convs: they need LSTM outputs on BOTH
+            # sides of the emitted region. Left side comes from the carried
+            # decoder-history buffer; right side from a speculative LSTM run
+            # over the lookahead frames whose state is NOT committed (those
+            # frames will be consumed for real next block).
+            future_feats = feats[:, (ctx + n) * f:, :]
+            lstm_future = stacked_lstm(future_feats, st[0]["lstm"],
+                                       carries=new_carries)
+            dec_hist = carries[-1]  # [1, ctx*f, H]
+            dec_in = jnp.concatenate([dec_hist, lstm_out, lstm_future],
+                                     axis=1)
+            stereo, _ = stereo_mod.decode(st[0], st[1], dec_in)
+            out = stereo[:, ctx * f:(ctx + n) * f, :]
+            new_dec_hist = jnp.concatenate(
+                [dec_hist, lstm_out], axis=1)[:, -ctx * f:, :]
+            return new_carries[:len(st[0]["lstm"])] + [new_dec_hist], out
+
+        jitted = jax.jit(step)
+        self._compiled[key] = jitted
+        return jitted
+
+    # ---------------------------------------------------------------- api
+    def feed(self, block) -> np.ndarray:
+        """Append input samples; return finalized output samples
+        ([out_ch, m*f], possibly m == 0 while the lookahead fills)."""
+        block = np.asarray(block, np.float32).reshape(1, -1)
+        self._fed += block.shape[1]
+        self._in_buffer = np.concatenate([self._in_buffer, block], axis=1)
+        return self._drain()
+
+    def flush(self) -> np.ndarray:
+        """Zero-pad the lookahead and emit everything still buffered."""
+        remaining = self._fed - self._emitted
+        aligned = -(-remaining // self._align) * self._align
+        pad = np.zeros((1, self.lookahead + (aligned - remaining)), np.float32)
+        self._in_buffer = np.concatenate([self._in_buffer, pad], axis=1)
+        out = self._drain()
+        # trim alignment padding from the final output
+        excess = (self._emitted - self._fed) * self.f
+        return out[:, :out.shape[1] - excess] if excess > 0 else out
+
+    def _drain(self) -> np.ndarray:
+        ctx, la = self.context, self.lookahead
+        outs = []
+        while True:
+            avail = self._in_buffer.shape[1]
+            n = avail - self._warm - la  # emittable samples
+            n -= n % self._align  # keep window starts on the pooling grid
+            if n <= 0:
+                break
+            # history shorter than ctx at stream start: left-pad with zeros
+            window = self._in_buffer[:, max(0, self._warm - ctx):]
+            deficit = ctx - min(ctx, self._warm)
+            if deficit:
+                window = np.concatenate(
+                    [np.zeros((1, deficit), np.float32), window], axis=1)
+            step = self._get_step(ctx, n, la)
+            carries = (self._lstm_carry + [self._dec_hist()]
+                       if self.stereo is not None else None)
+            carries, out = step(carries, window[:, :, None])
+            if self.stereo is not None:
+                self._lstm_carry = carries[:-1]
+                self._dec_hist_buf = carries[-1]
+            outs.append(np.asarray(out[0]).T)  # [out_ch, n*f]
+            self._warm += n
+            self._emitted += n
+            # drop history we will never need again
+            keep_from = max(0, self._warm - ctx)
+            self._in_buffer = self._in_buffer[:, keep_from:]
+            self._warm -= keep_from
+        if not outs:
+            ch = 2 if self.stereo is not None else 1
+            return np.zeros((ch, 0), np.float32)
+        return np.concatenate(outs, axis=1)
+
+    def _dec_hist(self):
+        if not hasattr(self, "_dec_hist_buf") or self._dec_hist_buf is None:
+            h_dim = self.stereo[0]["lstm"][-1]["w_hh"].shape[0]
+            self._dec_hist_buf = jnp.zeros((1, self.context * self.f, h_dim),
+                                           jnp.float32)
+        return self._dec_hist_buf

@@ -1,0 +1,91 @@
+"""Streaming restorer: block-fed output must match the single-shot forward
+(exact LSTM state continuity; conv context recomputation)."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from conftest import has_reference
+from ml_audio_restoration_tpu.models import (
+    denoiser as dn_mod, super_resolution as sr_mod,
+    stereo_separator as st_mod)
+from ml_audio_restoration_tpu.pipeline.streaming import StreamingRestorer
+
+SR = 22050
+
+
+@pytest.fixture(scope="module")
+def stages():
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    return {
+        "denoiser": dn_mod.init(k1),
+        "super_resolution": sr_mod.init(k2),
+        "stereo": st_mod.init(k3),
+    }
+
+
+@pytest.fixture
+def audio(rng):
+    t = np.arange(3 * SR) / SR
+    sig = (0.3 * np.sin(2 * np.pi * 330 * t)
+           + 0.1 * np.sin(2 * np.pi * 1234 * t)
+           + 0.02 * rng.normal(size=t.shape))
+    return sig.astype(np.float32)[None]
+
+
+def _single_shot(stages, audio, with_sr=True, with_stereo=True):
+    x = jnp.asarray(audio.T[None])
+    dn = stages["denoiser"]
+    x, _ = dn_mod.apply(dn[0], dn[1], x)
+    if with_sr:
+        sr = stages["super_resolution"]
+        x, _ = sr_mod.apply(sr[0], sr[1], x)
+    if with_stereo:
+        st = stages["stereo"]
+        x, _ = st_mod.apply(st[0], st[1], x)
+    return np.asarray(x)[0].T  # [ch, T*f]
+
+
+def test_streaming_denoiser_matches_single_shot(stages, audio):
+    want = _single_shot(stages, audio, with_sr=False, with_stereo=False)
+    s = StreamingRestorer(denoiser=stages["denoiser"])
+    outs = [s.feed(b) for b in np.array_split(audio, 6, axis=1)]
+    outs.append(s.flush())
+    got = np.concatenate(outs, axis=1)
+    assert got.shape == want.shape
+    # exact between the stream edges (start/end differ by input-level vs
+    # layer-level zero padding within one receptive field)
+    assert np.max(np.abs(got[:, 2000:-600] - want[:, 2000:-600])) < 1e-5
+
+
+def test_streaming_full_chain_matches_single_shot(stages, audio):
+    want = _single_shot(stages, audio)
+    s = StreamingRestorer(**stages)
+    outs = [s.feed(b) for b in np.array_split(audio, 4, axis=1)]
+    outs.append(s.flush())
+    got = np.concatenate(outs, axis=1)
+    assert got.shape == want.shape  # [2, T*2]
+    # LSTM state is carried exactly; early-edge conv differences decay
+    # through the forgetting gates
+    dev = np.max(np.abs(got[:, 8000:-1200] - want[:, 8000:-1200]))
+    assert dev < 1e-3, dev
+
+
+def test_streaming_irregular_blocks(stages, audio):
+    """Arbitrary block sizes emit the same total output."""
+    s = StreamingRestorer(**stages)
+    cuts = [0, 1111, 5000, 12345, 30000, audio.shape[1]]
+    outs = [s.feed(audio[:, a:b]) for a, b in zip(cuts[:-1], cuts[1:])]
+    outs.append(s.flush())
+    got = np.concatenate(outs, axis=1)
+    assert got.shape == (2, audio.shape[1] * 2)
+    assert np.isfinite(got).all()
+
+
+def test_streaming_latency_is_lookahead(stages):
+    """Output becomes available once `lookahead` future samples exist."""
+    s = StreamingRestorer(denoiser=stages["denoiser"], lookahead=512)
+    first = s.feed(np.zeros((1, 512), np.float32))
+    assert first.shape[1] == 0  # exactly at the lookahead boundary
+    second = s.feed(np.zeros((1, 104), np.float32))
+    assert second.shape[1] == 104  # multiple of the pooling alignment
