@@ -8,6 +8,8 @@ it for an access/refresh token pair, cache tokens to disk, refresh on expiry.
 from __future__ import annotations
 
 import json
+import os
+import secrets
 import threading
 import time
 import urllib.parse
@@ -52,10 +54,14 @@ class FreesoundOAuth:
                 self.tokens = None
 
     def _save_cache(self):
-        self.token_cache.write_text(json.dumps(self.tokens))
+        # Access/refresh tokens are credentials: 0600, never world-readable.
+        fd = os.open(self.token_cache,
+                     os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o600)
+        with os.fdopen(fd, "w") as f:
+            f.write(json.dumps(self.tokens))
 
     # ---------------------------------------------------------------- flow
-    def authorization_url(self, state: str = "xyz") -> str:
+    def authorization_url(self, state: str) -> str:
         params = urllib.parse.urlencode({
             "client_id": self.client_id,
             "response_type": "code",
@@ -65,9 +71,14 @@ class FreesoundOAuth:
         return f"{self.AUTH_URL}?{params}"
 
     def wait_for_code(self, timeout: float = 300.0) -> str:
-        """Run the local callback server until the browser delivers ?code=."""
+        """Run the local callback server until the browser delivers ?code=.
+
+        A per-flow random `state` is sent with the authorization URL and the
+        callback is rejected unless it echoes the same value (login-CSRF /
+        code-injection guard on the local listener)."""
         result: dict = {}
         done = threading.Event()
+        expected_state = self.pending_state = secrets.token_urlsafe(24)
 
         class Handler(BaseHTTPRequestHandler):
             def do_GET(handler):  # noqa: N805
@@ -77,6 +88,12 @@ class FreesoundOAuth:
                     handler.end_headers()
                     return
                 query = urllib.parse.parse_qs(parsed.query)
+                if query.get("state", [None])[0] != expected_state:
+                    # Do not set done: keep waiting for the genuine redirect.
+                    handler.send_response(400)
+                    handler.end_headers()
+                    handler.wfile.write(b"<h1>State mismatch</h1>")
+                    return
                 if "error" in query:
                     result["error"] = query["error"][0]
                     handler.send_response(400)
@@ -100,7 +117,7 @@ class FreesoundOAuth:
         server = HTTPServer(("localhost", self.redirect_port), Handler)
         thread = threading.Thread(target=server.serve_forever, daemon=True)
         thread.start()
-        print(f"visit to authorize:\n  {self.authorization_url()}")
+        print(f"visit to authorize:\n  {self.authorization_url(expected_state)}")
         try:
             if not done.wait(timeout):
                 raise TimeoutError("authorization timeout")

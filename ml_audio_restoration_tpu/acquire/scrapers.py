@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import json
 import re
+import threading
 import time
 import urllib.parse
 import urllib.request
@@ -75,6 +76,13 @@ class BaseScraper:
         self.config = config or ScraperConfig()
         self.fetch = fetch
         self.stats = ScraperStats()
+        # download() runs on run()'s thread pool: counter bumps go through
+        # this lock so ScraperStats stays consistent under concurrency.
+        self._stats_lock = threading.Lock()
+
+    def _bump(self, field: str, n: int = 1):
+        with self._stats_lock:
+            setattr(self.stats, field, getattr(self.stats, field) + n)
 
     # -- override -----------------------------------------------------------
     def search(self) -> List[AudioFile]:
@@ -101,10 +109,12 @@ class BaseScraper:
         return Path(self.config.output_dir) / f"{self.name}_{f.id}_{fname}"
 
     def download(self, f: AudioFile) -> bool:
-        """Streamed download with skip-if-exists (BaseScraper.ts:57-99)."""
+        """Streamed download with skip-if-exists (BaseScraper.ts:57-99).
+        Writes to a .part temp file then renames, so an interrupted download
+        never leaves a truncated file that skip-if-exists would trust."""
         path = self._target_path(f)
         if path.exists():
-            self.stats.skipped += 1
+            self._bump("skipped")
             return False
         path.parent.mkdir(parents=True, exist_ok=True)
         try:
@@ -112,10 +122,10 @@ class BaseScraper:
             tmp = path.with_suffix(path.suffix + ".part")
             tmp.write_bytes(data)
             tmp.rename(path)
-            self.stats.downloaded += 1
+            self._bump("downloaded")
             return True
         except Exception as e:  # noqa: BLE001 — per-file failures are logged
-            self.stats.failed += 1
+            self._bump("failed")
             print(f"download failed: {f.name}: {e}")
             return False
 
@@ -263,19 +273,22 @@ class FreesoundScraper(BaseScraper):
         if self.oauth is None:
             print(f"freesound: OAuth not configured — manual download: "
                   f"https://freesound.org/s/sounds/{f.id}/")
-            self.stats.skipped += 1
+            self._bump("skipped")
             return False
         path = self._target_path(f)
         if path.exists():
-            self.stats.skipped += 1
+            self._bump("skipped")
             return False
         path.parent.mkdir(parents=True, exist_ok=True)
         try:
-            path.write_bytes(self.oauth.fetch(f.download_url))
-            self.stats.downloaded += 1
+            data = self.oauth.fetch(f.download_url)
+            tmp = path.with_suffix(path.suffix + ".part")
+            tmp.write_bytes(data)
+            tmp.rename(path)
+            self._bump("downloaded")
             return True
         except Exception as e:  # noqa: BLE001
-            self.stats.failed += 1
+            self._bump("failed")
             print(f"freesound download failed: {f.name}: {e}")
             return False
 

@@ -234,6 +234,8 @@ class AdaptiveArtifactDataset(ChunkDataset):
                 f"No reference recordings in {reference_degraded_dir}")
         self.analyze_every = analyze_every
         self._counter = 0
+        self._epoch = 0
+        self._hook_used = False
         self.artifact_params = self._analyze_real_artifacts()
 
     def _analyze_real_artifacts(self):
@@ -266,11 +268,22 @@ class AdaptiveArtifactDataset(ChunkDataset):
                                 if len(noise_levels) > 1 else 0.01),
         }
 
-    def __getitem__(self, idx):
-        self._counter += 1
-        if self._counter >= self.analyze_every * len(self):
+    def on_epoch_end(self):
+        """Per-epoch re-analysis hook, matching the reference's epoch-driven
+        schedule (mixed_dataset.py:267-270). The Trainer calls this after
+        every epoch; the item-counter fallback below only fires when the
+        dataset is consumed outside the Trainer."""
+        self._hook_used = True
+        self._epoch += 1
+        if self._epoch % self.analyze_every == 0:
             self.artifact_params = self._analyze_real_artifacts()
-            self._counter = 0
+
+    def __getitem__(self, idx):
+        if not self._hook_used:
+            self._counter += 1
+            if self._counter >= self.analyze_every * len(self):
+                self.artifact_params = self._analyze_real_artifacts()
+                self._counter = 0
 
         p = self.artifact_params
         rate = float(np.clip(self.rng.normal(p["impulse_rate"],

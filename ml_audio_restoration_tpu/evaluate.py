@@ -94,6 +94,10 @@ def evaluate_stereo(pipe: RestorationPipeline, files, sample_rate=22050,
                                                      :int(seconds * sample_rate)]
         if stereo.shape[0] == 1:
             continue
+        # skip mono-duplicated "stereo" (L==R): width/correlation targets
+        # from such files are degenerate and would skew the averages
+        if np.allclose(stereo[0], stereo[1], atol=1e-6):
+            continue
         mono = stereo.mean(axis=0, keepdims=True)
         upmix, _ = pipe.restore(mono, sample_rate)
         upmix = np.asarray(upmix)[:, :stereo.shape[1]]

@@ -48,13 +48,21 @@ def crossfade_window(chunk_size: int, overlap: int, dtype=jnp.float32):
     return jnp.concatenate([ramp, body, ramp[::-1]])
 
 
-def overlap_add(chunks, hop: int, length: int, *, overlap: int = 0):
+def overlap_add(chunks, hop: int, length: int, *, overlap: int = 0,
+                valid=None):
     """Reassemble [N, C, chunk_size] into [C, length] with crossfade.
 
     `overlap` is chunk_size - hop; each chunk is weighted by a trapezoid
     window and the output normalized by the accumulated window sum, so any
     chunk/hop combination (including the reference's hop == chunk_size) is
     exact.
+
+    `valid` (traced scalar, optional): number of REAL chunks — chunks with
+    index >= valid are chunk-count-bucketing padding and get zero crossfade
+    weight in both the output and the normalizer, so the bucketed result is
+    exactly the unbucketed one on the real region (padding chunks see
+    mostly-zero input windows; without masking their model output would be
+    crossfaded at up-to-full weight into the last `overlap` real samples).
 
     TPU note: implemented with reshapes + one shifted add, NOT scatter-add —
     requires overlap <= hop (every output sample touched by at most two
@@ -70,6 +78,10 @@ def overlap_add(chunks, hop: int, length: int, *, overlap: int = 0):
     win = crossfade_window(chunk_size, overlap, chunks.dtype)
     total = (n - 1) * hop + chunk_size
     weighted = chunks * win[None, None, :]
+    mask = None
+    if valid is not None:
+        mask = (jnp.arange(n) < valid).astype(chunks.dtype)[:, None, None]
+        weighted = weighted * mask
 
     if overlap == 0:
         out = weighted.transpose(1, 0, 2).reshape(c, n * chunk_size)
@@ -86,6 +98,8 @@ def overlap_add(chunks, hop: int, length: int, *, overlap: int = 0):
 
     # window-sum normalization (same construction on a constant -> folded)
     ones = jnp.broadcast_to(win[None, None, :], (n, 1, chunk_size))
+    if mask is not None:
+        ones = ones * mask
     nb = ones[:, :, :hop].transpose(1, 0, 2).reshape(1, n * hop)
     nb = jnp.pad(nb, ((0, 0), (0, overlap)))
     nt = jnp.pad(ones[:, :, hop:], ((0, 0), (0, 0), (0, hop - overlap)))

@@ -160,9 +160,11 @@ class RestorationPipeline:
                 lambda ch: overlap_add(ch, sub_hop, t2, overlap=sub_ov))(y)
             return out.transpose(0, 2, 1)  # [N, T2, 2]
 
-        def process(dn, sr, st, audio_padded):
+        def process(dn, sr, st, audio_padded, valid):
             # frame -> stages -> overlap-add, all in ONE XLA program, with
-            # reshape-based framing/reassembly (no gather/scatter HLOs)
+            # reshape-based framing/reassembly (no gather/scatter HLOs).
+            # `valid` = number of real (non-bucketing-padding) chunks; traced
+            # so all chunk counts share one compiled program.
             dn, sr, st = cast(dn), cast(sr), cast(st)
             chunks = frame_structured(audio_padded, n_chunks, chunk_size, hop)
             x = chunks.astype(dtype)  # [N, chunk, C]
@@ -181,7 +183,8 @@ class RestorationPipeline:
                 x = apply_stereo(st, x)
             x = x.astype(jnp.float32).transpose(0, 2, 1)  # [N, C_out, chunk*f]
             total = (n_chunks - 1) * hop + chunk_size
-            return overlap_add(x, hop * f, total * f, overlap=overlap * f)
+            return overlap_add(x, hop * f, total * f, overlap=overlap * f,
+                               valid=valid)
 
         jitted = jax.jit(process)
         self._compiled[key] = jitted
@@ -210,7 +213,7 @@ class RestorationPipeline:
         f = self.upscale_factor
         if cfg.whole_file:
             chunk_size, hop, overlap = t, t, 0
-            n = 1
+            n = n_real = 1
         else:
             chunk_size = int(round(cfg.chunk_seconds * sample_rate))
             overlap = int(round(cfg.overlap_seconds * sample_rate))
@@ -220,7 +223,8 @@ class RestorationPipeline:
                 import math
 
                 gran = math.lcm(4, self.mesh.shape["data"])
-            n = _bucket(num_chunks(t, chunk_size, hop), gran)
+            n_real = num_chunks(t, chunk_size, hop)
+            n = _bucket(n_real, gran)
 
         max_n = max(cfg.max_chunks_per_program, 4)
         if cfg.whole_file or n <= max_n:
@@ -228,16 +232,19 @@ class RestorationPipeline:
             audio_padded = xp.pad(audio, ((0, 0), (0, total - t)))
             proc = self._get_processor(n, chunk_size, hop, overlap)
             out = proc(self.denoiser, self.super_resolution, self.stereo,
-                       audio_padded)  # [out_ch, total*f]
+                       audio_padded, np.int32(n_real))  # [out_ch, total*f]
             return out[:, :t * f], sample_rate * f
 
         # Long recording: process fixed-size slabs of chunks with ONE reused
         # compiled program (bounded HBM), then crossfade slab outputs.
         # Adjacent slabs share exactly `overlap` input samples, so the
         # trapezoid slab crossfade reproduces the single-shot chunk-level
-        # overlap-add exactly.
+        # overlap-add exactly. Slab count comes from the REAL chunk count so
+        # every slab holds at least one real chunk; per-slab `valid` masks
+        # the bucketing padding in the final slab.
         s = max_n
-        num_slabs = -(-n // s)
+        num_slabs = -(-n_real // s)
+        n = num_slabs * s
         slab_len = (s - 1) * hop + chunk_size
         needed = (num_slabs - 1) * s * hop + slab_len
         audio_padded = xp.pad(audio, ((0, 0), (0, needed - t)))
@@ -250,8 +257,9 @@ class RestorationPipeline:
             else:
                 seg = jax.lax.dynamic_slice_in_dim(
                     audio_padded, start, slab_len, axis=1)
+            valid_i = np.int32(min(max(n_real - i * s, 0), s))
             outs.append(proc(self.denoiser, self.super_resolution,
-                             self.stereo, seg))
+                             self.stereo, seg, valid_i))
         stacked = jnp.stack(outs)  # [num_slabs, out_ch, slab_len*f]
         out = overlap_add(stacked, s * hop * f, needed * f,
                           overlap=overlap * f)

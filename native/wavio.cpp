@@ -53,6 +53,9 @@ int ParseHeader(FILE* f, WavHeader* h) {
     uint32_t csize;
     if (fread(cid, 1, 4, f) != 4 || fread(&csize, 4, 1, f) != 1) break;
     if (memcmp(cid, "fmt ", 4) == 0) {
+      // A valid fmt chunk is >= 16 bytes; the scrapers feed this parser
+      // untrusted downloads, so reject truncated chunks before the memcpys.
+      if (csize < 16) return -3;
       std::vector<uint8_t> buf(csize);
       if (fread(buf.data(), 1, csize, f) != csize) return -3;
       uint16_t fmt, channels, bits;

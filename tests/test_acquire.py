@@ -162,13 +162,15 @@ class TestOAuth:
 
     def test_authorization_url(self):
         oauth = FreesoundOAuth("cid", "secret", token_cache="/dev/null")
-        url = oauth.authorization_url()
+        url = oauth.authorization_url("STATE123")
         assert "client_id=cid" in url
         assert "response_type=code" in url
+        assert "state=STATE123" in url
         assert "localhost%3A3000%2Fcallback" in url
 
     def test_callback_server_receives_code(self, tmp_path):
         import threading
+        import urllib.error
         import urllib.request
 
         oauth = FreesoundOAuth("cid", "secret", redirect_port=38741,
@@ -182,13 +184,25 @@ class TestOAuth:
         t.start()
         import time as _t
 
-        for _ in range(50):  # wait for server
+        for _ in range(50):  # wait for server + its per-flow state
             _t.sleep(0.05)
+            state = getattr(oauth, "pending_state", None)
+            if state is None:
+                continue
+            # a forged callback without the right state must be rejected
+            # (login-CSRF guard) and must NOT terminate the wait
             try:
                 urllib.request.urlopen(
-                    "http://localhost:38741/callback?code=ZZZ", timeout=2)
-                break
+                    "http://localhost:38741/callback?code=EVIL&state=wrong",
+                    timeout=2)
+                raise AssertionError("state mismatch not rejected")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
             except OSError:
                 continue
+            urllib.request.urlopen(
+                f"http://localhost:38741/callback?code=ZZZ&state={state}",
+                timeout=2)
+            break
         t.join(timeout=10)
         assert result.get("code") == "ZZZ"

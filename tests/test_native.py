@@ -69,6 +69,24 @@ def test_bad_file_returns_none(tmp_path):
     assert native.read(bad) is None
 
 
+def test_truncated_fmt_chunk_rejected(tmp_path):
+    """A fmt chunk shorter than 16 bytes must be rejected, not read past its
+    end (untrusted scraper downloads hit this parser; round-1 advisory)."""
+    import struct
+
+    bad = tmp_path / "shortfmt.wav"
+    fmt_payload = struct.pack("<HH", 1, 1)  # csize=4: fmt tag + channels only
+    data_payload = b"\x00\x00" * 8
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt_payload)) + fmt_payload
+            + b"data" + struct.pack("<I", len(data_payload)) + data_payload)
+    bad.write_bytes(b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert native.info(bad) is None
+    assert native.read(bad) is None
+    with pytest.raises(Exception):
+        read_wav(bad)  # numpy fallback must reject it too
+
+
 def test_dataset_batch_path_matches_per_item(tmp_path, rng):
     """getitems (native batch) must agree with per-item __getitem__ stats."""
     from ml_audio_restoration_tpu.data import RestorationDataset

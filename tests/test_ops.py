@@ -216,6 +216,25 @@ class TestChunking:
         rec = ops.overlap_add(chunks, 4096, length, overlap=0)
         np.testing.assert_allclose(_np(rec), x, atol=1e-6)
 
+    @pytest.mark.parametrize("overlap", [0, 200])
+    def test_valid_masks_padding_chunks(self, rng, overlap):
+        """Bucketing padding chunks (index >= valid) must contribute zero
+        output AND zero crossfade weight: the result over the real region is
+        bit-equal to overlap-adding only the real chunks. Padding chunks are
+        filled with garbage to prove they are fully masked."""
+        chunk = 1000
+        hop = chunk - overlap
+        n_real, n = 5, 8
+        length = (n_real - 1) * hop + chunk
+        real = rng.normal(size=(n_real, 2, chunk)).astype(np.float32)
+        garbage = 1e6 * rng.normal(size=(n - n_real, 2, chunk)).astype(
+            np.float32)
+        padded = jnp.concatenate([jnp.asarray(real), jnp.asarray(garbage)])
+        want = ops.overlap_add(jnp.asarray(real), hop, length,
+                               overlap=overlap)
+        got = ops.overlap_add(padded, hop, length, overlap=overlap, valid=5)
+        np.testing.assert_array_equal(_np(got), _np(want))
+
 
 class TestFrameStructured:
     @pytest.mark.parametrize("overlap", [0, 512, 1024])

@@ -122,6 +122,36 @@ def test_chunk_count_bucketing_pads_with_zeros(pipeline_stages, rng):
     assert np.max(np.abs(np.asarray(out)[0][mask] - np.asarray(w)[0][mask])) < 1e-4
 
 
+def test_bucketing_exact_including_tail(pipeline_stages, rng):
+    """Bucketed chunked output == overlap-add of ONLY the real chunks,
+    including the final `overlap` samples: padding chunks are weight-masked
+    out of the crossfade (round-1 advisory: they previously crossfaded a
+    mostly-zero-window model output into the tail at up-to-full weight)."""
+    from ml_audio_restoration_tpu.models import denoiser as denoiser_mod
+    from ml_audio_restoration_tpu.ops import overlap_add, frame_structured
+    from ml_audio_restoration_tpu.ops.chunking import num_chunks
+
+    t, chunk, overlap = 4200, 1000, 200
+    hop = chunk - overlap
+    audio = (rng.normal(size=(1, t)) * 0.2).astype(np.float32)
+    pipe = RestorationPipeline(
+        denoiser=pipeline_stages["denoiser"],
+        config=PipelineConfig(chunk_seconds=chunk / 22050,
+                              overlap_seconds=overlap / 22050))
+    got, _ = pipe.restore(audio, 22050)  # 5 real chunks -> bucketed to 8
+
+    n_real = num_chunks(t, chunk, hop)
+    assert n_real == 5
+    total = (n_real - 1) * hop + chunk
+    assert total == t  # no tail padding: any tail deviation = mask bug
+    params, state = pipeline_stages["denoiser"]
+    frames = frame_structured(jnp.asarray(audio), n_real, chunk, hop)
+    y, _ = denoiser_mod.apply(params, state, frames)
+    want = overlap_add(y.transpose(0, 2, 1), hop, total, overlap=overlap)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-6)
+
+
 def test_restore_file_roundtrip(pipeline_stages, tmp_path, rng):
     from ml_audio_restoration_tpu.audio import save_audio, wav_info
 
