@@ -1,6 +1,7 @@
 """Audio I/O, normalization, resampling and analytics."""
 
 from .wav import read_wav, write_wav, wav_info, WavInfo
+from .flac import read_flac, write_flac, flac_info, FlacInfo
 from .io import (
     load_audio,
     load_audio_chunk,
@@ -18,6 +19,10 @@ __all__ = [
     "write_wav",
     "wav_info",
     "WavInfo",
+    "read_flac",
+    "write_flac",
+    "flac_info",
+    "FlacInfo",
     "load_audio",
     "load_audio_chunk",
     "save_audio",

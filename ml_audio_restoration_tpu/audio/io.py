@@ -21,33 +21,35 @@ from pathlib import Path
 import numpy as np
 
 from .wav import read_wav, write_wav, wav_info
+from .flac import read_flac, write_flac, flac_info
 
 AUDIO_EXTENSIONS = (".wav", ".mp3", ".flac", ".ogg")
 
 
 def _read_any(path, start: int = 0, frames: int = -1):
-    """Dispatch on extension. WAV decodes through the C++ codec when built
-    (native/wavio.cpp, bit-identical to the numpy path), else pure numpy;
-    other containers are supported when soundfile happens to be installed."""
+    """Dispatch on extension. WAV and FLAC decode through the C++ codec when
+    built (native/wavio.cpp + flacio.cpp, bit-identical to the numpy/Python
+    paths), else through the pure-Python codecs; mp3/ogg decode through the
+    system codec libraries (audio/codecs.py) when present."""
     path = str(path)
-    if path.lower().endswith(".wav"):
+    low = path.lower()
+    if low.endswith((".wav", ".flac")):
         from . import native
 
         res = native.read(path, start=start, frames=frames)
         if res is not None:
             return res
+        if low.endswith(".flac"):
+            return read_flac(path, start=start, frames=frames)
         return read_wav(path, start=start, frames=frames)
-    try:  # pragma: no cover - optional dependency
-        import soundfile as sf
+    from . import codecs
 
-        data, sr = sf.read(path, start=start,
-                           frames=frames if frames > 0 else -1,
-                           dtype="float32", always_2d=True)
-        return data, sr
-    except ImportError:
-        raise ValueError(
-            f"cannot decode {path!r}: only .wav is supported natively "
-            "(install soundfile for mp3/flac/ogg)")
+    res = codecs.read(path, start=start, frames=frames)
+    if res is not None:
+        return res
+    raise ValueError(
+        f"cannot decode {path!r}: wav/flac are supported natively; mp3/ogg "
+        "need the system libmpg123/libvorbisfile (not found)")
 
 
 def resample(audio: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
@@ -77,13 +79,15 @@ def load_audio_chunk(path, chunk_size: int, rng: np.random.Generator,
                      sample_rate: int = 22050, mono: bool = True):
     """Seek-read one random chunk (reference preprocessing.py:64-87):
     if the file is longer than `chunk_size` frames, decode only a random
-    window; otherwise load + resample the whole file."""
+    window; otherwise load + resample the whole file. WAV seeks are O(1);
+    FLAC seeks ride the SEEKTABLE (or skip-decode) in the codec."""
     p = str(path)
-    if p.lower().endswith(".wav"):
-        info = wav_info(p)
+    low = p.lower()
+    if low.endswith((".wav", ".flac")):
+        info = wav_info(p) if low.endswith(".wav") else flac_info(p)
         if info.frames > chunk_size:
             start = int(rng.integers(0, info.frames - chunk_size + 1))
-            data, _sr = read_wav(p, start=start, frames=chunk_size)
+            data, _sr = _read_any(p, start=start, frames=chunk_size)
             audio = data.T.astype(np.float32)
             if mono and audio.shape[0] > 1:
                 audio = audio.mean(axis=0, keepdims=True)
@@ -94,8 +98,13 @@ def load_audio_chunk(path, chunk_size: int, rng: np.random.Generator,
 
 def save_audio(path, audio: np.ndarray, sample_rate: int = 22050,
                subtype: str = "PCM_16"):
-    """audio: [channels, samples] -> file."""
+    """audio: [channels, samples] -> file (container from extension:
+    .flac -> FLAC, else WAV)."""
     audio = np.asarray(audio, np.float32)
+    if str(path).lower().endswith(".flac"):
+        bits = 24 if subtype == "PCM_24" else 16
+        write_flac(path, audio.T, sample_rate, bits=bits)
+        return
     write_wav(path, audio.T, sample_rate, subtype=subtype)
 
 

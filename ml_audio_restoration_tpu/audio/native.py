@@ -20,13 +20,13 @@ _load_attempted = False
 
 
 def _build() -> bool:
-    src = _NATIVE_DIR / "wavio.cpp"
-    if not src.exists():
+    srcs = [_NATIVE_DIR / "wavio.cpp", _NATIVE_DIR / "flacio.cpp"]
+    if not all(s.exists() for s in srcs):
         return False
     try:
         subprocess.run(
             ["g++", "-O3", "-std=c++17", "-fPIC", "-Wall", "-pthread",
-             "-shared", "-o", str(_LIB_PATH), str(src)],
+             "-shared", "-o", str(_LIB_PATH)] + [str(s) for s in srcs],
             check=True, capture_output=True, timeout=120)
         return _LIB_PATH.exists()
     except (OSError, subprocess.SubprocessError):
@@ -47,6 +47,15 @@ def load_library():
         lib = ctypes.CDLL(str(_LIB_PATH))
     except OSError:
         return None
+    if not hasattr(lib, "wavio_has_flac"):
+        # stale pre-FLAC build: rebuild once and reload
+        del lib
+        if not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(str(_LIB_PATH))
+        except OSError:
+            return None
 
     lib.wavio_info.argtypes = [
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32),

@@ -76,7 +76,7 @@ class _MonoBatchReadMixin:
 
         paths = [self.files[i] for i in indices]
         if not native.available() or not all(
-                str(p).lower().endswith(".wav") for p in paths):
+                str(p).lower().endswith((".wav", ".flac")) for p in paths):
             return [self[i] for i in indices]
         starts = []
         for p in paths:
