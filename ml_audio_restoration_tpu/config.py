@@ -79,6 +79,7 @@ class TrainConfig:
     # loss weights (reference trainer.py:70-79). The last three exist in the
     # reference but are never wired into its loop (trainer.py:121-225);
     # default 0.0 preserves parity, set >0 to enable them.
+    time_weight: float = 1.0
     spectral_weight: float = 0.5
     impulse_weight: float = 0.3
     clustering_weight: float = 0.1
@@ -86,6 +87,8 @@ class TrainConfig:
     balance_weight: float = 0.0
     decorrelation_weight: float = 0.0
     lf_centering_weight: float = 0.0
+    # waveform-fidelity extension (0 = reference parity): -SI-SDR (dB) term
+    si_sdr_weight: float = 0.0
     # numerics: f32 params; bf16 compute is the TPU analogue of AMP
     compute_dtype: str = "float32"
     # data-parallel mesh axis size (1 = single chip)

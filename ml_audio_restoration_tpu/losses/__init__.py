@@ -34,26 +34,41 @@ CONSISTENCY_WEIGHT = 0.05
 
 
 def restoration_loss(output, target, *,
+                     time_weight: float = 1.0,
                      spectral_weight: float = SPECTRAL_WEIGHT,
                      impulse_weight: float = IMPULSE_WEIGHT,
                      clustering_weight: float = CLUSTERING_WEIGHT,
                      consistency_weight: float = CONSISTENCY_WEIGHT,
                      balance_weight: float = 0.0,
                      decorrelation_weight: float = 0.0,
-                     lf_centering_weight: float = 0.0):
+                     lf_centering_weight: float = 0.0,
+                     si_sdr_weight: float = 0.0):
     """The reference Trainer's combined per-batch loss (trainer.py:352-368):
     time MSE + 0.5*multi-scale-spectral, plus impulse loss (mono output) or
     spectral-clustering + temporal-consistency (stereo output). The balance /
     decorrelation / LF-centering terms are defined-but-unwired in the
     reference (trainer.py:121-225) — weight 0 preserves parity.
 
+    time_weight / si_sdr_weight extend the reference design (defaults
+    preserve parity): the reference's log-STFT term dominates time-MSE ~50:1
+    at typical levels, which is phase-blind and lets waveform SNR degrade
+    while spectral metrics improve (docs/RESULTS.md). Raising time_weight
+    and/or penalizing -SI-SDR (scale-invariant, dB-scaled — a direct
+    waveform-fidelity objective) restores time-domain fidelity; the shipped
+    fidelity preset is config/denoiser_fidelity.yaml.
+
     Channel-count dispatch is static under jit (shapes are trace-time).
     Returns (total, components dict).
     """
     time_loss = jnp.mean(jnp.square(output - target))
     spec = multiscale_spectral_loss(output, target)
-    recon = time_loss + spectral_weight * spec
+    recon = time_weight * time_loss + spectral_weight * spec
     parts = {"time": time_loss, "spectral": spec}
+    if si_sdr_weight > 0:
+        # mean -SI-SDR (dB) over batch x channels, time axis=1 on [B, T, C]
+        sdr = jnp.mean(si_sdr(output, target, axis=1))
+        parts["si_sdr_db"] = sdr
+        recon = recon + si_sdr_weight * (-sdr)
     if output.shape[-1] == 1:
         imp = impulse_loss(output, target)
         parts["impulse"] = imp

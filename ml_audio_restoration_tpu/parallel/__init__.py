@@ -1,6 +1,14 @@
 """Mesh construction + sharding for multi-chip training/inference."""
 
-from .distributed import initialize, is_primary, global_device_count
+from .distributed import (
+    initialize,
+    is_primary,
+    global_device_count,
+    process_index,
+    process_count,
+    shard_indices_by_process,
+    local_batch_size,
+)
 from .mesh import (
     make_mesh,
     batch_sharding,
@@ -20,4 +28,8 @@ __all__ = [
     "initialize",
     "is_primary",
     "global_device_count",
+    "process_index",
+    "process_count",
+    "shard_indices_by_process",
+    "local_batch_size",
 ]

@@ -39,14 +39,58 @@ def initialize(coordinator_address: Optional[str] = None,
         raise
 
 
-def is_primary() -> bool:
-    """True on the process that should write checkpoints/logs."""
+def process_index() -> int:
     import jax
 
-    return jax.process_index() == 0
+    return jax.process_index()
+
+
+def process_count() -> int:
+    import jax
+
+    return jax.process_count()
+
+
+def is_primary() -> bool:
+    """True on the process that should write checkpoints/logs."""
+    return process_index() == 0
 
 
 def global_device_count() -> int:
     import jax
 
     return jax.device_count()
+
+
+def shard_indices_by_process(indices, index: Optional[int] = None,
+                             count: Optional[int] = None):
+    """Disjoint per-host slice of a dataset index list for multi-host DP.
+
+    Every host runs the same program on the same permuted index list; this
+    strided slice gives host k indices k, k+P, k+2P, ... so the union over
+    hosts is the full epoch and no two hosts read the same file (the
+    reference is single-process and has no notion of this; SURVEY.md §2.7).
+    The tail is truncated to a common length so all hosts run the same
+    number of steps — collectives would deadlock otherwise.
+    """
+    import numpy as np
+
+    indices = np.asarray(indices)
+    index = process_index() if index is None else index
+    count = process_count() if count is None else count
+    if count <= 1:
+        return indices
+    per_host = len(indices) // count
+    return indices[index::count][:per_host]
+
+
+def local_batch_size(global_batch_size: int,
+                     count: Optional[int] = None) -> int:
+    """Per-host loader batch size for a global batch sharded over all hosts'
+    devices. The config batch size is GLOBAL; each host feeds its slice."""
+    count = process_count() if count is None else count
+    if global_batch_size % count:
+        raise ValueError(
+            f"global batch size {global_batch_size} not divisible by "
+            f"process count {count}")
+    return global_batch_size // count

@@ -49,8 +49,18 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Device-put a pytree of [B, ...] host arrays with batch sharded."""
+    """Device-put a pytree of [B, ...] host arrays with batch sharded.
+
+    Single-host: B is the global batch, device_put scatters it. Multi-host:
+    each process holds only its LOCAL slice of the global batch (the loader
+    is index-sharded per host, parallel/distributed.py), and the global
+    array is assembled process-locally — no host ever materializes the full
+    batch."""
     sharding = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), batch)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch)
 

@@ -22,6 +22,15 @@ Usage:
 
 One compiled step per block size; feed fixed-size blocks for a single
 compilation.
+
+Multi-stream serving: `batch=B` runs B concurrent streams through ONE
+compiled step (the LSTM batch dimension), which is how the per-step
+dispatch+sync latency — the single-stream throughput wall measured in
+docs/PERFORMANCE.md — is amortized: B streams cost one round trip, not B.
+Streams advance in lockstep (same block length per feed, the natural shape
+for a block-clocked serving frontend); outputs are [B, ch, n*f]. Each
+stream's output bit-matches a single-stream restorer fed the same samples
+(tests/test_streaming.py).
 """
 from __future__ import annotations
 
@@ -45,12 +54,15 @@ class StreamingRestorer:
                  super_resolution: Optional[Tuple] = None,
                  stereo: Optional[Tuple] = None,
                  context: int = 1024,
-                 lookahead: int = 512):
+                 lookahead: int = 512,
+                 batch: int = 1):
         """context/lookahead in input-rate samples; both must exceed the conv
-        receptive field (~400 samples for the default models)."""
+        receptive field (~400 samples for the default models). batch = number
+        of concurrent lockstep streams."""
         self.denoiser = denoiser
         self.super_resolution = super_resolution
         self.stereo = stereo
+        self.batch = int(batch)
         # the U-Net pools by 8, so window starts must stay on the pooling
         # grid (the model is shift-variant modulo 8): context and emission
         # lengths are kept multiples of the alignment
@@ -63,7 +75,7 @@ class StreamingRestorer:
         self.reset()
 
     def reset(self):
-        self._in_buffer = np.zeros((1, 0), np.float32)  # unemitted input
+        self._in_buffer = np.zeros((self.batch, 0), np.float32)  # unemitted
         self._warm = 0  # samples of valid history in front of the buffer
         self._fed = 0
         self._emitted = 0
@@ -71,8 +83,8 @@ class StreamingRestorer:
         if self.stereo is not None:
             h_dim = self.stereo[0]["lstm"][0]["w_hh"].shape[0]
             self._lstm_carry = [
-                (jnp.zeros((1, h_dim), jnp.float32),
-                 jnp.zeros((1, h_dim), jnp.float32))
+                (jnp.zeros((self.batch, h_dim), jnp.float32),
+                 jnp.zeros((self.batch, h_dim), jnp.float32))
                 for _ in self.stereo[0]["lstm"]
             ]
         else:
@@ -127,9 +139,13 @@ class StreamingRestorer:
 
     # ---------------------------------------------------------------- api
     def feed(self, block) -> np.ndarray:
-        """Append input samples; return finalized output samples
-        ([out_ch, m*f], possibly m == 0 while the lookahead fills)."""
-        block = np.asarray(block, np.float32).reshape(1, -1)
+        """Append input samples for every stream; return finalized output
+        samples ([out_ch, m*f], or [B, out_ch, m*f] for batch > 1; possibly
+        m == 0 while the lookahead fills)."""
+        block = np.asarray(block, np.float32)
+        if block.ndim == 1:
+            block = block[None]
+        block = block.reshape(self.batch, -1)
         self._fed += block.shape[1]
         self._in_buffer = np.concatenate([self._in_buffer, block], axis=1)
         return self._drain()
@@ -138,12 +154,13 @@ class StreamingRestorer:
         """Zero-pad the lookahead and emit everything still buffered."""
         remaining = self._fed - self._emitted
         aligned = -(-remaining // self._align) * self._align
-        pad = np.zeros((1, self.lookahead + (aligned - remaining)), np.float32)
+        pad = np.zeros((self.batch,
+                        self.lookahead + (aligned - remaining)), np.float32)
         self._in_buffer = np.concatenate([self._in_buffer, pad], axis=1)
         out = self._drain()
         # trim alignment padding from the final output
         excess = (self._emitted - self._fed) * self.f
-        return out[:, :out.shape[1] - excess] if excess > 0 else out
+        return out[..., :out.shape[-1] - excess] if excess > 0 else out
 
     def _drain(self) -> np.ndarray:
         ctx, la = self.context, self.lookahead
@@ -159,7 +176,8 @@ class StreamingRestorer:
             deficit = ctx - min(ctx, self._warm)
             if deficit:
                 window = np.concatenate(
-                    [np.zeros((1, deficit), np.float32), window], axis=1)
+                    [np.zeros((self.batch, deficit), np.float32), window],
+                    axis=1)
             step = self._get_step(ctx, n, la)
             carries = (self._lstm_carry + [self._dec_hist()]
                        if self.stereo is not None else None)
@@ -167,7 +185,7 @@ class StreamingRestorer:
             if self.stereo is not None:
                 self._lstm_carry = carries[:-1]
                 self._dec_hist_buf = carries[-1]
-            outs.append(np.asarray(out[0]).T)  # [out_ch, n*f]
+            outs.append(np.asarray(out).transpose(0, 2, 1))  # [B, ch, n*f]
             self._warm += n
             self._emitted += n
             # drop history we will never need again
@@ -176,12 +194,14 @@ class StreamingRestorer:
             self._warm -= keep_from
         if not outs:
             ch = 2 if self.stereo is not None else 1
-            return np.zeros((ch, 0), np.float32)
-        return np.concatenate(outs, axis=1)
+            full = np.zeros((self.batch, ch, 0), np.float32)
+        else:
+            full = np.concatenate(outs, axis=2)
+        return full[0] if self.batch == 1 else full
 
     def _dec_hist(self):
         if not hasattr(self, "_dec_hist_buf") or self._dec_hist_buf is None:
             h_dim = self.stereo[0]["lstm"][-1]["w_hh"].shape[0]
-            self._dec_hist_buf = jnp.zeros((1, self.context * self.f, h_dim),
-                                           jnp.float32)
+            self._dec_hist_buf = jnp.zeros(
+                (self.batch, self.context * self.f, h_dim), jnp.float32)
         return self._dec_hist_buf

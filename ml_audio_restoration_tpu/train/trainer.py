@@ -47,6 +47,7 @@ from ..losses import (
 from ..ops import interp_linear
 from ..data.artifacts import simulate_batch, simulate_vinyl_artifacts
 from ..parallel import make_mesh, shard_batch, replicate
+from ..parallel import distributed as dist
 from . import checkpoints as ckpt
 from .metrics import MetricsLogger
 
@@ -190,6 +191,8 @@ class Trainer:
             c = self.cfg
             total, parts = restoration_loss(
                 out, targets,
+                time_weight=c.time_weight,
+                si_sdr_weight=c.si_sdr_weight,
                 spectral_weight=c.spectral_weight,
                 impulse_weight=c.impulse_weight,
                 clustering_weight=c.clustering_weight,
@@ -293,6 +296,9 @@ class Trainer:
             val_loss = self.validate(
                 jax.random.fold_in(base_key, 2 * self.epoch + 1))
             self._plateau_step(val_loss)
+            hook = getattr(self.train_loader.dataset, "on_epoch_end", None)
+            if hook is not None:  # AdaptiveArtifactDataset re-analysis
+                hook()
 
             self.history["train_loss"].append(train_loss)
             self.history["val_loss"].append(val_loss)
@@ -354,6 +360,11 @@ class Trainer:
 
     # --------------------------------------------------------- checkpoints
     def save_checkpoint(self, filename: str, async_: bool = False):
+        # multi-host: params/opt state are replicated, so only rank 0 writes
+        # (every process writing the same path on shared storage is the
+        # corruption race the reference never had to think about)
+        if not dist.is_primary():
+            return
         path = self.checkpoint_dir / filename
         payload = {
             "params": self.state["params"],
@@ -522,11 +533,19 @@ def train_from_config(cfg: Config, steps_per_epoch: Optional[int] = None,
     tr_idx, va_idx = train_val_split(dataset, d.val_split, cfg.train.seed)
     if steps_per_epoch:
         tr_idx = tr_idx[:steps_per_epoch * cfg.train.batch_size]
-    train_loader = DataLoader(dataset, cfg.train.batch_size, indices=tr_idx,
-                              seed=cfg.train.seed)
-    val_loader = (DataLoader(dataset, cfg.train.batch_size, indices=va_idx,
+    # Multi-host DP: each host loads a disjoint stride of the train indices
+    # and feeds its local slice of the GLOBAL batch (config batch size is
+    # global). Validation is deliberately NOT sharded: every host evaluates
+    # the identical full val set, so val_loss — which drives the host-side
+    # plateau scheduler — is bit-identical across hosts and the learning
+    # rates cannot diverge. Val sets here are small; correctness over speed.
+    tr_idx = dist.shard_indices_by_process(tr_idx)
+    batch_size = dist.local_batch_size(cfg.train.batch_size)
+    train_loader = DataLoader(dataset, batch_size, indices=tr_idx,
+                              seed=cfg.train.seed + dist.process_index())
+    val_loader = (DataLoader(dataset, batch_size, indices=va_idx,
                              shuffle=False, seed=cfg.train.seed)
-                  if len(va_idx) >= cfg.train.batch_size else None)
+                  if len(va_idx) >= batch_size else None)
 
     module = MODEL_MODULES[name]
     if name == "denoiser":
@@ -534,7 +553,10 @@ def train_from_config(cfg: Config, steps_per_epoch: Optional[int] = None,
     params, state = module.init(jax.random.PRNGKey(cfg.train.seed),
                                 **model_kwargs)
 
-    logger = MetricsLogger(Path(cfg.train.log_dir) / name, name)
+    # rank 0 is the only writer of metrics/test renders (checkpoint writes
+    # are gated inside Trainer.save_checkpoint itself)
+    logger = (MetricsLogger(Path(cfg.train.log_dir) / name, name)
+              if dist.is_primary() else None)
     trainer = Trainer(name, params, state, train_loader, val_loader,
                       config=cfg.train, artifact_config=d.artifacts,
                       sample_rate=d.sample_rate, logger=logger)
@@ -542,7 +564,7 @@ def train_from_config(cfg: Config, steps_per_epoch: Optional[int] = None,
     trainer.maybe_resume()
 
     test_fn = None
-    if cfg.train.test_audio_dir:
+    if cfg.train.test_audio_dir and dist.is_primary():
         out_dir = cfg.train.test_output_dir or f"outputs/{name}_tests"
         test_fn = partial(render_test_outputs,
                           test_audio_dir=cfg.train.test_audio_dir,

@@ -89,3 +89,29 @@ def test_streaming_latency_is_lookahead(stages):
     assert first.shape[1] == 0  # exactly at the lookahead boundary
     second = s.feed(np.zeros((1, 104), np.float32))
     assert second.shape[1] == 104  # multiple of the pooling alignment
+
+
+def test_batched_streams_match_independent_single_streams(stages, rng):
+    """B concurrent streams through one compiled step (batch=B) must
+    bit-match B independent single-stream restorers fed the same samples."""
+    B, n_blocks, block = 3, 5, 2000
+    streams = np.stack([
+        (0.3 * np.sin(2 * np.pi * (200 + 150 * b)
+                      * np.arange(n_blocks * block) / SR)
+         + 0.02 * rng.normal(size=n_blocks * block)).astype(np.float32)
+        for b in range(B)])
+
+    batched = StreamingRestorer(**stages, batch=B)
+    outs = [batched.feed(streams[:, i * block:(i + 1) * block])
+            for i in range(n_blocks)]
+    outs.append(batched.flush())
+    got = np.concatenate(outs, axis=2)  # [B, 2, T*2]
+    assert got.shape == (B, 2, n_blocks * block * 2)
+
+    for b in range(B):
+        single = StreamingRestorer(**stages)
+        souts = [single.feed(streams[b, i * block:(i + 1) * block])
+                 for i in range(n_blocks)]
+        souts.append(single.flush())
+        want = np.concatenate(souts, axis=1)  # [2, T*2]
+        assert np.max(np.abs(got[b] - want)) < 1e-6, b

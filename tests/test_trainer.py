@@ -211,3 +211,100 @@ def test_bf16_compute_training_step():
     # params stay f32
     leaf = jax.tree_util.tree_leaves(tr.state["params"])[0]
     assert leaf.dtype == jnp.float32
+
+
+# ------------------------------------------------------------- multi-host
+# Multi-host correctness is simulated by injecting process index/count:
+# the real jax.distributed path differs only in where those numbers come
+# from (parallel/distributed.py wrappers).
+
+def test_process_index_sharding_disjoint_and_complete():
+    from ml_audio_restoration_tpu.parallel import shard_indices_by_process
+
+    idx = np.random.default_rng(0).permutation(101)
+    shards = [shard_indices_by_process(idx, index=k, count=4)
+              for k in range(4)]
+    # equal step counts on every host (no collective deadlock)
+    assert len({len(s) for s in shards}) == 1
+    assert len(shards[0]) == 101 // 4
+    flat = np.concatenate(shards)
+    # disjoint: no file is read by two hosts
+    assert len(np.unique(flat)) == len(flat)
+    assert set(flat) <= set(idx)
+
+
+def test_local_batch_size():
+    from ml_audio_restoration_tpu.parallel import local_batch_size
+
+    assert local_batch_size(16, count=4) == 4
+    assert local_batch_size(16, count=1) == 16
+    with pytest.raises(ValueError):
+        local_batch_size(10, count=4)
+
+
+def test_only_primary_writes_checkpoints(tmp_path, monkeypatch):
+    """Simulated rank 1 must not write checkpoints; rank 0 must."""
+    from ml_audio_restoration_tpu.parallel import distributed as dist_mod
+
+    tr = _make_trainer("denoiser", denoiser, ToyDataset(n=4))
+    tr.checkpoint_dir = tmp_path
+    tr.train_epoch(jax.random.PRNGKey(0))
+
+    monkeypatch.setattr(dist_mod, "process_index", lambda: 1)
+    tr.save_checkpoint("best_model.msgpack")
+    assert not (tmp_path / "best_model.msgpack").exists()
+
+    monkeypatch.setattr(dist_mod, "process_index", lambda: 0)
+    tr.save_checkpoint("best_model.msgpack")
+    assert (tmp_path / "best_model.msgpack").exists()
+
+
+def test_train_from_config_shards_loader_and_gates_writers(
+        tmp_path, monkeypatch):
+    """Two simulated hosts: disjoint train file indices, identical val
+    indices (val drives the plateau scheduler host-side — it must be
+    bit-identical across hosts), and only rank 0 constructs a logger."""
+    from ml_audio_restoration_tpu.audio import save_audio
+    from ml_audio_restoration_tpu.config import load_config
+    from ml_audio_restoration_tpu.parallel import distributed as dist_mod
+    import ml_audio_restoration_tpu.train.trainer as trainer_mod
+
+    data_dir = tmp_path / "raw"
+    data_dir.mkdir()
+    for i in range(40):  # val split 0.1 -> 4 val files >= local batch 2
+        save_audio(data_dir / f"f{i}.wav", _sine(i, CHUNK), SR)
+
+    seen = {}
+
+    real_init = trainer_mod.Trainer.__init__
+
+    def capture_init(self, *a, **kw):
+        real_init(self, *a, **kw)
+        rank = dist_mod.process_index()
+        seen[rank] = {
+            "train_idx": set(self.train_loader.indices.tolist()),
+            "val_idx": (None if self.val_loader is None
+                        else tuple(self.val_loader.indices.tolist())),
+            "batch": self.train_loader.batch_size,
+            "logger": self.logger is not None,
+        }
+        raise RuntimeError("stop-before-train")  # config path only
+
+    monkeypatch.setattr(trainer_mod.Trainer, "__init__", capture_init)
+    cfg = load_config(None, {
+        "train": {"model": "denoiser", "batch_size": 4, "num_epochs": 1,
+                  "checkpoint_dir": str(tmp_path / "ck"),
+                  "log_dir": str(tmp_path / "runs")},
+        "data": {"data_dir": str(data_dir), "chunk_duration": CHUNK / SR},
+    })
+    for rank in (0, 1):
+        monkeypatch.setattr(dist_mod, "process_index", lambda r=rank: r)
+        monkeypatch.setattr(dist_mod, "process_count", lambda: 2)
+        with pytest.raises(RuntimeError, match="stop-before-train"):
+            trainer_mod.train_from_config(cfg)
+
+    assert seen[0]["train_idx"].isdisjoint(seen[1]["train_idx"])
+    assert len(seen[0]["train_idx"]) == len(seen[1]["train_idx"])
+    assert seen[0]["val_idx"] == seen[1]["val_idx"]
+    assert seen[0]["batch"] == seen[1]["batch"] == 2  # 4 global / 2 hosts
+    assert seen[0]["logger"] and not seen[1]["logger"]
