@@ -43,6 +43,7 @@ def _sync(out):
 
 
 def _time_pipeline(pipe, audio, sr, *, warmup: int = 1, iters: int = 3):
+    """Returns the list of per-iteration wall times (caller picks min/median)."""
     for _ in range(warmup):
         out, _ = pipe.restore(audio, sr)
         _sync(out)
@@ -52,40 +53,52 @@ def _time_pipeline(pipe, audio, sr, *, warmup: int = 1, iters: int = 3):
         out, _ = pipe.restore(audio, sr)
         _sync(out)
         times.append(time.perf_counter() - start)
-    return min(times)
+    return times
 
 
-def _train_throughput(batch: int = 2, chunk_s: float = 2.0,
-                      steps: int = 8) -> float:
-    """Steady-state denoiser training throughput (audio-seconds/second):
-    jitted degrade+forward+loss+backward+Adam per step."""
+_TRAIN_BENCH = {
+    # model -> (pairing, batch key, channels, chunk seconds at model rate)
+    "denoiser": ("degrade", "clean", 1, 22050),
+    "super_resolution": ("downsample", "high", 1, 44100),
+    "stereo_separator": ("mono_target_stereo", "stereo", 2, 22050),
+}
+
+
+def _train_throughput(model_name: str = "denoiser", batch: int = 2,
+                      chunk_s: float = 2.0, steps: int = 8) -> float:
+    """Steady-state training throughput (audio-seconds/second) for one model
+    family: jitted derive(+degrade)+forward+loss+backward+Adam per step."""
     import jax
 
     from ml_audio_restoration_tpu.config import TrainConfig, ArtifactConfig
     from ml_audio_restoration_tpu.data.loader import DataLoader
-    from ml_audio_restoration_tpu.models import denoiser
+    from ml_audio_restoration_tpu.models import (
+        denoiser, super_resolution, stereo_separator)
     from ml_audio_restoration_tpu.train.trainer import Trainer
 
-    sr = 22050
+    module = {"denoiser": denoiser, "super_resolution": super_resolution,
+              "stereo_separator": stereo_separator}[model_name]
+    pairing, key_name, ch, sr = _TRAIN_BENCH[model_name]
     chunk = int(chunk_s * sr)
 
     class Toy:
-        pairing = "degrade"
-
         def __len__(self):
             return batch * (steps + 2)
 
         def __getitem__(self, i):
             t = np.arange(chunk) / sr
-            return {"clean": (0.3 * np.sin(
-                2 * np.pi * (200 + 7 * i) * t)).astype(np.float32)[None]}
+            x = (0.3 * np.sin(2 * np.pi * (200 + 7 * i) * t)).astype(
+                np.float32)
+            return {key_name: np.stack([x * (1.0 if c == 0 else 0.6)
+                                        for c in range(ch)])}
 
-    params, state = denoiser.init(jax.random.PRNGKey(0))
+    Toy.pairing = pairing
+    params, state = module.init(jax.random.PRNGKey(0))
     trainer = Trainer(
-        "denoiser", params, state,
+        model_name, params, state,
         DataLoader(Toy(), batch, num_workers=1, shuffle=False),
-        config=TrainConfig(model="denoiser"),
-        artifact_config=ArtifactConfig())
+        config=TrainConfig(model=model_name),
+        artifact_config=ArtifactConfig(), sample_rate=sr)
 
     batches = list(trainer.train_loader)
     key = jax.random.PRNGKey(1)
@@ -100,6 +113,39 @@ def _train_throughput(batch: int = 2, chunk_s: float = 2.0,
     float(m["loss"])  # sync
     wall = time.perf_counter() - start
     return round(steps * batch * chunk_s / wall, 1)
+
+
+def _streaming_throughput(stages, batch: int = 16, block_s: float = 1.0,
+                          blocks: int = 6) -> dict:
+    """Batched live-stream serving: B concurrent streams fed 1-s blocks
+    through one compiled step. Reports wall per block and how many realtime
+    streams that supports (extrapolated from measured throughput, floored at
+    the measured batch when a block finishes inside its deadline)."""
+    from ml_audio_restoration_tpu.pipeline.streaming import StreamingRestorer
+
+    sr = 22050
+    # keep blocks on the U-Net's 8-sample pooling grid so the steady state
+    # reuses ONE compiled step (emission sizes stay fixed)
+    n = (int(block_s * sr) // 8) * 8
+    block_s = n / sr
+    rng = np.random.default_rng(0)
+    s = StreamingRestorer(denoiser=stages["denoiser"],
+                          super_resolution=stages["super_resolution"],
+                          stereo=stages["stereo"], batch=batch)
+    feed = lambda: s.feed(rng.normal(size=(batch, n)).astype(np.float32) * 0.1)
+    _sync(feed())  # compile (includes the short first-drain variant)
+    _sync(feed())
+    start = time.perf_counter()
+    for _ in range(blocks):
+        out = feed()
+    _sync(out)
+    per_block = (time.perf_counter() - start) / blocks
+    streams = int(batch * block_s / per_block)
+    return {
+        "streaming_batch": batch,
+        "streaming_block_wall_s": round(per_block, 4),
+        "streaming_streams_at_realtime": streams,
+    }
 
 
 def main():
@@ -132,7 +178,8 @@ def main():
     extra = {"device": str(jax.devices()[0]), "audio_seconds": seconds}
 
     full = RestorationPipeline(**stages, config=cfg)
-    wall = _time_pipeline(full, audio, sr, warmup=2, iters=5)
+    times1 = _time_pipeline(full, audio, sr, warmup=2, iters=5)
+    wall = min(times1)
     xrt = seconds / wall
     extra["full_pipeline_wall_s"] = round(wall, 4)
 
@@ -145,7 +192,7 @@ def main():
             extra["skipped"] = "sub-benches (time budget)"
             break
         pipe = RestorationPipeline(**kwargs, config=cfg)
-        w = _time_pipeline(pipe, audio, sr, warmup=1, iters=2)
+        w = min(_time_pipeline(pipe, audio, sr, warmup=1, iters=2))
         extra[f"{name}_xrt"] = round(seconds / w, 1)
 
     # bf16 serving mode: measured max deviation vs f32 is ~1.5e-4 end-to-end,
@@ -157,7 +204,7 @@ def main():
     if not over_budget():
         bf16_cfg = dataclasses.replace(cfg, compute_dtype="bfloat16")
         bf16 = RestorationPipeline(**stages, config=bf16_cfg)
-        w16 = _time_pipeline(bf16, audio, sr, warmup=1, iters=4)
+        w16 = min(_time_pipeline(bf16, audio, sr, warmup=1, iters=4))
         extra["bf16_full_pipeline_xrt"] = round(seconds / w16, 1)
         out32, _ = full.restore(audio, sr)
         out16, _ = bf16.restore(audio, sr)
@@ -169,20 +216,38 @@ def main():
     if not over_budget():
         fast_cfg = dataclasses.replace(cfg, stereo_chunk_seconds=0.5)
         fast = RestorationPipeline(**stages, config=fast_cfg)
-        wf = _time_pipeline(fast, audio, sr, warmup=1, iters=2)
+        wf = min(_time_pipeline(fast, audio, sr, warmup=1, iters=2))
         extra["stereo_subchunk_xrt"] = round(seconds / wf, 1)
 
-    # training throughput (BASELINE config 5: denoiser, batch 2, 2-s chunks,
-    # combined time-MSE + spectral loss; on-device degradation included)
+    # training throughput, all three families (BASELINE config 5 is the
+    # denoiser one: batch 2, 2-s chunks, combined time-MSE + spectral loss;
+    # on-device degradation included for the denoiser)
+    for fam, tag in [("denoiser", "train_denoiser_audio_sec_per_sec"),
+                     ("super_resolution", "train_sr_audio_sec_per_sec"),
+                     ("stereo_separator", "train_stereo_audio_sec_per_sec")]:
+        if over_budget():
+            break
+        extra[tag] = _train_throughput(fam)
+
+    # concurrent-stream serving: B live streams batched through one compiled
+    # streaming step (pipeline/streaming.py); streams_at_realtime is the
+    # measured-block extrapolation, capped at the measured batch
     if not over_budget():
-        extra["train_denoiser_audio_sec_per_sec"] = _train_throughput()
+        extra.update(_streaming_throughput(stages))
 
     # re-measure at the end: the shared dev relay drifts by >50% between
     # minutes, so the headline is the best parity-satisfying configuration
-    # across windows (bf16 qualifies while its deviation stays <=1e-3)
-    wall2 = _time_pipeline(full, audio, sr, warmup=1, iters=5)
+    # across windows (bf16 qualifies while its deviation stays <=1e-3);
+    # the median across both windows is also reported so round-over-round
+    # deltas can be attributed to code, not relay weather
+    times2 = _time_pipeline(full, audio, sr, warmup=1, iters=5)
+    wall2 = min(times2)
+    import statistics
+
     extra["full_pipeline_wall_s_second_window"] = round(wall2, 4)
     extra["f32_full_pipeline_xrt"] = round(seconds / min(wall, wall2), 2)
+    extra["f32_full_pipeline_xrt_median"] = round(
+        seconds / statistics.median(times1 + times2), 2)
     candidates = [min(wall, wall2)]
     if bf16_dev <= 1e-3:
         candidates.append(w16)

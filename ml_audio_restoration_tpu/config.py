@@ -89,6 +89,9 @@ class TrainConfig:
     lf_centering_weight: float = 0.0
     # waveform-fidelity extension (0 = reference parity): -SI-SDR (dB) term
     si_sdr_weight: float = 0.0
+    # contrastive loss over mixed-dataset pairs (reference stubs this with a
+    # TODO, semi_supervised.py:200-203; 0 = parity with the stub)
+    contrastive_weight: float = 0.0
     # numerics: f32 params; bf16 compute is the TPU analogue of AMP
     compute_dtype: str = "float32"
     # data-parallel mesh axis size (1 = single chip)

@@ -87,6 +87,24 @@ def detect_impulses(x):
     return jnp.clip(score, 0.0, 1.0)
 
 
+def encode(params, state, x, train: bool = False,
+           axis_name: str | None = None):
+    """Encoder + bottleneck only: [B, T, in_ch] -> [B, T/8, 256] features.
+
+    Used as the representation for the contrastive objective
+    (losses/semi_supervised.py::contrastive_loss): the bottleneck carries
+    the degradation-type information the masks act on. Runs with the given
+    BN mode but never returns updated state — feature extraction is an
+    auxiliary read of the network."""
+    h = x
+    for p, s in zip(params["encoder"], state["encoder"]):
+        h, _ = double_conv_block_apply(p, s, h, train, axis_name)
+        h = max_pool1d(h)
+    h, _ = double_conv_block_apply(
+        params["bottleneck"], state["bottleneck"], h, train, axis_name)
+    return h
+
+
 def apply(params, state, x, train: bool = False,
           axis_name: str | None = None):
     """x: [B, T, in_ch] -> ([B, T, out_ch], new_state)."""

@@ -1,0 +1,153 @@
+"""Pipeline-parallel (staged) serving: one model stage per device.
+
+SURVEY.md §2.7 row 3: the reference's three-model chain is strictly
+sequential on one GPU (/root/reference/src/inference.py:59-95). The default
+TPU-native scale-out in this framework is DATA parallelism — chunks are
+embarrassingly parallel, so `RestorationPipeline(mesh=...)` shards the chunk
+batch and that is almost always the right tool. Staging the models across
+devices (denoiser -> dev0, super-res -> dev1, stereo -> dev2) only pays in
+the regime where the chunk batch is too small to shard — e.g. low-latency
+serving of short clips arriving one at a time — because it keeps per-stage
+batch intact while overlapping stage k of slab i with stage k-1 of slab i+1.
+
+Implementation: each stage is its own jitted program whose parameters are
+committed to its device; slab activations hop devices with `jax.device_put`
+(ICI transfers on a real pod). JAX's async dispatch provides the overlap —
+when slab i+1's denoise is enqueued on dev0, dev1 can still be running slab
+i's super-res; no scheduler thread is needed.
+
+Output contract: bit-identical to `RestorationPipeline.restore` for the
+same config (the framing/overlap-add math is shared; tests assert equality).
+
+Measured result (docs/PERFORMANCE.md "Pipeline-parallel serving"): for
+batch/throughput serving, data-parallel chunk sharding dominates — staged
+mode is kept for the small-batch latency niche and as the §2.7 capability.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import PipelineConfig
+from ..models import denoiser as denoiser_mod
+from ..models import super_resolution as sr_mod
+from ..models import stereo_separator as stereo_mod
+from ..ops import overlap_add, frame_structured
+from ..ops.chunking import num_chunks
+
+
+class StagedRestorationPipeline:
+    """denoise | super-res | stereo staged across three devices."""
+
+    def __init__(self,
+                 denoiser: Optional[Tuple] = None,
+                 super_resolution: Optional[Tuple] = None,
+                 stereo: Optional[Tuple] = None,
+                 config: Optional[PipelineConfig] = None,
+                 devices=None):
+        self.config = config or PipelineConfig()
+        devices = list(devices if devices is not None else jax.devices())
+        stages = [s for s in
+                  (("denoiser", denoiser),
+                   ("super_resolution",
+                    super_resolution if self.config.enable_super_resolution
+                    else None),
+                   ("stereo", stereo)) if s[1] is not None]
+        if not stages:
+            raise ValueError("no stages")
+        # one device per stage, reusing devices round-robin if fewer exist
+        self.placement = {}
+        self.stage_params = {}
+        for i, (name, tree) in enumerate(stages):
+            dev = devices[i % len(devices)]
+            self.placement[name] = dev
+            self.stage_params[name] = jax.device_put(tree, dev)
+        self._order = [name for name, _ in stages]
+        self._compiled = {}
+
+    @property
+    def upscale_factor(self) -> int:
+        if "super_resolution" not in self.stage_params:
+            return 1
+        return 2 ** len(self.stage_params["super_resolution"][0]["upsample"])
+
+    @property
+    def out_channels(self) -> int:
+        return 2 if "stereo" in self.stage_params else 1
+
+    def _stage_fn(self, name):
+        key = ("stage", name)
+        if key not in self._compiled:
+            mod = {"denoiser": denoiser_mod, "super_resolution": sr_mod,
+                   "stereo": stereo_mod}[name]
+            self._compiled[key] = jax.jit(
+                lambda tree, x: mod.apply(tree[0], tree[1], x)[0])
+        return self._compiled[key]
+
+    def _frame_fn(self, n, chunk, hop):
+        key = ("frame", n, chunk, hop)
+        if key not in self._compiled:
+            self._compiled[key] = jax.jit(
+                lambda a: frame_structured(a, n, chunk, hop))
+        return self._compiled[key]
+
+    def _oa_fn(self, hop_f, total_f, ov_f):
+        key = ("oa", hop_f, total_f, ov_f)
+        if key not in self._compiled:
+            self._compiled[key] = jax.jit(
+                lambda x, valid: overlap_add(
+                    jnp.transpose(x, (0, 2, 1)), hop_f, total_f,
+                    overlap=ov_f, valid=valid))
+        return self._compiled[key]
+
+    def restore(self, audio, sample_rate: Optional[int] = None):
+        """audio: [C, T] -> ([out_ch, T*f], out_rate). Slabs of chunks flow
+        through the device stages; async dispatch overlaps the stages."""
+        cfg = self.config
+        sample_rate = sample_rate or cfg.sample_rate
+        audio = np.asarray(audio, np.float32)
+        if audio.ndim == 1:
+            audio = audio[None]
+        if audio.shape[0] > 1:
+            audio = audio.mean(axis=0, keepdims=True)
+
+        t = audio.shape[1]
+        f = self.upscale_factor
+        chunk = int(round(cfg.chunk_seconds * sample_rate))
+        ov = int(round(cfg.overlap_seconds * sample_rate))
+        hop = chunk - ov
+        n_real = num_chunks(t, chunk, hop)
+        s = min(max(cfg.max_chunks_per_program, 4), max(n_real, 4))
+        num_slabs = -(-n_real // s)
+        slab_len = (s - 1) * hop + chunk
+        needed = (num_slabs - 1) * s * hop + slab_len
+        padded = np.pad(audio, ((0, 0), (0, needed - t)))
+
+        first_dev = self.placement[self._order[0]]
+        last_dev = self.placement[self._order[-1]]
+        frame = self._frame_fn(s, chunk, hop)
+        oa = self._oa_fn(hop * f, ((s - 1) * hop + chunk) * f, ov * f)
+
+        slab_outs = []
+        for i in range(num_slabs):
+            seg = padded[:, i * s * hop:i * s * hop + slab_len]
+            x = jax.device_put(jnp.asarray(seg), first_dev)
+            x = frame(x)  # [s, chunk, 1] on first device
+            for name in self._order:
+                dev = self.placement[name]
+                x = jax.device_put(x, dev)  # ICI hop (no-op if same device)
+                x = self._stage_fn(name)(self.stage_params[name], x)
+            valid_i = np.int32(min(max(n_real - i * s, 0), s))
+            # per-slab overlap-add on the last stage's device
+            slab_outs.append(oa(x, jax.device_put(valid_i, last_dev)))
+
+        if num_slabs == 1:
+            out = slab_outs[0]
+        else:
+            stacked = jnp.stack(slab_outs)  # [num_slabs, C_out, slab*f]
+            out = overlap_add(stacked, s * hop * f, needed * f,
+                              overlap=ov * f)
+        return out[:, :t * f], sample_rate * f

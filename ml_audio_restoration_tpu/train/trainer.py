@@ -42,6 +42,7 @@ from ..models import denoiser, super_resolution, stereo_separator, count_params
 from ..losses import (
     restoration_loss,
     semi_supervised_loss,
+    contrastive_loss,
     stereo_metrics,
 )
 from ..ops import interp_linear
@@ -175,18 +176,44 @@ class Trainer:
             model_state, inputs.astype(dtype), train=train)
         out = out.astype(jnp.float32)
         if self.pairing == "mixed":
+            k_cycle, k_pair = jax.random.split(key)
+
             def model_fn(x):
                 y, _ = self.module.apply(params, model_state, x, train=False)
                 return y
 
             def redegrade(x):
-                deg = simulate_batch(key, jnp.transpose(x, (0, 2, 1)),
+                deg = simulate_batch(k_cycle, jnp.transpose(x, (0, 2, 1)),
                                      self.sample_rate, self.artifact_cfg)
                 return jnp.transpose(deg, (0, 2, 1))
 
             total, parts = semi_supervised_loss(
                 out, inputs, targets, batch["is_synthetic"],
                 model_fn=model_fn, redegrade_fn=redegrade)
+            if (self.cfg.contrastive_weight > 0
+                    and "contrastive_pair" in batch):
+                # Opposite-type pair per item (data/datasets.py:200-213;
+                # reference pairs: mixed_dataset.py:143-157, loss stub:
+                # semi_supervised.py:85-108 wired as TODO at :200-203).
+                # Synthetic-type pair audio arrives CLEAN and is degraded
+                # on-device, mirroring how the main input was derived.
+                pair = batch["contrastive_pair"]  # [B, 1, T]
+                pair_syn = batch["contrastive_pair_is_synthetic"]
+                degraded = simulate_batch(k_pair, pair, self.sample_rate,
+                                          self.artifact_cfg)
+                pair_in = _nwc(jnp.where(pair_syn[:, None, None] > 0,
+                                         degraded, pair))
+                # embeddings: time-pooled bottleneck features of the two
+                # same-network inputs
+                emb_a = jnp.mean(self.module.encode(
+                    params, model_state, inputs), axis=1)
+                emb_b = jnp.mean(self.module.encode(
+                    params, model_state, pair_in), axis=1)
+                contr = contrastive_loss(emb_a, emb_b,
+                                         batch["contrastive_label"])
+                parts["contrastive"] = contr
+                total = total + self.cfg.contrastive_weight * contr
+                parts["total"] = total
         else:
             c = self.cfg
             total, parts = restoration_loss(

@@ -243,3 +243,33 @@ def test_slab_processing_matches_single_shot(pipeline_stages, rng):
     b, _ = slabbed.restore(audio, 22050)
     assert np.asarray(b).shape == np.asarray(a).shape
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
+
+def test_staged_pipeline_matches_single_device(pipeline_stages):
+    """Pipeline-parallel serving (one stage per device, slabs streamed
+    through with device hops) must produce the single-device pipeline's
+    output, with each stage resident on its own device."""
+    import jax
+    from ml_audio_restoration_tpu.pipeline import StagedRestorationPipeline
+
+    cfg = PipelineConfig(chunk_seconds=0.25, overlap_seconds=0.02,
+                         max_chunks_per_program=8)
+    rng = np.random.default_rng(3)
+    t = np.arange(int(5.3 * 22050)) / 22050
+    audio = (0.3 * np.sin(2 * np.pi * 347 * t)
+             + 0.02 * rng.normal(size=t.shape)).astype(np.float32)[None]
+
+    plain = RestorationPipeline(**pipeline_stages, config=cfg)
+    want, rate_w = plain.restore(audio, 22050)
+
+    staged = StagedRestorationPipeline(**pipeline_stages, config=cfg)
+    got, rate_g = staged.restore(audio, 22050)
+
+    assert rate_g == rate_w
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-6)
+    # three stages on three DIFFERENT devices
+    devs = {name: next(iter(jax.tree_util.tree_leaves(tree)[0].devices()))
+            for name, tree in staged.stage_params.items()}
+    assert len(set(devs.values())) == 3

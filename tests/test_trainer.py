@@ -308,3 +308,45 @@ def test_train_from_config_shards_loader_and_gates_writers(
     assert seen[0]["val_idx"] == seen[1]["val_idx"]
     assert seen[0]["batch"] == seen[1]["batch"] == 2  # 4 global / 2 hosts
     assert seen[0]["logger"] and not seen[1]["logger"]
+
+
+def test_contrastive_path_trains(tmp_path):
+    """Nonzero contrastive weight consumes the dataset's contrastive pairs
+    (a capability the reference leaves as a TODO stub,
+    semi_supervised.py:85-108,200-203) and trains finitely."""
+    from ml_audio_restoration_tpu.parallel import shard_batch
+
+    class ContrastiveToy(ToyDataset):
+        pairing = "mixed"
+
+        def __getitem__(self, i):
+            syn = 1.0 if i % 2 == 0 else 0.0
+            return {"audio": _sine(i),
+                    "is_synthetic": np.float32(syn),
+                    "contrastive_pair": _sine(i + 17),
+                    "contrastive_pair_is_synthetic": np.float32(1.0 - syn),
+                    "contrastive_label": np.float32(0.0)}
+
+    ds = ContrastiveToy(n=8)
+    params, state = denoiser.init(jax.random.PRNGKey(0))
+    loader = DataLoader(ds, batch_size=4, num_workers=1, seed=0)
+    cfg = TrainConfig(model="denoiser", learning_rate=1e-3,
+                      contrastive_weight=0.1)
+    tr = Trainer("denoiser", params, state, loader, None, config=cfg,
+                 artifact_config=_quiet_artifacts())
+
+    batch = shard_batch(tr.mesh, next(iter(loader)))
+    tr.state, metrics = tr._train_step(tr.state, batch,
+                                       jax.random.PRNGKey(1))
+    assert "contrastive" in metrics
+    assert np.isfinite(float(metrics["contrastive"]))
+    assert np.isfinite(float(metrics["loss"]))
+
+    # weight 0 (parity default): the pair is ignored, no component logged
+    # (fresh init: the first trainer's donated step consumed its buffers)
+    params0, state0 = denoiser.init(jax.random.PRNGKey(0))
+    cfg0 = TrainConfig(model="denoiser", learning_rate=1e-3)
+    tr0 = Trainer("denoiser", params0, state0, loader, None, config=cfg0,
+                  artifact_config=_quiet_artifacts())
+    _, metrics0 = tr0._train_step(tr0.state, batch, jax.random.PRNGKey(1))
+    assert "contrastive" not in metrics0
