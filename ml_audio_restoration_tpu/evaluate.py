@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from .audio import find_audio_files, load_audio, normalize_audio
 from .config import ArtifactConfig, PipelineConfig
 from .data.artifacts import simulate_vinyl_artifacts
-from .losses import snr, si_sdr, lsd, stereo_metrics
+from .losses import snr, si_sdr, lsd, stereo_metrics, multiscale_spectral_loss
 from .ops import interp_linear
 from .pipeline import RestorationPipeline
 
@@ -42,19 +42,25 @@ def evaluate_denoiser(pipe: RestorationPipeline, files, sample_rate=22050,
             artifact_cfg))
         restored, _ = pipe.restore(degraded, sample_rate)
         restored = np.asarray(restored)[:, :clean.shape[1]]
+        c, d, r = (jnp.asarray(clean[0]), jnp.asarray(degraded[0]),
+                   jnp.asarray(restored[0]))
         rows.append({
-            "snr_degraded": float(snr(jnp.asarray(degraded[0]),
-                                      jnp.asarray(clean[0]))),
-            "snr_restored": float(snr(jnp.asarray(restored[0]),
-                                      jnp.asarray(clean[0]))),
-            "sisdr_degraded": float(si_sdr(jnp.asarray(degraded[0]),
-                                           jnp.asarray(clean[0]))),
-            "sisdr_restored": float(si_sdr(jnp.asarray(restored[0]),
-                                           jnp.asarray(clean[0]))),
+            "snr_degraded": float(snr(d, c)),
+            "snr_restored": float(snr(r, c)),
+            "sisdr_degraded": float(si_sdr(d, c)),
+            "sisdr_restored": float(si_sdr(r, c)),
+            "lsd_degraded": float(lsd(d, c)),
+            "lsd_restored": float(lsd(r, c)),
+            "spec_degraded": float(multiscale_spectral_loss(
+                d[None, :, None], c[None, :, None])),
+            "spec_restored": float(multiscale_spectral_loss(
+                r[None, :, None], c[None, :, None])),
         })
     mean = {k: round(float(np.mean([r[k] for r in rows])), 2) for k in rows[0]}
     mean["snr_improvement_db"] = round(
         mean["snr_restored"] - mean["snr_degraded"], 2)
+    mean["lsd_improvement_db"] = round(
+        mean["lsd_degraded"] - mean["lsd_restored"], 2)
     mean["num_files"] = len(rows)
     return mean
 

@@ -90,6 +90,22 @@ class StreamingRestorer:
         else:
             self._lstm_carry = None
 
+    def reset_stream(self, i: int):
+        """Recycle slot i for a NEW stream (batch mode): zero its input
+        history, LSTM carry and decoder history. The slot then behaves
+        exactly like a fresh stream whose start coincides with the batch
+        clock — zero left-context, zero recurrent state — while the other
+        B-1 streams are untouched."""
+        if not 0 <= i < self.batch:
+            raise IndexError(f"stream {i} out of range (batch {self.batch})")
+        self._in_buffer[i] = 0.0
+        if self.stereo is not None:
+            mask = jnp.ones((self.batch, 1), jnp.float32).at[i, 0].set(0.0)
+            self._lstm_carry = [(h * mask, c * mask)
+                                for h, c in self._lstm_carry]
+            if self._dec_hist_buf is not None:
+                self._dec_hist_buf = self._dec_hist_buf * mask[:, :, None]
+
     # ------------------------------------------------------------ compiled
     def _get_step(self, ctx: int, n: int, la: int):
         key = (ctx, n, la)

@@ -115,3 +115,45 @@ def test_batched_streams_match_independent_single_streams(stages, rng):
         souts.append(single.flush())
         want = np.concatenate(souts, axis=1)  # [2, T*2]
         assert np.max(np.abs(got[b] - want)) < 1e-6, b
+
+
+def test_reset_stream_recycles_one_slot(stages, rng):
+    """Resetting slot i mid-serving recycles it for a new stream on the
+    batch clock: its post-reset output bit-matches a fresh single-stream
+    restorer fed the zero-gap (unemitted region zeroed by the reset) plus
+    the new stream's samples; the other slot is completely undisturbed."""
+    B, block = 2, 2000
+    pre = rng.normal(size=(B, 3 * block)).astype(np.float32) * 0.1
+    post = rng.normal(size=(B, 4 * block)).astype(np.float32) * 0.1
+
+    batched = StreamingRestorer(**stages, batch=B)
+    pre_outs = [batched.feed(pre[:, i * block:(i + 1) * block])
+                for i in range(3)]
+    emitted_pre = sum(o.shape[2] for o in pre_outs) // 2  # input samples
+    batched.reset_stream(1)
+    post_outs = [batched.feed(post[:, i * block:(i + 1) * block])
+                 for i in range(4)]
+    post_outs.append(batched.flush())
+    got_post = np.concatenate(post_outs, axis=2)  # [B, 2, *]
+
+    # slot 1 == fresh stream fed the zero gap + its new samples
+    gap = 3 * block - emitted_pre
+    fresh = StreamingRestorer(**stages)
+    fouts = [fresh.feed(np.zeros((1, gap), np.float32))]
+    fouts += [fresh.feed(post[1, i * block:(i + 1) * block])
+              for i in range(4)]
+    fouts.append(fresh.flush())
+    want1 = np.concatenate(fouts, axis=1)
+    assert want1.shape[1] == got_post.shape[2]
+    assert np.max(np.abs(got_post[1] - want1)) < 1e-6
+
+    # slot 0 == uninterrupted stream fed pre+post
+    cont = StreamingRestorer(**stages)
+    full0 = np.concatenate([pre[0], post[0]])
+    couts = [cont.feed(full0[i * block:(i + 1) * block]) for i in range(7)]
+    couts.append(cont.flush())
+    want0 = np.concatenate(couts, axis=1)
+    got0 = np.concatenate([np.concatenate(pre_outs, axis=2)[0], got_post[0]],
+                          axis=1)
+    assert got0.shape == want0.shape
+    assert np.max(np.abs(got0 - want0)) < 1e-6
