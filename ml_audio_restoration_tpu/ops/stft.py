@@ -43,12 +43,38 @@ def frame(x, frame_length: int, hop: int, *, center: bool = True):
     if center:
         pad = frame_length // 2
         x = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
-        num_frames = 1 + (x.shape[1] - frame_length) // hop
-    else:
-        num_frames = 1 + (x.shape[1] - frame_length) // hop
+    num_frames = 1 + (x.shape[1] - frame_length) // hop
+    if frame_length % hop == 0:
+        return _frame_reshape(x, frame_length, hop, num_frames)
     starts = jnp.arange(num_frames) * hop
     idx = starts[:, None] + jnp.arange(frame_length)[None, :]
     return x[:, idx]
+
+
+def _frame_reshape(x, frame_length: int, hop: int, num_frames: int):
+    """Gather-free framing when hop divides frame_length.
+
+    The gather formulation materializes an s32[num_frames * frame_length]
+    index constant in HBM and lowers to a gather fusion (measured ~6 ms/step
+    in the denoiser train step, ~13 ms/step in super-res, plus large async
+    index copies). Frames whose index differs by `overlap = L/hop` phases
+    don't overlap, so each phase is a static slice + reshape; interleaving
+    the phases back is one transpose-shaped reshape. Values are identical
+    to the gather path.
+    """
+    b, t = x.shape
+    r = frame_length // hop
+    n_p = -(-num_frames // r)  # frames carried per phase (ceil)
+    need = (r - 1) * hop + n_p * frame_length
+    if need > t:
+        x = jnp.pad(x, ((0, 0), (0, need - t)))
+    slabs = [
+        x[:, p * hop:p * hop + n_p * frame_length].reshape(
+            b, n_p, frame_length)
+        for p in range(r)
+    ]
+    frames = jnp.stack(slabs, axis=2)  # [b, n_p, r, L]; frame i = q*r + p
+    return frames.reshape(b, n_p * r, frame_length)[:, :num_frames]
 
 
 def stft(x, n_fft: int, hop: int, *, window=None, center: bool = True):
