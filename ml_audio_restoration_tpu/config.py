@@ -87,6 +87,10 @@ class TrainConfig:
     balance_weight: float = 0.0
     decorrelation_weight: float = 0.0
     lf_centering_weight: float = 0.0
+    # our extension (no reference counterpart): match the TARGET's stereo
+    # correlation/width statistics instead of forcing |corr| -> 0; see
+    # losses/stereo.py::stereo_stats_match_loss. 0 = parity.
+    stats_match_weight: float = 0.0
     # waveform-fidelity extension (0 = reference parity): -SI-SDR (dB) term
     si_sdr_weight: float = 0.0
     # contrastive loss over mixed-dataset pairs (reference stubs this with a

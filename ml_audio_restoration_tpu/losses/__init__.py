@@ -15,6 +15,7 @@ from .stereo import (
     stereo_balance_loss,
     decorrelation_loss,
     low_frequency_centering_loss,
+    stereo_stats_match_loss,
     stereo_metrics,
 )
 from .metrics import snr, si_sdr, lsd
@@ -42,6 +43,7 @@ def restoration_loss(output, target, *,
                      balance_weight: float = 0.0,
                      decorrelation_weight: float = 0.0,
                      lf_centering_weight: float = 0.0,
+                     stats_match_weight: float = 0.0,
                      si_sdr_weight: float = 0.0):
     """The reference Trainer's combined per-batch loss (trainer.py:352-368):
     time MSE + 0.5*multi-scale-spectral, plus impulse loss (mono output) or
@@ -91,6 +93,10 @@ def restoration_loss(output, target, *,
             lfc = low_frequency_centering_loss(output)
             parts["lf_centering"] = lfc
             total = total + lf_centering_weight * lfc
+        if stats_match_weight > 0:
+            sm = stereo_stats_match_loss(output, target)
+            parts["stats_match"] = sm
+            total = total + stats_match_weight * sm
     parts["total"] = total
     return total, parts
 
@@ -105,6 +111,7 @@ __all__ = [
     "stereo_balance_loss",
     "decorrelation_loss",
     "low_frequency_centering_loss",
+    "stereo_stats_match_loss",
     "stereo_metrics",
     "supervised_loss",
     "consistency_loss",

@@ -85,6 +85,36 @@ def low_frequency_centering_loss(output, n_fft: int = 2048,
     return jnp.mean(jnp.abs(lm - rm))
 
 
+def stereo_stats_match_loss(output, target):
+    """Match the TARGET's stereo statistics instead of forcing extremes.
+
+    Squared error between per-item L/R Pearson correlation (signed) and
+    energy width side/(mid+side) of output vs target. This is our
+    extension (no reference counterpart): the reference's unwired
+    decorrelation term drives |corr| to 0 unconditionally — trained with
+    it at weight 0.3 the upmix overshot to corr 0.015 / width 0.498
+    against targets at 0.645 / 0.192 (docs/RESULTS.md), while the default
+    MSE-dominated mix under-separates to corr 0.98 / width 0.013. Matching
+    the target's statistics is self-calibrating on any corpus.
+    """
+    def stats(x):
+        left, right = x[:, :, 0], x[:, :, 1]
+        ln = (left - left.mean(axis=1, keepdims=True)) / (
+            left.std(axis=1, keepdims=True) + _EPS)
+        rn = (right - right.mean(axis=1, keepdims=True)) / (
+            right.std(axis=1, keepdims=True) + _EPS)
+        corr = jnp.mean(ln * rn, axis=1)  # [B], signed
+        mid_e = jnp.mean(jnp.square((left + right) / 2.0), axis=1)
+        side_e = jnp.mean(jnp.square((left - right) / 2.0), axis=1)
+        width = side_e / (mid_e + side_e + _EPS)  # [B]
+        return corr, width
+
+    corr_out, width_out = stats(output)
+    corr_tgt, width_tgt = stats(target)
+    return (jnp.mean(jnp.square(corr_out - corr_tgt))
+            + jnp.mean(jnp.square(width_out - width_tgt)))
+
+
 def stereo_metrics(output):
     """Monitoring metrics: |L/R correlation| and width = side/(mid+side)."""
     left = output[:, :, 0]

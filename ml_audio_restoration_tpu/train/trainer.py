@@ -226,7 +226,8 @@ class Trainer:
                 consistency_weight=c.consistency_weight,
                 balance_weight=c.balance_weight,
                 decorrelation_weight=c.decorrelation_weight,
-                lf_centering_weight=c.lf_centering_weight)
+                lf_centering_weight=c.lf_centering_weight,
+                stats_match_weight=c.stats_match_weight)
         return total, (parts, new_state, out)
 
     def _step(self, state, batch, key, train: bool):

@@ -117,6 +117,25 @@ def test_low_frequency_centering_parity(rng):
     assert abs(got - want) < 2e-4 * max(1.0, abs(want))
 
 
+def test_stereo_stats_match_loss(rng):
+    # no reference counterpart (our extension): semantic checks instead of
+    # parity. Zero when output == target; positive and direction-sensitive
+    # when the output is mono-collapsed vs a panned target.
+    _, tgt = _pair(rng, c=2)
+    assert float(L.stereo_stats_match_loss(_j(tgt), _j(tgt))) < 1e-10
+    # _pair returns torch [B, C, T]; _j transposes to channels-last
+    mono = np.repeat(tgt.mean(axis=1, keepdims=True), 2, axis=1)
+    panned = tgt.copy()
+    panned[:, 0, :] *= 1.6
+    loss_mono = float(L.stereo_stats_match_loss(_j(mono), _j(panned)))
+    assert loss_mono > 1e-3
+    # wired into restoration_loss behind the weight
+    t0, p0 = L.restoration_loss(_j(mono), _j(panned))
+    t1, p1 = L.restoration_loss(_j(mono), _j(panned), stats_match_weight=1.0)
+    assert "stats_match" not in p0 and "stats_match" in p1
+    assert abs(float(t1) - float(t0) - float(p1["stats_match"])) < 1e-5
+
+
 def test_stereo_metrics_parity(rng):
     Trainer = _ref_trainer_cls()
     out, _ = _pair(rng, c=2)
