@@ -151,6 +151,11 @@ def _streaming_throughput(stages, batch: int = 16, block_s: float = 1.0,
 def main():
     import jax
 
+    from ml_audio_restoration_tpu.utils.cache import (
+        enable_persistent_compile_cache)
+
+    enable_persistent_compile_cache()
+
     from ml_audio_restoration_tpu.config import PipelineConfig
     from ml_audio_restoration_tpu.models import (
         denoiser, super_resolution, stereo_separator)

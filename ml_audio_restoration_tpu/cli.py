@@ -183,6 +183,10 @@ def main(argv=None):
     _add_acquire(sub)
 
     args = parser.parse_args(argv)
+
+    from .utils.cache import enable_persistent_compile_cache
+    enable_persistent_compile_cache()
+
     if args.command == "restore":
         return _cmd_restore(args)
     if args.command == "train":

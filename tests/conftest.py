@@ -16,6 +16,15 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+import sys  # noqa: E402
+from pathlib import Path  # noqa: E402
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+from ml_audio_restoration_tpu.utils.cache import (  # noqa: E402
+    enable_persistent_compile_cache)
+
+enable_persistent_compile_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
