@@ -78,7 +78,7 @@ def _fir_same(x, kernel):
     two full-length FFTs and bit-closer to the reference conv.
     """
     k = kernel.shape[0]
-    if k > 512:
+    if k > 192:  # 257-tap crackle: 3 ms/step direct vs <1 ms via FFT
         t = x.shape[-1]
         n = 1 << (t + k - 1).bit_length()  # static next-pow2, linear conv
         y = jnp.fft.irfft(jnp.fft.rfft(x, n) * jnp.fft.rfft(kernel, n), n)
