@@ -63,13 +63,16 @@ def resample(audio: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
                          axis=-1).astype(np.float32)
 
 
-def load_audio(path, sample_rate: int = 22050, mono: bool = True):
-    """-> (float32 [channels, samples], sample_rate)."""
+def load_audio(path, sample_rate: int | None = 22050, mono: bool = True):
+    """-> (float32 [channels, samples], sample_rate).
+
+    sample_rate=None keeps the file's native rate (no resample).
+    """
     data, sr = _read_any(path)
     audio = data.T.astype(np.float32)  # [C, T]
     if mono and audio.shape[0] > 1:
         audio = audio.mean(axis=0, keepdims=True)
-    if sr != sample_rate:
+    if sample_rate is not None and sr != sample_rate:
         audio = resample(audio, sr, sample_rate)
         sr = sample_rate
     return audio, sr

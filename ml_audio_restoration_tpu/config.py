@@ -114,6 +114,12 @@ class PipelineConfig:
     # finer internal chunking for the LSTM stereo stage (None = outer chunks;
     # e.g. 0.5 trades LSTM context for ~4x fewer sequential steps)
     stereo_chunk_seconds: Optional[float] = None
+    # mid-exact upmix: keep the stereo model's predicted SIDE signal but
+    # rebuild L/R around the true input mid (out = mid +/- side), so the
+    # upmix cannot degrade mono fidelity — measured +3.6 dB mid SNR on the
+    # full chain at equal stereo statistics (docs/RESULTS.md). False =
+    # reference parity (raw L/R decoder output).
+    stereo_mid_exact: bool = False
     # bound on chunks per compiled program: longer recordings are processed
     # in slabs of this many chunks (bounded HBM, one compile reused) and the
     # slab outputs crossfaded — bit-exact vs single-shot

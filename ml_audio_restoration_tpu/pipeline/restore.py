@@ -111,7 +111,8 @@ class RestorationPipeline:
     def _get_processor(self, n_chunks: int, chunk_size: int, hop: int,
                        overlap: int):
         key = (n_chunks, chunk_size, hop, self._stages_key(),
-               self.config.compute_dtype, self.config.stereo_chunk_seconds)
+               self.config.compute_dtype, self.config.stereo_chunk_seconds,
+               self.config.stereo_mid_exact)
         if key in self._compiled:
             return self._compiled[key]
 
@@ -180,7 +181,13 @@ class RestorationPipeline:
             if has_sr:
                 x, _ = sr_mod.apply(sr[0], sr[1], x)
             if has_st:
-                x = apply_stereo(st, x)
+                y = apply_stereo(st, x)
+                if self.config.stereo_mid_exact:
+                    # out = mid +/- predicted side: mono fidelity exact by
+                    # construction, width carried entirely by the side
+                    side = (y[..., 0:1] - y[..., 1:2]) * 0.5
+                    y = jnp.concatenate([x + side, x - side], axis=-1)
+                x = y
             x = x.astype(jnp.float32).transpose(0, 2, 1)  # [N, C_out, chunk*f]
             total = (n_chunks - 1) * hop + chunk_size
             return overlap_add(x, hop * f, total * f, overlap=overlap * f,

@@ -226,6 +226,31 @@ def test_stereo_subchunking(pipeline_stages, rng):
     assert corr > 0.9
 
 
+def test_stereo_mid_exact_preserves_mono(pipeline_stages, rng):
+    """stereo_mid_exact rebuilds L/R around the true mid: the output's mean
+    must equal the mono signal entering the stereo stage (here: the input,
+    stereo-only pipeline) to float rounding, while still carrying side."""
+    import dataclasses
+
+    audio = (rng.normal(size=(1, 22050)) * 0.2).astype(np.float32)
+    cfg = PipelineConfig(chunk_seconds=4000 / 22050,
+                         overlap_seconds=200 / 22050)
+    raw = RestorationPipeline(stereo=pipeline_stages["stereo"], config=cfg)
+    exact = RestorationPipeline(stereo=pipeline_stages["stereo"],
+                                config=dataclasses.replace(
+                                    cfg, stereo_mid_exact=True))
+    a, _ = exact.restore(audio, 22050)
+    a = np.asarray(a)
+    assert a.shape[0] == 2
+    mid = a.mean(axis=0)
+    np.testing.assert_allclose(mid, audio[0], atol=1e-6)
+    # the side signal is the model's (shared with raw mode)
+    b, _ = raw.restore(audio, 22050)
+    b = np.asarray(b)
+    np.testing.assert_allclose((a[0] - a[1]) / 2, (b[0] - b[1]) / 2,
+                               atol=1e-6)
+
+
 def test_slab_processing_matches_single_shot(pipeline_stages, rng):
     """Long recordings processed in bounded slabs must match the single-shot
     program (the slab crossfade is exact)."""
