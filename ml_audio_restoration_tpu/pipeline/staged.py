@@ -79,12 +79,20 @@ class StagedRestorationPipeline:
         return 2 if "stereo" in self.stage_params else 1
 
     def _stage_fn(self, name):
-        key = ("stage", name)
+        mid_exact = name == "stereo" and self.config.stereo_mid_exact
+        key = ("stage", name, mid_exact)
         if key not in self._compiled:
             mod = {"denoiser": denoiser_mod, "super_resolution": sr_mod,
                    "stereo": stereo_mod}[name]
-            self._compiled[key] = jax.jit(
-                lambda tree, x: mod.apply(tree[0], tree[1], x)[0])
+            if mid_exact:
+                def fn(tree, x):
+                    y = mod.apply(tree[0], tree[1], x)[0]
+                    side = (y[..., 0:1] - y[..., 1:2]) * 0.5
+                    return jnp.concatenate([x + side, x - side], axis=-1)
+            else:
+                def fn(tree, x):
+                    return mod.apply(tree[0], tree[1], x)[0]
+            self._compiled[key] = jax.jit(fn)
         return self._compiled[key]
 
     def _frame_fn(self, n, chunk, hop):

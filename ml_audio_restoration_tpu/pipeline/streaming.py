@@ -55,14 +55,17 @@ class StreamingRestorer:
                  stereo: Optional[Tuple] = None,
                  context: int = 1024,
                  lookahead: int = 512,
-                 batch: int = 1):
+                 batch: int = 1,
+                 mid_exact: bool = False):
         """context/lookahead in input-rate samples; both must exceed the conv
         receptive field (~400 samples for the default models). batch = number
-        of concurrent lockstep streams."""
+        of concurrent lockstep streams. mid_exact mirrors
+        PipelineConfig.stereo_mid_exact (out = mid +/- predicted side)."""
         self.denoiser = denoiser
         self.super_resolution = super_resolution
         self.stereo = stereo
         self.batch = int(batch)
+        self.mid_exact = bool(mid_exact)
         # the U-Net pools by 8, so window starts must stay on the pooling
         # grid (the model is shift-variant modulo 8): context and emission
         # lengths are kept multiples of the alignment
@@ -145,6 +148,10 @@ class StreamingRestorer:
                                      axis=1)
             stereo, _ = stereo_mod.decode(st[0], st[1], dec_in)
             out = stereo[:, ctx * f:(ctx + n) * f, :]
+            if self.mid_exact:
+                mid = x[:, ctx * f:(ctx + n) * f, :]
+                side = (out[..., 0:1] - out[..., 1:2]) * 0.5
+                out = jnp.concatenate([mid + side, mid - side], axis=-1)
             new_dec_hist = jnp.concatenate(
                 [dec_hist, lstm_out], axis=1)[:, -ctx * f:, :]
             return new_carries[:len(st[0]["lstm"])] + [new_dec_hist], out

@@ -251,6 +251,23 @@ def test_stereo_mid_exact_preserves_mono(pipeline_stages, rng):
                                atol=1e-6)
 
 
+def test_stereo_mid_exact_staged_matches_batch(pipeline_stages, rng):
+    """mid-exact mode must behave identically in staged serving."""
+    import dataclasses
+    from ml_audio_restoration_tpu.pipeline import StagedRestorationPipeline
+
+    cfg = dataclasses.replace(
+        PipelineConfig(chunk_seconds=0.25, overlap_seconds=0.02,
+                       max_chunks_per_program=8),
+        stereo_mid_exact=True)
+    audio = (rng.normal(size=(1, 22050)) * 0.2).astype(np.float32)
+    want, _ = RestorationPipeline(**pipeline_stages, config=cfg).restore(
+        audio, 22050)
+    got, _ = StagedRestorationPipeline(**pipeline_stages, config=cfg).restore(
+        audio, 22050)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-6)
+
+
 def test_slab_processing_matches_single_shot(pipeline_stages, rng):
     """Long recordings processed in bounded slabs must match the single-shot
     program (the slab crossfade is exact)."""

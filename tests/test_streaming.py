@@ -71,6 +71,27 @@ def test_streaming_full_chain_matches_single_shot(stages, audio):
     assert dev < 1e-3, dev
 
 
+def test_streaming_mid_exact_preserves_mono(stages, audio):
+    """mid_exact streaming: the output's mean must equal the mono signal
+    entering the stereo stage (denoise+SR output) in the interior, and the
+    side signal must match the raw-mode restorer's."""
+    mono = _single_shot(stages, audio, with_stereo=False)  # [1, T*2]
+
+    def run(**kw):
+        s = StreamingRestorer(**stages, **kw)
+        outs = [s.feed(b) for b in np.array_split(audio, 4, axis=1)]
+        outs.append(s.flush())
+        return np.concatenate(outs, axis=1)
+
+    got = run(mid_exact=True)
+    mid = got.mean(axis=0)
+    dev = np.max(np.abs(mid[8000:-1200] - mono[0, 8000:-1200]))
+    assert dev < 1e-3, dev
+    raw = run()
+    np.testing.assert_allclose((got[0] - got[1]) / 2, (raw[0] - raw[1]) / 2,
+                               atol=1e-5)
+
+
 def test_streaming_irregular_blocks(stages, audio):
     """Arbitrary block sizes emit the same total output."""
     s = StreamingRestorer(**stages)
