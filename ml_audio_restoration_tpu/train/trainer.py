@@ -345,8 +345,10 @@ class Trainer:
                 if self.epoch % 10 == 0 and self.val_loader is not None:
                     self.log_audio_samples(
                         jax.random.fold_in(base_key, 1_000_000 + self.epoch))
+            val_txt = (f"val {val_loss:.6f}"
+                       if self.val_loader is not None else "val -")
             print(f"epoch {self.epoch}/{num_epochs} {took:.2f}s "
-                  f"train {train_loss:.6f} val {val_loss:.6f}")
+                  f"train {train_loss:.6f} {val_txt}")
 
             if self.epoch % save_every == 0:
                 self.save_checkpoint(ckpt.epoch_checkpoint_name(self.epoch))
@@ -571,9 +573,14 @@ def train_from_config(cfg: Config, steps_per_epoch: Optional[int] = None,
     batch_size = dist.local_batch_size(cfg.train.batch_size)
     train_loader = DataLoader(dataset, batch_size, indices=tr_idx,
                               seed=cfg.train.seed + dist.process_index())
-    val_loader = (DataLoader(dataset, batch_size, indices=va_idx,
+    # validation batch is clamped to the split size: at large train batches
+    # (e.g. the short-chunk x64 recurrence lever) the val split can be
+    # smaller than one train batch, and disabling validation silently would
+    # also disable best-model tracking and the plateau scheduler
+    val_bs = min(batch_size, len(va_idx))
+    val_loader = (DataLoader(dataset, val_bs, indices=va_idx,
                              shuffle=False, seed=cfg.train.seed)
-                  if len(va_idx) >= batch_size else None)
+                  if val_bs > 0 else None)
 
     module = MODEL_MODULES[name]
     if name == "denoiser":
