@@ -108,6 +108,26 @@ class TestPythonCodec:
         with pytest.raises(ValueError):
             read_flac(bad, verify=True)
 
+    def test_mutation_fuzz_never_crashes(self, tmp_path, stereo_signal):
+        """Scraper downloads are untrusted: random single-byte mutations
+        anywhere in the file must either decode or raise ValueError —
+        never hang, segfault, or leak another exception type."""
+        sig, sr = stereo_signal
+        p = tmp_path / "ok.flac"
+        write_flac(p, sig, sr)
+        raw = p.read_bytes()
+        rng = np.random.default_rng(7)
+        bad = tmp_path / "fuzz.flac"
+        for _ in range(60):
+            m = bytearray(raw)
+            pos = int(rng.integers(0, len(m)))
+            m[pos] ^= int(rng.integers(1, 256))
+            bad.write_bytes(bytes(m))
+            try:
+                read_flac(bad, verify=True)
+            except ValueError:
+                pass
+
     def test_odd_length_tail_frame(self, tmp_path):
         sr = 22050
         sig = (0.3 * np.sin(2 * np.pi * 330 * np.arange(10001) / sr)
