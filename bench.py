@@ -216,10 +216,11 @@ def main():
         bf16_dev = float(np.abs(np.asarray(out32) - np.asarray(out16)).max())
         extra["bf16_max_dev_vs_f32"] = bf16_dev
 
-    # throughput mode: 0.5 s internal stereo windows (4x fewer sequential
-    # LSTM steps; trades LSTM context for speed)
+    # throughput mode: 0.25 s internal stereo windows (8x fewer sequential
+    # LSTM steps; quality-free on a trained model per the PERFORMANCE.md
+    # sweep — identical eval metrics, <=0.011 deviation vs full windows)
     if not over_budget():
-        fast_cfg = dataclasses.replace(cfg, stereo_chunk_seconds=0.5)
+        fast_cfg = dataclasses.replace(cfg, stereo_chunk_seconds=0.25)
         fast = RestorationPipeline(**stages, config=fast_cfg)
         wf = min(_time_pipeline(fast, audio, sr, warmup=1, iters=2))
         extra["stereo_subchunk_xrt"] = round(seconds / wf, 1)
