@@ -87,6 +87,27 @@ def test_truncated_fmt_chunk_rejected(tmp_path):
         read_wav(bad)  # numpy fallback must reject it too
 
 
+def test_mutation_fuzz_never_crashes(tmp_path, rng, wav_file):
+    """Random single-byte mutations of a valid WAV must decode, return None
+    (native), or raise cleanly (numpy fallback) — never read out of bounds
+    or hang. Complements the FLAC mutation fuzz; scraper downloads are
+    untrusted input."""
+    path, _ = wav_file
+    raw = path.read_bytes()
+    bad = tmp_path / "fuzz.wav"
+    for _ in range(60):
+        m = bytearray(raw)
+        pos = int(rng.integers(0, len(m)))
+        m[pos] ^= int(rng.integers(1, 256))
+        bad.write_bytes(bytes(m))
+        native.info(bad)
+        native.read(bad)
+        try:
+            read_wav(bad)
+        except Exception:
+            pass
+
+
 def test_dataset_batch_path_matches_per_item(tmp_path, rng):
     """getitems (native batch) must agree with per-item __getitem__ stats."""
     from ml_audio_restoration_tpu.data import RestorationDataset
