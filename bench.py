@@ -162,7 +162,10 @@ def main():
     from ml_audio_restoration_tpu.pipeline import RestorationPipeline
 
     seconds = float(sys.argv[1]) if len(sys.argv) > 1 else 120.0
-    budget_s = float(os.environ.get("MLAR_BENCH_BUDGET_S", "480"))
+    # soft budget: the headline is always measured; extras are dropped once
+    # exceeded. 600 s fits the full extra set on a median relay day (the
+    # first compile alone can eat ~8 min on a congested one).
+    budget_s = float(os.environ.get("MLAR_BENCH_BUDGET_S", "600"))
     t_start = time.perf_counter()
 
     def over_budget():
