@@ -244,6 +244,14 @@ def test_stereo_mid_exact_preserves_mono(pipeline_stages, rng):
     assert a.shape[0] == 2
     mid = a.mean(axis=0)
     np.testing.assert_allclose(mid, audio[0], atol=1e-6)
+    # invariant also holds with finer internal stereo windows
+    sub = RestorationPipeline(stereo=pipeline_stages["stereo"],
+                              config=dataclasses.replace(
+                                  cfg, stereo_mid_exact=True,
+                                  stereo_chunk_seconds=1000 / 22050))
+    c, _ = sub.restore(audio, 22050)
+    np.testing.assert_allclose(np.asarray(c).mean(axis=0), audio[0],
+                               atol=1e-6)
     # the side signal is the model's (shared with raw mode)
     b, _ = raw.restore(audio, 22050)
     b = np.asarray(b)
