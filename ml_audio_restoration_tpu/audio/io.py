@@ -79,21 +79,47 @@ def load_audio(path, sample_rate: int | None = 22050, mono: bool = True):
 
 
 def load_audio_chunk(path, chunk_size: int, rng: np.random.Generator,
-                     sample_rate: int = 22050, mono: bool = True):
+                     sample_rate: int = 22050, mono: bool = True,
+                     resample_chunks: bool = False):
     """Seek-read one random chunk (reference preprocessing.py:64-87):
     if the file is longer than `chunk_size` frames, decode only a random
     window; otherwise load + resample the whole file. WAV seeks are O(1);
-    FLAC seeks ride the SEEKTABLE (or skip-decode) in the codec."""
+    FLAC seeks ride the SEEKTABLE (or skip-decode) in the codec.
+
+    Reproduced upstream quirk (preprocessing.py:64-80, PARITY.md "Known
+    upstream quirks"): the seek path returns the chunk at the FILE's native
+    rate — a 44.1 kHz file in a 22.05 kHz corpus silently yields wrong-rate
+    chunks. Default keeps that behavior (with a warning on mismatch);
+    `resample_chunks=True` reads a rate-scaled window and resamples it to
+    `chunk_size` frames at `sample_rate`.
+    """
     p = str(path)
     low = p.lower()
     if low.endswith((".wav", ".flac")):
         info = wav_info(p) if low.endswith(".wav") else flac_info(p)
-        if info.frames > chunk_size:
-            start = int(rng.integers(0, info.frames - chunk_size + 1))
-            data, _sr = _read_any(p, start=start, frames=chunk_size)
+        file_sr = info.sample_rate
+        # frames to read at the file's native rate for chunk_size output
+        # frames at the requested rate
+        read_frames = (chunk_size if file_sr == sample_rate or not
+                       resample_chunks
+                       else -(-chunk_size * file_sr // sample_rate))
+        if file_sr != sample_rate and not resample_chunks:
+            import warnings
+
+            warnings.warn(
+                f"{p}: file rate {file_sr} != requested {sample_rate}; "
+                f"seek-read chunk keeps the native rate (reference-parity "
+                f"behavior — pass resample_chunks=True to resample)",
+                stacklevel=2)
+        if info.frames > read_frames:
+            start = int(rng.integers(0, info.frames - read_frames + 1))
+            data, _sr = _read_any(p, start=start, frames=read_frames)
             audio = data.T.astype(np.float32)
             if mono and audio.shape[0] > 1:
                 audio = audio.mean(axis=0, keepdims=True)
+            if file_sr != sample_rate and resample_chunks:
+                audio = resample(audio, file_sr, sample_rate)
+                audio = audio[:, :chunk_size]
             return audio
     audio, _ = load_audio(p, sample_rate, mono=mono)
     return audio

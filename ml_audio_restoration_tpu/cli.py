@@ -107,12 +107,28 @@ def _add_train(sub):
                    help="directory of real degraded recordings")
     p.add_argument("--adaptive", action="store_true",
                    help="fit artifact statistics to --degraded-dir recordings")
+    # multi-host (pod) launch: run the same command on every host with its
+    # rank; on Cloud TPU VMs the three values auto-detect and can be omitted
+    p.add_argument("--coordinator", default=None,
+                   help="multi-host coordinator address host:port "
+                        "(auto-detected on Cloud TPU VMs)")
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="multi-host world size")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="this host's rank in the multi-host job")
     return p
 
 
 def _cmd_train(args):
     from .config import load_config
+    from .parallel import distributed as dist
     from .train.trainer import train_from_config
+
+    # must run before any other jax call on a multi-host job; no-op when
+    # single-host (parallel/distributed.py::initialize)
+    dist.initialize(coordinator_address=args.coordinator,
+                    num_processes=args.num_processes,
+                    process_id=args.process_id)
 
     overrides = {"train": {"model": args.model}, "data": {}}
     for field, section in [

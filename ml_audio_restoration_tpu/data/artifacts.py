@@ -79,6 +79,9 @@ def _fir_same(x, kernel):
     """
     k = kernel.shape[0]
     if k > 192:  # 257-tap crackle: 3 ms/step direct vs <1 ms via FFT
+        # the centered 'same' slice below assumes an odd kernel; an even k
+        # would silently shift the FFT branch half a sample vs the direct path
+        assert k % 2 == 1, f"_fir_same FFT branch requires odd kernel, got {k}"
         t = x.shape[-1]
         n = 1 << (t + k - 1).bit_length()  # static next-pow2, linear conv
         y = jnp.fft.irfft(jnp.fft.rfft(x, n) * jnp.fft.rfft(kernel, n), n)

@@ -37,6 +37,47 @@ def _bucket(n: int, granularity: int = 4) -> int:
     return max(granularity, ((n + granularity - 1) // granularity) * granularity)
 
 
+def stereo_sub_cfg(cfg: PipelineConfig, stage_len: int, f: int):
+    """Internal stereo re-framing plan: (sub, hop, ov) in samples at the
+    stereo stage's input rate, or None to run the stage on the outer chunks.
+
+    The LSTM's wall time is its sequential step count, so re-framing into
+    shorter windows (more batch, fewer steps) trades LSTM context length for
+    throughput (docs/PERFORMANCE.md "Stereo LSTM window"). Shared by the
+    single-device and staged pipelines so both honor
+    config.stereo_chunk_seconds identically."""
+    if cfg.stereo_chunk_seconds is None:
+        return None
+    sub = int(round(cfg.stereo_chunk_seconds * cfg.sample_rate * f))
+    sub_ov = min(int(round(cfg.overlap_seconds * cfg.sample_rate * f)),
+                 sub // 4)
+    if sub >= stage_len:
+        return None
+    return (sub, sub - sub_ov, sub_ov)
+
+
+def apply_stereo(st, x, sub_cfg):
+    """Stereo stage over [N, T2, 1] -> [N, T2, 2], optionally re-framed into
+    shorter internal LSTM windows with crossfade overlap-add (sub_cfg from
+    stereo_sub_cfg; None = whole-window)."""
+    if sub_cfg is None:
+        y, _ = stereo_mod.apply(st[0], st[1], x)
+        return y
+    sub, sub_hop, sub_ov = sub_cfg
+    n, t2, c = x.shape
+    m = num_chunks(t2, sub, sub_hop)
+    total2 = (m - 1) * sub_hop + sub
+    xp = jnp.pad(x, ((0, 0), (0, total2 - t2), (0, 0)))
+    # [N, T2, C] -> [N, M, sub, C] -> [N*M, sub, C]
+    frames = jax.vmap(
+        lambda row: frame_structured(row.T, m, sub, sub_hop))(xp)
+    y, _ = stereo_mod.apply(st[0], st[1], frames.reshape(n * m, sub, c))
+    y = y.reshape(n, m, sub, 2).transpose(0, 1, 3, 2)  # [N, M, 2, sub]
+    out = jax.vmap(
+        lambda ch: overlap_add(ch, sub_hop, t2, overlap=sub_ov))(y)
+    return out.transpose(0, 2, 1)  # [N, T2, 2]
+
+
 class RestorationPipeline:
     """Holds (params, state) per stage and jit-compiled chunk processors.
 
@@ -129,37 +170,9 @@ class RestorationPipeline:
 
         mesh = self.mesh
 
-        # optional finer chunking for the stereo stage: the LSTM's wall time
-        # is its sequential step count, so re-framing the SR output into
-        # shorter windows (more batch, fewer steps) trades LSTM context
-        # length for throughput; None keeps the stage on the outer chunks.
-        sub_cfg = None
-        if has_st and self.config.stereo_chunk_seconds is not None:
-            in_rate = self.config.sample_rate
-            sub = int(round(self.config.stereo_chunk_seconds * in_rate * f))
-            sub_ov = min(int(round(self.config.overlap_seconds * in_rate * f)),
-                         sub // 4)
-            if sub < chunk_size * f:
-                sub_cfg = (sub, sub - sub_ov, sub_ov)
-
-        def apply_stereo(st, x):
-            if sub_cfg is None:
-                y, _ = stereo_mod.apply(st[0], st[1], x)
-                return y
-            sub, sub_hop, sub_ov = sub_cfg
-            n, t2, c = x.shape
-            m = num_chunks(t2, sub, sub_hop)
-            total2 = (m - 1) * sub_hop + sub
-            xp = jnp.pad(x, ((0, 0), (0, total2 - t2), (0, 0)))
-            # [N, T2, C] -> [N, M, sub, C] -> [N*M, sub, C]
-            frames = jax.vmap(
-                lambda row: frame_structured(row.T, m, sub, sub_hop))(xp)
-            y, _ = stereo_mod.apply(st[0], st[1],
-                                    frames.reshape(n * m, sub, c))
-            y = y.reshape(n, m, sub, 2).transpose(0, 1, 3, 2)  # [N, M, 2, sub]
-            out = jax.vmap(
-                lambda ch: overlap_add(ch, sub_hop, t2, overlap=sub_ov))(y)
-            return out.transpose(0, 2, 1)  # [N, T2, 2]
+        # optional finer chunking for the stereo stage (stereo_sub_cfg above)
+        sub_cfg = (stereo_sub_cfg(self.config, chunk_size * f, f)
+                   if has_st else None)
 
         def process(dn, sr, st, audio_padded, valid):
             # frame -> stages -> overlap-add, all in ONE XLA program, with
@@ -181,7 +194,7 @@ class RestorationPipeline:
             if has_sr:
                 x, _ = sr_mod.apply(sr[0], sr[1], x)
             if has_st:
-                y = apply_stereo(st, x)
+                y = apply_stereo(st, x, sub_cfg)
                 if self.config.stereo_mid_exact:
                     # out = mid +/- predicted side: mono fidelity exact by
                     # construction, width carried entirely by the side

@@ -37,6 +37,7 @@ from ..models import super_resolution as sr_mod
 from ..models import stereo_separator as stereo_mod
 from ..ops import overlap_add, frame_structured
 from ..ops.chunking import num_chunks
+from .restore import apply_stereo, stereo_sub_cfg
 
 
 class StagedRestorationPipeline:
@@ -80,18 +81,44 @@ class StagedRestorationPipeline:
 
     def _stage_fn(self, name):
         mid_exact = name == "stereo" and self.config.stereo_mid_exact
-        key = ("stage", name, mid_exact)
+        key = ("stage", name, mid_exact, self.config.compute_dtype,
+               self.config.stereo_chunk_seconds)
         if key not in self._compiled:
             mod = {"denoiser": denoiser_mod, "super_resolution": sr_mod,
                    "stereo": stereo_mod}[name]
+            dtype = jnp.dtype(self.config.compute_dtype)
+            cfg, f = self.config, self.upscale_factor
+
+            def cast(tree):
+                if dtype == jnp.float32:
+                    return tree
+                return jax.tree_util.tree_map(
+                    lambda a: a.astype(dtype)
+                    if jnp.issubdtype(a.dtype, jnp.floating) else a, tree)
+
+            def run(tree, x):
+                # cast params/inputs to the serving compute dtype and the
+                # output back to f32, exactly like the plain pipeline's
+                # process(); bf16->f32->bf16 at stage seams is the identity,
+                # so staged output stays bit-identical to the fused path
+                tree = cast(tree)
+                x = x.astype(dtype)
+                if name == "stereo":
+                    y = apply_stereo(tree, x,
+                                     stereo_sub_cfg(cfg, x.shape[1], f))
+                else:
+                    y = mod.apply(tree[0], tree[1], x)[0]
+                return x, y
+
             if mid_exact:
                 def fn(tree, x):
-                    y = mod.apply(tree[0], tree[1], x)[0]
+                    x, y = run(tree, x)
                     side = (y[..., 0:1] - y[..., 1:2]) * 0.5
-                    return jnp.concatenate([x + side, x - side], axis=-1)
+                    out = jnp.concatenate([x + side, x - side], axis=-1)
+                    return out.astype(jnp.float32)
             else:
                 def fn(tree, x):
-                    return mod.apply(tree[0], tree[1], x)[0]
+                    return run(tree, x)[1].astype(jnp.float32)
             self._compiled[key] = jax.jit(fn)
         return self._compiled[key]
 

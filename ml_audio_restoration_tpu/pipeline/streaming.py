@@ -166,6 +166,13 @@ class StreamingRestorer:
         samples ([out_ch, m*f], or [B, out_ch, m*f] for batch > 1; possibly
         m == 0 while the lookahead fills)."""
         block = np.asarray(block, np.float32)
+        if self.batch > 1:
+            # a 1-D (or wrong-leading-dim) block whose size happens to divide
+            # B would silently smear one stream's samples across all streams
+            if block.ndim != 2 or block.shape[0] != self.batch:
+                raise ValueError(
+                    f"feed() with batch={self.batch} requires a "
+                    f"[{self.batch}, n] block, got shape {block.shape}")
         if block.ndim == 1:
             block = block[None]
         block = block.reshape(self.batch, -1)
