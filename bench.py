@@ -7,14 +7,24 @@ jax.devices()[0] is (the real TPU under the driver). Prints ONE JSON line:
 (the >=200x-realtime target; the PyTorch reference publishes no numbers,
 BASELINE.md).
 
-Sub-stage xRTs (denoise-only / SR-only / stereo-only, matching the other
-BASELINE configs) are included under "extra".
+Congestion-proof design (VERDICT r02 item 5): the shared dev relay's wall
+clock swings >50% between minutes and can be congested for hours, so every
+number carries a "basis" — "wall" (honest sync via checksum readback) or
+"device" (XLA-module execution span from a profiler trace, unaffected by
+relay weather). The full set of extras (per-stage, bf16, stereo-subchunk,
+train x3, streaming) is ALWAYS emitted: when the relay probe or the soft
+time budget says wall timing is untrustworthy/unaffordable, extras fall
+back to one traced run and report the device span instead of being skipped.
+The headline full-pipeline number is reported on BOTH bases every run.
 """
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
+import statistics
 import sys
+import tempfile
 import time
 
 import numpy as np
@@ -42,6 +52,23 @@ def _sync(out):
     return float(out.sum())
 
 
+def _device_spans(run) -> list:
+    """XLA-module device spans (ms) for one traced invocation of run().
+    Raises RuntimeError when the trace has no device plane (CPU backend) —
+    callers fall back to wall timing."""
+    from ml_audio_restoration_tpu.utils.profiling import (
+        trace, xplane_device_times)
+
+    logdir = tempfile.mkdtemp(prefix="bench_dev_")
+    with trace(logdir):
+        run()
+    times = xplane_device_times(logdir)
+    spans = times["module_step_ms"] or [times["total_device_ms"]]
+    if max(spans) <= 0.0:
+        raise RuntimeError("no device-plane spans in trace (CPU backend?)")
+    return spans
+
+
 def _time_pipeline(pipe, audio, sr, *, warmup: int = 1, iters: int = 3):
     """Returns the list of per-iteration wall times (caller picks min/median)."""
     for _ in range(warmup):
@@ -57,17 +84,14 @@ def _time_pipeline(pipe, audio, sr, *, warmup: int = 1, iters: int = 3):
 
 
 _TRAIN_BENCH = {
-    # model -> (pairing, batch key, channels, chunk seconds at model rate)
+    # model -> (pairing, batch key, channels, samples/sec at model rate)
     "denoiser": ("degrade", "clean", 1, 22050),
     "super_resolution": ("downsample", "high", 1, 44100),
     "stereo_separator": ("mono_target_stereo", "stereo", 2, 22050),
 }
 
 
-def _train_throughput(model_name: str = "denoiser", batch: int = 2,
-                      chunk_s: float = 2.0, steps: int = 8) -> float:
-    """Steady-state training throughput (audio-seconds/second) for one model
-    family: jitted derive(+degrade)+forward+loss+backward+Adam per step."""
+def _make_trainer(model_name: str, batch: int, chunk_s: float, steps: int):
     import jax
 
     from ml_audio_restoration_tpu.config import TrainConfig, ArtifactConfig
@@ -94,33 +118,53 @@ def _train_throughput(model_name: str = "denoiser", batch: int = 2,
 
     Toy.pairing = pairing
     params, state = module.init(jax.random.PRNGKey(0))
-    trainer = Trainer(
+    return Trainer(
         model_name, params, state,
         DataLoader(Toy(), batch, num_workers=1, shuffle=False),
         config=TrainConfig(model=model_name),
         artifact_config=ArtifactConfig(), sample_rate=sr)
 
+
+def _train_throughput(model_name: str, basis: str, batch: int = 2,
+                      chunk_s: float = 2.0, steps: int = 8):
+    """Steady-state training throughput (audio-seconds/second) for one model
+    family: jitted derive(+degrade)+forward+loss+backward+Adam per step.
+    basis 'wall' times the synced loop; 'device' reports the mean XLA-module
+    step span from one traced run (congestion-proof)."""
+    import jax
+
+    trainer = _make_trainer(model_name, batch, chunk_s, steps)
     batches = list(trainer.train_loader)
     key = jax.random.PRNGKey(1)
-    # warmup/compile
-    for b in batches[:2]:
+    for b in batches[:2]:  # warmup/compile
         trainer.state, m = trainer._train_step(trainer.state, b, key)
-    float(m["loss"])
+    _sync(m["loss"])
+
+    def run(bs):
+        for i, b in enumerate(bs):
+            trainer.state, m = trainer._train_step(
+                trainer.state, b, jax.random.fold_in(key, i))
+        _sync(m["loss"])
+
+    if basis == "device":
+        try:
+            spans = _device_spans(lambda: run(batches[2:4]))
+            big = [s for s in spans if s > 1.0] or spans
+            step_s = (sum(big) / len(big)) / 1e3
+            return round(batch * chunk_s / step_s, 1)
+        except RuntimeError:
+            pass  # no device plane -> wall
     start = time.perf_counter()
-    for i, b in enumerate(batches[2:2 + steps]):
-        trainer.state, m = trainer._train_step(
-            trainer.state, b, jax.random.fold_in(key, i))
-    float(m["loss"])  # sync
-    wall = time.perf_counter() - start
-    return round(steps * batch * chunk_s / wall, 1)
+    run(batches[2:2 + steps])
+    step_s = (time.perf_counter() - start) / steps
+    return round(batch * chunk_s / step_s, 1)
 
 
 def _streaming_throughput(stages, batch: int = 16, block_s: float = 1.0,
-                          blocks: int = 6) -> dict:
+                          blocks: int = 6, basis: str = "wall") -> dict:
     """Batched live-stream serving: B concurrent streams fed 1-s blocks
-    through one compiled step. Reports wall per block and how many realtime
-    streams that supports (extrapolated from measured throughput, floored at
-    the measured batch when a block finishes inside its deadline)."""
+    through one compiled step. Reports per-block time and how many realtime
+    streams that supports."""
     from ml_audio_restoration_tpu.pipeline.streaming import StreamingRestorer
 
     sr = 22050
@@ -135,16 +179,22 @@ def _streaming_throughput(stages, batch: int = 16, block_s: float = 1.0,
     feed = lambda: s.feed(rng.normal(size=(batch, n)).astype(np.float32) * 0.1)
     _sync(feed())  # compile (includes the short first-drain variant)
     _sync(feed())
-    start = time.perf_counter()
-    for _ in range(blocks):
-        out = feed()
-    _sync(out)
-    per_block = (time.perf_counter() - start) / blocks
-    streams = int(batch * block_s / per_block)
+    per_block = None
+    if basis == "device":
+        try:
+            per_block = max(_device_spans(lambda: _sync(feed()))) / 1e3
+        except RuntimeError:
+            pass
+    if per_block is None:
+        start = time.perf_counter()
+        for _ in range(blocks):
+            out = feed()
+        _sync(out)
+        per_block = (time.perf_counter() - start) / blocks
     return {
         "streaming_batch": batch,
-        "streaming_block_wall_s": round(per_block, 4),
-        "streaming_streams_at_realtime": streams,
+        "streaming_block_time_s": round(per_block, 4),
+        "streaming_streams_at_realtime": int(batch * block_s / per_block),
     }
 
 
@@ -162,14 +212,15 @@ def main():
     from ml_audio_restoration_tpu.pipeline import RestorationPipeline
 
     seconds = float(sys.argv[1]) if len(sys.argv) > 1 else 120.0
-    # soft budget: the headline is always measured; extras are dropped once
-    # exceeded. 600 s fits the full extra set on a median relay day (the
-    # first compile alone can eat ~8 min on a congested one).
+    # soft budget: once exceeded, remaining extras switch from multi-
+    # iteration wall timing to one traced device-span run each (they are
+    # never skipped); the hard budget stops everything but the summary
     budget_s = float(os.environ.get("MLAR_BENCH_BUDGET_S", "600"))
+    hard_budget_s = float(os.environ.get("MLAR_BENCH_HARD_BUDGET_S", "2400"))
     t_start = time.perf_counter()
 
-    def over_budget():
-        return time.perf_counter() - t_start > budget_s
+    def elapsed():
+        return time.perf_counter() - t_start
 
     sr = 22050
     audio = _make_audio(seconds, sr)
@@ -184,36 +235,75 @@ def main():
     cfg = PipelineConfig(chunk_seconds=2.0, overlap_seconds=0.05)
 
     extra = {"device": str(jax.devices()[0]), "audio_seconds": seconds}
+    bases: dict = {}
 
+    # relay congestion probe: a trivial matmul round trip is ~1 s on an idle
+    # relay and >30 s during congestion; when congested, wall numbers are
+    # relay weather, so extras go straight to the device basis
+    t0 = time.perf_counter()
+    probe = jax.numpy.ones((1000, 1000))
+    _sync(probe @ probe)
+    probe_s = time.perf_counter() - t0
+    extra["relay_probe_s"] = round(probe_s, 2)
+    congested = probe_s > 5.0
+
+    def basis_now():
+        return "device" if (congested or elapsed() > budget_s) else "wall"
+
+    def measure_pipeline(pipe, *, iters=2, wall_times=None):
+        """-> (xrt, basis). Device basis = one traced run's module span."""
+        if basis_now() == "device":
+            out, _ = pipe.restore(audio, sr)  # compile + warm
+            _sync(out)
+            try:
+                spans = _device_spans(
+                    lambda: _sync(pipe.restore(audio, sr)[0]))
+                return seconds / (max(spans) / 1e3), "device"
+            except RuntimeError:
+                pass  # no device plane -> wall
+        w = min(wall_times
+                or _time_pipeline(pipe, audio, sr, warmup=1, iters=iters))
+        return seconds / w, "wall"
+
+    # ---------------------------------------------------------- headline
     full = RestorationPipeline(**stages, config=cfg)
     times1 = _time_pipeline(full, audio, sr, warmup=2, iters=5)
     wall = min(times1)
-    xrt = seconds / wall
     extra["full_pipeline_wall_s"] = round(wall, 4)
+    # device-basis headline: stable round-over-round even on a bad relay day
+    try:
+        spans = _device_spans(lambda: _sync(full.restore(audio, sr)[0]))
+        extra["device_full_pipeline_ms"] = round(max(spans), 1)
+        extra["device_full_pipeline_xrt"] = round(
+            seconds / (max(spans) / 1e3), 1)
+    except RuntimeError:
+        pass  # CPU backend (no device plane)
 
+    # ------------------------------------------------------------- extras
     for name, kwargs in [
         ("denoise_only", dict(denoiser=stages["denoiser"])),
         ("super_res_only", dict(super_resolution=stages["super_resolution"])),
         ("stereo_only", dict(stereo=stages["stereo"])),
     ]:
-        if over_budget():
-            extra["skipped"] = "sub-benches (time budget)"
+        if elapsed() > hard_budget_s:
+            extra["skipped"] = f"hard budget at {name}"
             break
         pipe = RestorationPipeline(**kwargs, config=cfg)
-        w = min(_time_pipeline(pipe, audio, sr, warmup=1, iters=2))
-        extra[f"{name}_xrt"] = round(seconds / w, 1)
+        xrt, basis = measure_pipeline(pipe)
+        extra[f"{name}_xrt"] = round(xrt, 1)
+        bases[f"{name}_xrt"] = basis
 
     # bf16 serving mode: measured max deviation vs f32 is ~1.5e-4 end-to-end,
     # well inside the <=1e-3 parity bar, so it is a valid headline config
-    import dataclasses
-
-    bf16_dev = 1.0
-    w16 = float("inf")
-    if not over_budget():
+    bf16_dev, w16 = 1.0, float("inf")
+    if elapsed() <= hard_budget_s:
         bf16_cfg = dataclasses.replace(cfg, compute_dtype="bfloat16")
         bf16 = RestorationPipeline(**stages, config=bf16_cfg)
-        w16 = min(_time_pipeline(bf16, audio, sr, warmup=1, iters=4))
-        extra["bf16_full_pipeline_xrt"] = round(seconds / w16, 1)
+        times16 = _time_pipeline(bf16, audio, sr, warmup=1, iters=4)
+        w16 = min(times16)
+        xrt16, basis = measure_pipeline(bf16, wall_times=times16)
+        extra["bf16_full_pipeline_xrt"] = round(xrt16, 1)
+        bases["bf16_full_pipeline_xrt"] = basis
         out32, _ = full.restore(audio, sr)
         out16, _ = bf16.restore(audio, sr)
         bf16_dev = float(np.abs(np.asarray(out32) - np.asarray(out16)).max())
@@ -222,11 +312,12 @@ def main():
     # throughput mode: 0.25 s internal stereo windows (8x fewer sequential
     # LSTM steps; quality-free on a trained model per the PERFORMANCE.md
     # sweep — identical eval metrics, <=0.011 deviation vs full windows)
-    if not over_budget():
+    if elapsed() <= hard_budget_s:
         fast_cfg = dataclasses.replace(cfg, stereo_chunk_seconds=0.25)
         fast = RestorationPipeline(**stages, config=fast_cfg)
-        wf = min(_time_pipeline(fast, audio, sr, warmup=1, iters=2))
-        extra["stereo_subchunk_xrt"] = round(seconds / wf, 1)
+        xrt, basis = measure_pipeline(fast)
+        extra["stereo_subchunk_xrt"] = round(xrt, 1)
+        bases["stereo_subchunk_xrt"] = basis
 
     # training throughput, all three families (BASELINE config 5 is the
     # denoiser one: batch 2, 2-s chunks, combined time-MSE + spectral loss;
@@ -234,15 +325,19 @@ def main():
     for fam, tag in [("denoiser", "train_denoiser_audio_sec_per_sec"),
                      ("super_resolution", "train_sr_audio_sec_per_sec"),
                      ("stereo_separator", "train_stereo_audio_sec_per_sec")]:
-        if over_budget():
+        if elapsed() > hard_budget_s:
+            extra["skipped"] = f"hard budget at {tag}"
             break
-        extra[tag] = _train_throughput(fam)
+        basis = basis_now()
+        extra[tag] = _train_throughput(fam, basis)
+        bases[tag] = basis
 
     # concurrent-stream serving: B live streams batched through one compiled
-    # streaming step (pipeline/streaming.py); streams_at_realtime is the
-    # measured-block extrapolation, capped at the measured batch
-    if not over_budget():
-        extra.update(_streaming_throughput(stages))
+    # streaming step (pipeline/streaming.py)
+    if elapsed() <= hard_budget_s:
+        basis = basis_now()
+        extra.update(_streaming_throughput(stages, basis=basis))
+        bases["streaming_streams_at_realtime"] = basis
 
     # re-measure at the end: the shared dev relay drifts by >50% between
     # minutes, so the headline is the best parity-satisfying configuration
@@ -251,8 +346,6 @@ def main():
     # deltas can be attributed to code, not relay weather
     times2 = _time_pipeline(full, audio, sr, warmup=1, iters=5)
     wall2 = min(times2)
-    import statistics
-
     extra["full_pipeline_wall_s_second_window"] = round(wall2, 4)
     extra["f32_full_pipeline_xrt"] = round(seconds / min(wall, wall2), 2)
     extra["f32_full_pipeline_xrt_median"] = round(
@@ -261,8 +354,10 @@ def main():
     if bf16_dev <= 1e-3:
         candidates.append(w16)
     wall = min(candidates)
-    extra["headline_config"] = ("bfloat16" if wall == w16 and len(candidates) > 1
+    extra["headline_config"] = ("bfloat16"
+                                if wall == w16 and len(candidates) > 1
                                 else "float32")
+    extra["bases"] = bases
     xrt = seconds / wall
 
     print(json.dumps({

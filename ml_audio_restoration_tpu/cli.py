@@ -33,13 +33,22 @@ def _add_restore(sub):
     p.add_argument("--no-denoise", action="store_true")
     p.add_argument("--whole-file", action="store_true",
                    help="single unchunked forward (reference behavior)")
-    p.add_argument("--chunk-seconds", type=float, default=2.0)
-    p.add_argument("--overlap-seconds", type=float, default=0.05)
+    p.add_argument("--config", default=None,
+                   help="YAML overlay whose `pipeline:` section seeds the "
+                        "serving config (e.g. config/fast_serve.yaml); "
+                        "explicit flags below still override it")
+    p.add_argument("--chunk-seconds", type=float, default=None)
+    p.add_argument("--overlap-seconds", type=float, default=None)
     p.add_argument("--data-parallel", type=int, default=None,
                    help="shard the chunk batch over this many devices")
-    p.add_argument("--dtype", choices=["float32", "bfloat16"],
-                   default="float32",
+    p.add_argument("--dtype", choices=["float32", "bfloat16"], default=None,
                    help="compute dtype (bfloat16 ~ 1.5e-4 deviation)")
+    p.add_argument("--stereo-chunk-seconds", type=float, default=None,
+                   help="internal stereo LSTM window (0.25 measured "
+                        "quality-free, +19%% stereo throughput)")
+    p.add_argument("--no-packed-convs", action="store_true",
+                   help="disable the packed (space-to-depth) conv layout "
+                        "(exact legacy computation order)")
     p.add_argument("--stereo-mid-exact", action="store_true",
                    help="rebuild L/R around the true mid (out = mid +/- "
                         "predicted side): mono fidelity exact by "
@@ -48,18 +57,25 @@ def _add_restore(sub):
 
 
 def _cmd_restore(args):
-    from .config import PipelineConfig
+    from .config import load_config
     from .pipeline import RestorationPipeline
 
-    config = PipelineConfig(
-        sample_rate=args.sample_rate,
-        chunk_seconds=args.chunk_seconds,
-        overlap_seconds=args.overlap_seconds,
-        enable_super_resolution=not args.no_super_res,
-        whole_file=args.whole_file,
-        compute_dtype=args.dtype,
-        stereo_mid_exact=args.stereo_mid_exact,
-    )
+    config = load_config(args.config).pipeline
+    config.sample_rate = args.sample_rate
+    config.enable_super_resolution = not args.no_super_res
+    for flag, field in [("chunk_seconds", "chunk_seconds"),
+                        ("overlap_seconds", "overlap_seconds"),
+                        ("dtype", "compute_dtype"),
+                        ("stereo_chunk_seconds", "stereo_chunk_seconds")]:
+        v = getattr(args, flag)
+        if v is not None:
+            setattr(config, field, v)
+    if args.whole_file:
+        config.whole_file = True
+    if args.stereo_mid_exact:
+        config.stereo_mid_exact = True
+    if args.no_packed_convs:
+        config.packed_convs = False
     mesh = None
     if args.data_parallel:
         from .parallel import make_mesh

@@ -114,6 +114,13 @@ class PipelineConfig:
     # finer internal chunking for the LSTM stereo stage (None = outer chunks;
     # e.g. 0.5 trades LSTM context for ~4x fewer sequential steps)
     stereo_chunk_seconds: Optional[float] = None
+    # packed (space-to-depth) serving convs: run the C<=32 full-rate stages
+    # r=4-packed so activations fill the TPU's 128-lane tiles instead of
+    # carrying a 4x padding expansion (ops/packed.py; measured 1.6x on the
+    # C=32 conv stacks). Numerically equal to the plain path up to float
+    # reassociation (~1e-6); stages with non-default shapes fall back to the
+    # plain path automatically. False = exact legacy computation order.
+    packed_convs: bool = True
     # mid-exact upmix: keep the stereo model's predicted SIDE signal but
     # rebuild L/R around the true input mid (out = mid +/- side), so the
     # upmix cannot degrade mono fidelity — measured +3.6 dB mid SNR on the

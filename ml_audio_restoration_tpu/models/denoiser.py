@@ -25,11 +25,17 @@ from ..ops import (
     moving_average,
     leaky_relu,
 )
+from ..ops.packed import (
+    packed_conv,
+    packed_conv_transpose,
+    packed_max_pool2,
+)
 from .common import (
     conv_init,
     conv_transpose_init,
     double_conv_block_init,
     double_conv_block_apply,
+    fold_conv_bn,
 )
 
 DEFAULT_FEATURES = (32, 64, 128)
@@ -146,3 +152,104 @@ def apply(params, state, x, train: bool = False,
     denoised = conv1d(h, params["final_conv"]["w"], params["final_conv"]["b"])
     suppression = 1.0 - combined_mask * 0.9
     return denoised * suppression, new_state
+
+
+# ----------------------------------------------------- packed serving path
+def _detect_impulses_dense(xf):
+    """detect_impulses on a dense [B, T] layout (time on the lane axis, no
+    channel padding): shifted-slice diffs + an unrolled k=5 box filter, all
+    one fused elementwise pass. Values match detect_impulses to float
+    rounding (the conv formulation multiplies each tap by 1/k before
+    summing)."""
+    d1 = jnp.pad(jnp.abs(xf[:, 1:] - xf[:, :-1]), ((0, 0), (0, 1)))
+    d2 = jnp.pad(jnp.abs(d1[:, 1:] - d1[:, :-1]), ((0, 0), (0, 1)))
+    score = (d2 * 2.0 + d1 + jnp.abs(xf) * 0.5) / 3.5
+    sp = jnp.pad(score, ((0, 0), (2, 2)))
+    ma = (sp[:, 0:-4] + sp[:, 1:-3] + sp[:, 2:-2] + sp[:, 3:-1]
+          + sp[:, 4:]) / 5.0
+    return jnp.clip(ma, 0.0, 1.0)
+
+
+def _fold(p, s):
+    return fold_conv_bn(p["conv"], p["bn"], s["bn"])
+
+
+def apply_packed(params, state, xp, t: int):
+    """Eval-mode forward on an r=4-packed input (ops/packed.py): the C<=32
+    full-rate stages run in 128-lane packed form — exactly equal to apply()
+    up to float reassociation, but without the 4x (C=32) / 32x (C=1) HBM
+    lane-padding expansion that makes those stages the serve-path traffic
+    (docs/PERFORMANCE.md "Future lever", adopted).
+
+    xp: [B, t/4, 4] (r=4-packed [B, t, 1]); requires t % 4 == 0 and
+    in/out_channels == 1 (the pipeline falls back to apply() otherwise).
+    Packed region: enc0 (r4) -> pool -> enc1 (r2) -> pool -> [plain
+    enc2/bottleneck/dec0 at C>=128] -> up1 (r1->r2) -> dec1 (r2) -> up2
+    (r2->r4 — a single pointwise 128->128 matmul) -> dec2/detector/final/
+    masks (r4). Returns the r=4-packed [B, t/4, 4] output.
+    """
+    assert t % 4 == 0 and xp.shape[-1] == 4, (t, xp.shape)
+    enc_p, enc_s = params["encoder"], state["encoder"]
+    dec_p, dec_s = params["decoder"], state["decoder"]
+
+    def block(p, s, h, r, split=None):
+        """Eval double-conv block at packing r; `split` runs c1 as a
+        kernel-split sum over (skip, up) instead of materializing the
+        packed concat."""
+        w1, b1 = _fold(p["c1"], s["c1"])
+        if split is None:
+            h = packed_conv(h, w1, b1, r=r, padding=1)
+        else:
+            skip, up, c_skip = split
+            h = (packed_conv(skip, w1[:, :c_skip], b1, r=r, padding=1)
+                 + packed_conv(up, w1[:, c_skip:], None, r=r, padding=1))
+        h = leaky_relu(h)
+        w2, b2 = _fold(p["c2"], s["c2"])
+        return leaky_relu(packed_conv(h, w2, b2, r=r, padding=1))
+
+    # encoder levels 0 (r4) and 1 (r2); pool halves the packing rate in
+    # place (packed_max_pool2), so level 1 exits to the plain layout exactly
+    skip0 = block(enc_p[0], enc_s[0], xp, 4)               # [B, t/4, 128]
+    h = packed_max_pool2(skip0, enc_p[0]["c2"]["conv"]["w"].shape[2])
+    skip1 = block(enc_p[1], enc_s[1], h, 2)                # [B, t/4, 128]
+    h = packed_max_pool2(skip1, enc_p[1]["c2"]["conv"]["w"].shape[2])
+
+    # plain middle (C>=128 is already lane-dense): enc2 -> bottleneck ->
+    # up0 -> dec0, same code path as apply()
+    h, _ = double_conv_block_apply(enc_p[2], enc_s[2], h, False)
+    skip2 = h
+    h = max_pool1d(h)
+    h, _ = double_conv_block_apply(params["bottleneck"], state["bottleneck"],
+                                   h, False)
+    up0 = params["up"][0]
+    h = conv_transpose1d(h, up0["w"], up0["b"], stride=2, padding=0)
+    if h.shape[1] != skip2.shape[1]:
+        h = jnp.pad(h, ((0, 0), (0, skip2.shape[1] - h.shape[1]), (0, 0)))
+    h = jnp.concatenate([skip2, h], axis=-1)
+    h, _ = double_conv_block_apply(dec_p[0], dec_s[0], h, False)
+
+    # packed decoder: the k2/s2 up-convs become stride-1 packed convs that
+    # also raise the packing rate (r1->r2, r2->r4)
+    c1 = skip1.shape[-1] // 2  # 64
+    up1 = params["up"][1]
+    h = packed_conv_transpose(h, up1["w"], up1["b"], r_in=1, r_out=2,
+                              stride=2, padding=0, t_in=t // 4)
+    h = block(dec_p[1], dec_s[1], None, 2, split=(skip1, h, c1))
+
+    c0 = skip0.shape[-1] // 4  # 32
+    up2 = params["up"][2]
+    h = packed_conv_transpose(h, up2["w"], up2["b"], r_in=2, r_out=4,
+                              stride=2, padding=0, t_in=t // 2)
+    h = block(dec_p[2], dec_s[2], None, 4, split=(skip0, h, c0))
+
+    td = h
+    for j, layer in enumerate(params["transient_detector"]):
+        td = packed_conv(td, layer["w"], layer["b"], r=4, padding=1)
+        td = jax.nn.sigmoid(td) if j == 2 else leaky_relu(td)
+
+    imp = _detect_impulses_dense(xp.reshape(xp.shape[0], t))
+    combined = jnp.maximum(td, imp.reshape(td.shape))
+
+    fc = params["final_conv"]
+    denoised = packed_conv(h, fc["w"], fc["b"], r=4, padding=0)
+    return denoised * (1.0 - combined * 0.9)

@@ -15,12 +15,14 @@ from __future__ import annotations
 
 import jax
 
-from ..ops import conv1d, lstm_init
+from ..ops import conv1d, lstm_init, leaky_relu
 from ..ops.lstm import stacked_lstm
+from ..ops.packed import pack, unpack, mask_tail, packed_conv
 from .common import (
     conv_init,
     bn_init,
     conv_bn_lrelu_apply,
+    fold_conv_bn,
 )
 
 import jax.numpy as jnp
@@ -122,3 +124,65 @@ def apply(params, state, x, train: bool = False,
     stereo, (left_s, right_s) = decode(params, state, h, train, axis_name)
     new_state["left"], new_state["right"] = left_s, right_s
     return stereo, new_state
+
+
+# ----------------------------------------------------- packed serving path
+def _packed_fold_lrelu(p, s, xp, *, r, c_out, t, padding, dilation=1):
+    w, b = fold_conv_bn(p["conv"], p["bn"], s["bn"])
+    y = leaky_relu(packed_conv(xp, w, b, r=r, padding=padding,
+                               dilation=dilation))
+    return mask_tail(y, r, c_out, t)
+
+
+def encode_packed(params, state, x):
+    """Eval-mode encoder with the C<=64 full-rate stages packed
+    (ops/packed.py): stem (1->C) and dilated block 0 (C->2C + pointwise) at
+    r=4, then unpack — blocks 1..3 are C>=4C=128 and already lane-dense.
+    Handles any T via tail masks (the stereo stage sees sub-chunk lengths
+    that need not divide 4). Equal to encode() up to float reassociation.
+    x: [B, T, 1] -> [B, T, 4C]."""
+    b, t, _ = x.shape
+    c = params["stem"]["conv"]["w"].shape[2]
+    xp = pack(x, 4)
+    h = _packed_fold_lrelu(params["stem"], state["stem"], xp, r=4, c_out=c,
+                           t=t, padding=3)
+    p0, s0 = params["blocks"][0], state["blocks"][0]
+    h = _packed_fold_lrelu(p0["dilated"], s0["dilated"], h, r=4,
+                           c_out=2 * c, t=t, padding=1)
+    h = _packed_fold_lrelu(p0["pointwise"], s0["pointwise"], h, r=4,
+                           c_out=2 * c, t=t, padding=0)
+    h = unpack(h, 4, 2 * c, t)
+    for p, s, dil in zip(params["blocks"][1:], state["blocks"][1:],
+                         _DILATIONS[1:]):
+        h, _ = conv_bn_lrelu_apply(p["dilated"], s["dilated"], h, False,
+                                   padding=dil, dilation=dil)
+        h, _ = conv_bn_lrelu_apply(p["pointwise"], s["pointwise"], h, False,
+                                   padding=0)
+    return h
+
+
+def _decoder_apply_packed(p, s, h, t):
+    """Eval decoder with the C<=2C tail packed at r=2: l1 (H->4C) stays
+    plain (output already 128 lanes), l2/l3/final run r=2-packed so the
+    [B, T2, 64]/[B, T2, 32] tensors move dense. h: [B, T, H] -> [B, T, 1]."""
+    h, _ = conv_bn_lrelu_apply(p["l1"], s["l1"], h, False, padding=3)
+    c4 = h.shape[-1]           # 4C
+    hp = pack(h, 2)            # pure reshape when T even
+    hp = _packed_fold_lrelu(p["l2"], s["l2"], hp, r=2, c_out=c4 // 2, t=t,
+                            padding=3)
+    hp = _packed_fold_lrelu(p["l3"], s["l3"], hp, r=2, c_out=c4 // 4, t=t,
+                            padding=3)
+    out = packed_conv(hp, p["final"]["w"], p["final"]["b"], r=2, padding=3)
+    return unpack(out, 2, 1, t)
+
+
+def apply_packed(params, state, x):
+    """Eval-mode apply() with the packed encoder/decoder stages; the LSTM
+    recurrence itself is untouched (it is latency-bound, not traffic-bound —
+    docs/PERFORMANCE.md). x: [B, T, 1] -> [B, T, 2]."""
+    t = x.shape[1]
+    h = encode_packed(params, state, x)
+    h = stacked_lstm(h, params["lstm"])
+    left = _decoder_apply_packed(params["left"], state["left"], h, t)
+    right = _decoder_apply_packed(params["right"], state["right"], h, t)
+    return jnp.concatenate([left, right], axis=-1)

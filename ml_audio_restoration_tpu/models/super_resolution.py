@@ -13,8 +13,10 @@ from __future__ import annotations
 import math
 
 import jax
+import jax.numpy as jnp
 
 from ..ops import conv1d, conv_transpose1d, leaky_relu, upsample_linear
+from ..ops.packed import packed_conv, packed_conv_transpose
 from .common import (
     conv_init,
     conv_transpose_init,
@@ -105,3 +107,61 @@ def apply(params, state, x, train: bool = False,
     out = conv1d(h, params["recon"]["w"], params["recon"]["b"], padding=3)
 
     return out + upsample_linear(x, upscale), new_state
+
+
+# ----------------------------------------------------- packed serving path
+def _packed_upsample2_linear(xp, r: int, c: int, t: int):
+    """upsample_linear(x, 2) on an r-packed tensor: align_corners=False x2
+    linear interpolation is the k=4/s=2/p=1 transpose conv with kernel
+    [0.25, 0.75, 0.75, 0.25] per channel, plus edge-clamp corrections at the
+    first/last output sample (the conv sees zeros past the signal where the
+    interpolation clamps to the edge value). Avoids the plain path's gather
+    (ops/interp.py:25) entirely."""
+    w = jnp.asarray([0.25, 0.75, 0.75, 0.25], xp.dtype)
+    w = w[:, None, None] * jnp.eye(c, dtype=xp.dtype)
+    y = packed_conv_transpose(xp, w, None, r_in=r, r_out=2 * r, stride=2,
+                              padding=1, t_in=t)
+    tp2, rc2 = y.shape[1], y.shape[2]
+    first = xp[:, :1, :c] * 0.25            # missing 0.25*x[0] at out[0]
+    last = xp[:, -1:, (r - 1) * c:] * 0.25  # missing 0.25*x[t-1] at out[2t-1]
+    y = y + jnp.pad(first, ((0, 0), (0, tp2 - 1), (0, rc2 - c)))
+    y = y + jnp.pad(last, ((0, 0), (tp2 - 1, 0), (rc2 - c, 0)))
+    return y
+
+
+def apply_packed(params, state, xp, t: int):
+    """Eval-mode x2 forward on an r=4-packed input (ops/packed.py).
+
+    The ENTIRE model is C=32 (stem through recon), so the whole forward runs
+    in dense 128-lane packed form; the k4/s2 upsample raises the packing
+    rate r4->r8 as a stride-1 packed conv and the tail (hf/recon/global
+    residual) runs r=8 over the doubled rate. Exactly equal to apply() up to
+    float reassociation. Requires t % 4 == 0, channels == 1, upscale == 2
+    (callers fall back to apply() otherwise).
+
+    xp: [B, t/4, 4] -> [B, t/4, 8] (r=8-packed [B, 2t, 1]).
+    """
+    assert t % 4 == 0 and xp.shape[-1] == 4 and len(params["upsample"]) == 1
+    r = 4
+
+    h0 = leaky_relu(packed_conv(xp, params["initial"]["w"],
+                                params["initial"]["b"], r=r, padding=3))
+    h = h0
+    for p, s in zip(params["blocks"], state["blocks"]):
+        w1, b1 = fold_conv_bn(p["conv1"], p["bn1"], s["bn1"])
+        hh = leaky_relu(packed_conv(h, w1, b1, r=r, padding=1))
+        w2, b2 = fold_conv_bn(p["conv2"], p["bn2"], s["bn2"])
+        h = packed_conv(hh, w2, b2, r=r, padding=1) + h
+    wm, bm = fold_conv_bn(params["middle"]["conv"], params["middle"]["bn"],
+                          state["middle"]["bn"])
+    h = h0 + packed_conv(h, wm, bm, r=r, padding=1)
+
+    up = params["upsample"][0]
+    h = leaky_relu(packed_conv_transpose(h, up["w"], up["b"], r_in=r,
+                                         r_out=2 * r, stride=2, padding=1,
+                                         t_in=t))
+    h = leaky_relu(packed_conv(h, params["hf"]["w"], params["hf"]["b"],
+                               r=2 * r, padding=2))
+    out = packed_conv(h, params["recon"]["w"], params["recon"]["b"],
+                      r=2 * r, padding=3)
+    return out + _packed_upsample2_linear(xp, r, 1, t)

@@ -1,0 +1,222 @@
+"""Packed ("space-to-depth") 1-D convolutions: fold r time steps into
+channels so small-channel conv stacks fill the TPU's 128-wide lane tiles.
+
+Why: XLA pads the minor (channel) axis of NWC conv activations to 128 lanes,
+so a C=32 tensor moves 4x its bytes through HBM ("Extra memory due to
+padding: 4.0x" in OOM dumps) — and serving is HBM-bound
+(docs/PERFORMANCE.md). Folding r=4 samples into channels gives dense
+128-lane tiles; a k-tap conv becomes a few-tap conv over 128-wide
+block-Toeplitz kernels. Measured on the probe: C=32 r=4 stacks run 1.6x
+faster (scripts/pack_conv_probe.py).
+
+Representation ("r-packed", zero shift):
+
+    P_r(x)[n, t, phase*C + c] = x[n, r*t + phase, c]      phase in [0, r)
+
+i.e. pack() is a pure reshape of [B, T, C] (right-padded to a multiple of
+r). The key exactness property: when the packed tensor is zero-padded at
+the packed level, those zeros coincide with the plain conv's out-of-range
+zeros, so a packed 'same' conv equals the plain 'same' conv EXACTLY at
+every valid position — no boundary fix-up — as long as invalid tail phases
+(only present when T % r != 0) are kept at zero (mask_tail).
+
+Index algebra (derivations verified exhaustively by tests/test_packed.py):
+
+  conv (stride 1, dilation d, torch 'same' padding p):
+      out[u] = sum_j w[j] * x[u + j*d - p]
+      packed: out_p[t', a] = sum_{m,b} Wp[m, b*Cin+ci, a*Cout+co] * xp[t'+m-lo, b*Cin+ci]
+      with j*d = r*(m - lo) + b - a + p   (one j per (m, b, a) slot)
+
+  transpose conv (stride s, torch semantics u = s*v + j - p), with possibly
+  different input/output packing rates r_in, r_out:
+      j = r_out*Delta + a - s*b + p,   packed lhs_dilation = s*r_in / r_out
+      (Delta = packed tap offset). When s*r_in == r_out this degenerates to
+      a plain stride-1 packed conv — e.g. the U-Net's k2/s2 up-convs from an
+      r=2-packed input to an r=4-packed output become ONE pointwise
+      128->128 matmul.
+
+The packed kernels are built inside jit from the plain parameters via a
+static gather (index maps cached per (k, r, p, d)), so checkpoints and the
+training path are untouched; weight packing costs a few tiny HLOs per
+compiled program.
+
+No reference counterpart: /root/reference runs NCW torch convs on GPU
+(src/models/denoiser.py:88) where cuDNN handles small channel counts; the
+lane-padding economics are TPU-specific.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax.numpy as jnp
+from jax import lax
+
+_DIMNUMS = ("NWC", "WIO", "NWC")
+
+
+# ------------------------------------------------------------ pack / unpack
+def pack(x, r: int):
+    """[B, T, C] -> [B, ceil(T/r), r*C] (right zero-pad to a multiple of r).
+
+    Pure reshape when T % r == 0. Invalid tail phases (T % r != 0) are zero,
+    which mask_tail maintains across nonlinear packed layers."""
+    b, t, c = x.shape
+    tp = -(-t // r)
+    if tp * r != t:
+        x = jnp.pad(x, ((0, 0), (0, tp * r - t), (0, 0)))
+    return x.reshape(b, tp, r * c)
+
+
+def unpack(xp, r: int, c: int, t: int | None = None):
+    """[B, Tp, r*C] -> [B, Tp*r (sliced to t), C]. Pure reshape (+slice)."""
+    b, tp, rc = xp.shape
+    assert rc == r * c, (rc, r, c)
+    x = xp.reshape(b, tp * r, c)
+    return x if t is None or t == tp * r else x[:, :t, :]
+
+
+def repack_halve(xp, r: int, c: int):
+    """r-packed -> (r/2)-packed at the same sample coverage: [B, Tp, r*C] ->
+    [B, 2*Tp, (r/2)*C]. Pure reshape (phase-major blocks split in half)."""
+    b, tp, rc = xp.shape
+    assert rc == r * c and r % 2 == 0
+    return xp.reshape(b, tp * 2, (r // 2) * c)
+
+
+def mask_tail(xp, r: int, c: int, t: int):
+    """Zero the invalid tail phases (sample index >= t). No-op when the
+    packing covers exactly t samples. The mask is built from iotas, so XLA
+    fuses it into the producing conv's epilogue — no extra HBM pass."""
+    b, tp, rc = xp.shape
+    if tp * r == t:
+        return xp
+    step = lax.broadcasted_iota(jnp.int32, (tp, rc), 0)
+    phase = lax.broadcasted_iota(jnp.int32, (tp, rc), 1) // c
+    return jnp.where(step * r + phase < t, xp, jnp.zeros((), xp.dtype))
+
+
+# ------------------------------------------------------------- kernel maps
+@functools.lru_cache(maxsize=None)
+def _conv_index_map(k: int, r: int, padding: int, dilation: int):
+    """Static (m, b, a) -> j map for a stride-1 'same' conv at packing r.
+
+    Returns (jmap [kp, r, r] int32 with k as the zero slot, (lo, hi) packed
+    conv padding)."""
+    entries = []  # (delta, b, a, j)
+    for j in range(k):
+        for a in range(r):
+            num = j * dilation - padding + a  # = r*delta + b
+            b = num % r
+            entries.append(((num - b) // r, b, a, j))
+    deltas = [e[0] for e in entries]
+    lo, hi = -min(deltas), max(deltas)
+    kp = lo + hi + 1
+    jmap = np.full((kp, r, r), k, np.int32)
+    for delta, b, a, j in entries:
+        slot = jmap[delta + lo, b, a]
+        assert slot == k, "duplicate packed-kernel slot"
+        jmap[delta + lo, b, a] = j
+    return jmap, (lo, hi)
+
+
+@functools.lru_cache(maxsize=None)
+def _transpose_index_map(k: int, r_in: int, r_out: int, stride: int,
+                         padding: int):
+    """Static (m, b, a) -> j map for a transpose conv between packing rates.
+
+    j = r_out*Delta + a - stride*b + padding; multiple (Delta, b) entries per
+    (j, a) are correct — the packed-level stride parity selects exactly one
+    at each output position (requires r_out % (stride*r_in/r_out)... the
+    divisibility below)."""
+    dil, rem = divmod(stride * r_in, r_out)
+    assert rem == 0 and dil >= 1, (
+        f"unsupported packing: stride {stride} r_in {r_in} r_out {r_out}")
+    entries = []
+    for j in range(k):
+        for a in range(r_out):
+            for b in range(r_in):
+                num = stride * b + j - a - padding
+                if num % r_out == 0:
+                    entries.append((num // r_out, b, a, j))
+    deltas = [e[0] for e in entries]
+    lo, hi = -min(deltas), max(deltas)
+    kp = lo + hi + 1
+    jmap = np.full((kp, r_in, r_out), k, np.int32)
+    for delta, b, a, j in entries:
+        slot = jmap[delta + lo, b, a]
+        assert slot == k, "duplicate packed-transpose slot"
+        jmap[delta + lo, b, a] = j
+    return jmap, lo, dil
+
+
+def _gather_kernel(w, jmap):
+    """w [k, cin, cout] + jmap [kp, bi, ao] -> packed [kp, bi*cin, ao*cout]."""
+    k, cin, cout = w.shape
+    kp, bi, ao = jmap.shape
+    w_ext = jnp.concatenate([w, jnp.zeros((1, cin, cout), w.dtype)])
+    wp = w_ext[jnp.asarray(jmap.reshape(-1))].reshape(kp, bi, ao, cin, cout)
+    # packed channel order is phase-major: (b, cin) rows, (a, cout) cols
+    return wp.transpose(0, 1, 3, 2, 4).reshape(kp, bi * cin, ao * cout)
+
+
+# ------------------------------------------------------------ packed ops
+def packed_conv(xp, w, b=None, *, r: int, padding: int, dilation: int = 1):
+    """Stride-1 'same' conv on an r-packed tensor, equal to
+    conv1d(unpack(xp), w, b, padding=padding, dilation=dilation) at every
+    valid sample (exactly — see module docstring).
+
+    xp: [B, Tp, r*Cin]; w: [k, Cin, Cout] (plain WIO); -> [B, Tp, r*Cout].
+    """
+    jmap, (lo, hi) = _conv_index_map(int(w.shape[0]), r, padding, dilation)
+    wp = _gather_kernel(w, jmap)
+    out = lax.conv_general_dilated(xp, wp, (1,), [(lo, hi)],
+                                   dimension_numbers=_DIMNUMS)
+    if b is not None:
+        out = out + jnp.tile(b, r)
+    return out
+
+
+def packed_conv_transpose(xp, w, b=None, *, r_in: int, r_out: int,
+                          stride: int, padding: int, t_in: int):
+    """ConvTranspose1d on packed tensors, possibly changing the packing rate.
+
+    Equal to conv_transpose1d(unpack(xp), w, b, stride=stride,
+    padding=padding) packed at r_out. `t_in` is the plain input length
+    (needed to trim the packed output to the exact plain output length
+    (t_in-1)*stride - 2*padding + k). Requires t_in % r_in == 0 and the
+    plain output length % r_out == 0.
+    """
+    k, cin, cout = w.shape
+    assert t_in % r_in == 0, (t_in, r_in)
+    t_out = (t_in - 1) * stride - 2 * padding + k
+    assert t_out % r_out == 0, (t_out, r_out)
+    jmap, lo, dil = _transpose_index_map(int(k), r_in, r_out, stride, padding)
+    wp = _gather_kernel(w, jmap)
+    kp = wp.shape[0]
+    tp_in = t_in // r_in
+    # out_p[t'] = sum_m Wp[m] xp[v'], t' = dil*v' + m - lo  ->  flipped
+    # kernel + lhs_dilation with padding (kp-1-lo, kp-1-p_hi), where p_hi
+    # trims the packed output to exactly t_out/r_out steps
+    p_hi = dil * (tp_in - 1) + kp - lo - t_out // r_out
+    out = lax.conv_general_dilated(
+        xp, wp[::-1], window_strides=(1,),
+        padding=[(kp - 1 - lo, kp - 1 - p_hi)],
+        lhs_dilation=(dil,), dimension_numbers=_DIMNUMS)
+    if b is not None:
+        out = out + jnp.tile(b, r_out)
+    return out
+
+
+def packed_max_pool2(xp, c: int):
+    """torch MaxPool1d(2) on an r-packed tensor: halves the packing rate at
+    the same packed step count — [B, Tp, r*C] -> [B, Tp, (r/2)*C] — so the
+    pool is a pure reshape + pairwise max (no reduce_window, no relayout).
+    Caller handles floor-mode semantics for odd valid lengths via its own
+    valid-count bookkeeping (the extra straddling element lands in an
+    invalid phase)."""
+    b, tp, rc = xp.shape
+    r = rc // c
+    assert r % 2 == 0 and r * c == rc
+    y = xp.reshape(b, tp, r // 2, 2, c)
+    return jnp.max(y, axis=3).reshape(b, tp, (r // 2) * c)

@@ -23,9 +23,26 @@ def initialize(coordinator_address: Optional[str] = None,
     """
     import jax
 
-    if num_processes in (None, 1) and coordinator_address is None \
-            and "TPU_WORKER_HOSTNAMES" not in os.environ:
-        return False  # single host, nothing to do
+    explicit = (coordinator_address is not None
+                or (num_processes or 0) > 1)
+    if not explicit:
+        # auto-detect: only a TPU_WORKER_HOSTNAMES list naming MORE than one
+        # host implies a pod job (single-host TPU tunnels set it too)
+        hosts = [h for h in
+                 os.environ.get("TPU_WORKER_HOSTNAMES", "").split(",") if h]
+        if len(hosts) <= 1:
+            return False  # single host, nothing to do
+
+    from jax._src import xla_bridge as _xb
+
+    if _xb.backends_are_initialized():
+        if jax.process_count() > 1:
+            return True  # already initialized as a multi-process job
+        if explicit:
+            raise RuntimeError(
+                "distributed.initialize() must run before any other JAX "
+                "call (jax.devices, device_put, any computation)")
+        return False
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,

@@ -29,7 +29,21 @@ from ..models import super_resolution as sr_mod
 from ..models import stereo_separator as stereo_mod
 from ..ops import overlap_add, frame_structured
 from ..ops.chunking import num_chunks
+from ..ops.packed import pack, unpack
 from ..audio import load_audio, save_audio, normalize_audio
+
+
+def _denoiser_packable(dn) -> bool:
+    p = dn[0]
+    return (len(p["encoder"]) == 3
+            and p["encoder"][0]["c1"]["conv"]["w"].shape[1] == 1
+            and p["final_conv"]["w"].shape[2] == 1)
+
+
+def _sr_packable(sr) -> bool:
+    p = sr[0]
+    return (len(p["upsample"]) == 1 and p["initial"]["w"].shape[1] == 1
+            and p["recon"]["w"].shape[2] == 1)
 
 
 def _bucket(n: int, granularity: int = 4) -> int:
@@ -56,13 +70,16 @@ def stereo_sub_cfg(cfg: PipelineConfig, stage_len: int, f: int):
     return (sub, sub - sub_ov, sub_ov)
 
 
-def apply_stereo(st, x, sub_cfg):
+def apply_stereo(st, x, sub_cfg, packed: bool = False):
     """Stereo stage over [N, T2, 1] -> [N, T2, 2], optionally re-framed into
     shorter internal LSTM windows with crossfade overlap-add (sub_cfg from
-    stereo_sub_cfg; None = whole-window)."""
+    stereo_sub_cfg; None = whole-window). `packed` routes the encoder/
+    decoder conv stages through the r-packed layout (stereo_separator
+    .apply_packed — numerically equal up to float reassociation)."""
+    run = (stereo_mod.apply_packed if packed
+           else lambda p, s, v: stereo_mod.apply(p, s, v)[0])
     if sub_cfg is None:
-        y, _ = stereo_mod.apply(st[0], st[1], x)
-        return y
+        return run(st[0], st[1], x)
     sub, sub_hop, sub_ov = sub_cfg
     n, t2, c = x.shape
     m = num_chunks(t2, sub, sub_hop)
@@ -71,7 +88,7 @@ def apply_stereo(st, x, sub_cfg):
     # [N, T2, C] -> [N, M, sub, C] -> [N*M, sub, C]
     frames = jax.vmap(
         lambda row: frame_structured(row.T, m, sub, sub_hop))(xp)
-    y, _ = stereo_mod.apply(st[0], st[1], frames.reshape(n * m, sub, c))
+    y = run(st[0], st[1], frames.reshape(n * m, sub, c))
     y = y.reshape(n, m, sub, 2).transpose(0, 1, 3, 2)  # [N, M, 2, sub]
     out = jax.vmap(
         lambda ch: overlap_add(ch, sub_hop, t2, overlap=sub_ov))(y)
@@ -153,13 +170,21 @@ class RestorationPipeline:
                        overlap: int):
         key = (n_chunks, chunk_size, hop, self._stages_key(),
                self.config.compute_dtype, self.config.stereo_chunk_seconds,
-               self.config.stereo_mid_exact)
+               self.config.stereo_mid_exact, self.config.packed_convs)
         if key in self._compiled:
             return self._compiled[key]
 
         dtype = jnp.dtype(self.config.compute_dtype)
         has_dn, has_sr, has_st = self._stages_key()
         f = self.upscale_factor
+        # packed (space-to-depth) serving: denoiser + SR run on the r-packed
+        # layout with a direct packed handoff (denoiser r4 out -> SR r4 in);
+        # stages with non-default shapes (or non-r-divisible chunk lengths,
+        # e.g. whole-file parity mode) fall back to the plain path
+        packed = (self.config.packed_convs and chunk_size % 4 == 0
+                  and (not has_dn or _denoiser_packable(self.denoiser))
+                  and (not has_sr or _sr_packable(self.super_resolution)))
+        packed_stereo = self.config.packed_convs and has_st
 
         def cast(tree):
             if tree is None or dtype == jnp.float32:
@@ -189,12 +214,22 @@ class RestorationPipeline:
 
                 x = jax.lax.with_sharding_constraint(
                     x, NamedSharding(mesh, P("data", None, None)))
-            if has_dn:
-                x, _ = denoiser_mod.apply(dn[0], dn[1], x)
-            if has_sr:
-                x, _ = sr_mod.apply(sr[0], sr[1], x)
+            if packed and (has_dn or has_sr):
+                xp = pack(x, 4)
+                r_cur, t_cur = 4, chunk_size
+                if has_dn:
+                    xp = denoiser_mod.apply_packed(dn[0], dn[1], xp, t_cur)
+                if has_sr:
+                    xp = sr_mod.apply_packed(sr[0], sr[1], xp, t_cur)
+                    r_cur, t_cur = 8, 2 * t_cur
+                x = unpack(xp, r_cur, 1, t_cur)
+            else:
+                if has_dn:
+                    x, _ = denoiser_mod.apply(dn[0], dn[1], x)
+                if has_sr:
+                    x, _ = sr_mod.apply(sr[0], sr[1], x)
             if has_st:
-                y = apply_stereo(st, x, sub_cfg)
+                y = apply_stereo(st, x, sub_cfg, packed=packed_stereo)
                 if self.config.stereo_mid_exact:
                     # out = mid +/- predicted side: mono fidelity exact by
                     # construction, width carried entirely by the side

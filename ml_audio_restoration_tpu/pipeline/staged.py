@@ -37,7 +37,13 @@ from ..models import super_resolution as sr_mod
 from ..models import stereo_separator as stereo_mod
 from ..ops import overlap_add, frame_structured
 from ..ops.chunking import num_chunks
-from .restore import apply_stereo, stereo_sub_cfg
+from ..ops.packed import pack, unpack
+from .restore import (
+    apply_stereo,
+    stereo_sub_cfg,
+    _denoiser_packable,
+    _sr_packable,
+)
 
 
 class StagedRestorationPipeline:
@@ -82,7 +88,7 @@ class StagedRestorationPipeline:
     def _stage_fn(self, name):
         mid_exact = name == "stereo" and self.config.stereo_mid_exact
         key = ("stage", name, mid_exact, self.config.compute_dtype,
-               self.config.stereo_chunk_seconds)
+               self.config.stereo_chunk_seconds, self.config.packed_convs)
         if key not in self._compiled:
             mod = {"denoiser": denoiser_mod, "super_resolution": sr_mod,
                    "stereo": stereo_mod}[name]
@@ -99,13 +105,30 @@ class StagedRestorationPipeline:
             def run(tree, x):
                 # cast params/inputs to the serving compute dtype and the
                 # output back to f32, exactly like the plain pipeline's
-                # process(); bf16->f32->bf16 at stage seams is the identity,
-                # so staged output stays bit-identical to the fused path
+                # process(); bf16->f32->bf16 at stage seams is the identity
+                # and pack/unpack are pure reshapes, so staged output stays
+                # bit-identical to the fused path, packed paths included
                 tree = cast(tree)
                 x = x.astype(dtype)
+                t = x.shape[1]
+                # joint packability, matching the plain pipeline's condition
+                # exactly so the bit-identical contract holds even in
+                # fallback corners (one stage packable, the other not)
+                sp = self.stage_params
+                pk = (cfg.packed_convs and t % 4 == 0
+                      and ("denoiser" not in sp
+                           or _denoiser_packable(sp["denoiser"]))
+                      and ("super_resolution" not in sp
+                           or _sr_packable(sp["super_resolution"])))
                 if name == "stereo":
-                    y = apply_stereo(tree, x,
-                                     stereo_sub_cfg(cfg, x.shape[1], f))
+                    y = apply_stereo(tree, x, stereo_sub_cfg(cfg, t, f),
+                                     packed=cfg.packed_convs)
+                elif name == "denoiser" and pk:
+                    y = unpack(mod.apply_packed(tree[0], tree[1],
+                                                pack(x, 4), t), 4, 1, t)
+                elif name == "super_resolution" and pk:
+                    y = unpack(mod.apply_packed(tree[0], tree[1],
+                                                pack(x, 4), t), 8, 1, 2 * t)
                 else:
                     y = mod.apply(tree[0], tree[1], x)[0]
                 return x, y

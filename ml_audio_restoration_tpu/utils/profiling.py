@@ -47,6 +47,95 @@ def sync(x):
     return x
 
 
+# --------------------------------------------------- xplane trace analysis
+def _load_xplane_pb2():
+    """xplane_pb2 ships inside the tensorflow wheel here; load the generated
+    module straight from its file so we don't pay (or depend on) the full
+    `import tensorflow`."""
+    try:
+        from xprof.protobuf import xplane_pb2  # some images ship it here
+        return xplane_pb2
+    except ImportError:
+        pass
+    import importlib.util
+    import site
+
+    for root in site.getsitepackages():
+        cand = Path(root) / "tensorflow/tsl/profiler/protobuf/xplane_pb2.py"
+        if cand.exists():
+            spec = importlib.util.spec_from_file_location("xplane_pb2", cand)
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)
+            return mod
+    raise ImportError("no xplane_pb2 found (xprof or tensorflow wheel)")
+
+
+def xplane_device_times(logdir: str) -> dict:
+    """Aggregate device op durations (ms) by bucket from an xplane dump.
+
+    Only the serial "XLA Ops" line counts toward the total — the
+    "Async XLA Ops" line holds HBM<->VMEM prefetch copies that OVERLAP
+    compute (summing them double-counts; doing so once reported
+    5.8x-too-slow train steps, docs/PERFORMANCE.md). The true per-program
+    time is the "XLA Modules" execution span (module_step_ms, >1 ms spans);
+    async copy time is reported separately as overlap only. This is the
+    congestion-proof measurement basis: device spans are unaffected by the
+    dev relay's dispatch weather, so bench.py falls back to them when
+    wall-clock windows are congested.
+    """
+    from collections import defaultdict
+
+    xplane_pb2 = _load_xplane_pb2()
+
+    files = sorted(Path(logdir).rglob("*.xplane.pb"))
+    if not files:
+        raise RuntimeError(f"no xplane dump under {logdir}")
+    spaces = xplane_pb2.XSpace()
+    spaces.ParseFromString(files[-1].read_bytes())
+
+    def bucket(name: str) -> str:
+        n = name.lower()
+        if "while" in n:
+            return "recurrence(while)"
+        if "conv" in n:
+            return "convolution"
+        if "fusion" in n:
+            return "fusion(elementwise)"
+        if any(k in n for k in ("copy", "gather", "scatter", "slice",
+                                "transpose", "reshape", "concatenate")):
+            return "data-movement"
+        if any(k in n for k in ("dot", "matmul")):
+            return "matmul"
+        return "other"
+
+    totals: dict = defaultdict(float)
+    total = 0.0
+    async_overlap = 0.0
+    module_spans: list = []
+    for plane in spaces.planes:
+        if not plane.name.startswith("/device:"):
+            continue
+        meta = {m_id: m.name for m_id, m in plane.event_metadata.items()}
+        for line in plane.lines:
+            if line.name == "XLA Ops":
+                for ev in line.events:
+                    name = meta.get(ev.metadata_id, "")
+                    totals[bucket(name)] += ev.duration_ps / 1e9
+                    total += ev.duration_ps / 1e9
+            elif line.name == "Async XLA Ops":
+                async_overlap += sum(
+                    ev.duration_ps for ev in line.events) / 1e9
+            elif line.name == "XLA Modules":
+                module_spans.extend(
+                    ev.duration_ps / 1e9 for ev in line.events)
+    steps = [ms for ms in module_spans if ms > 1.0]
+    return {"total_device_ms": round(total, 2),
+            "module_step_ms": [round(m, 2) for m in steps],
+            "async_copy_overlap_ms": round(async_overlap, 2),
+            **{k: round(v, 2) for k, v in sorted(
+                totals.items(), key=lambda kv: -kv[1])}}
+
+
 class StepTimer:
     """Rolling step-time statistics (window of `keep` steps)."""
 

@@ -291,3 +291,43 @@ def test_profiler_trace_writes_xplane(tmp_path):
             f(x).block_until_ready()
     files = list(Path(tmp_path).rglob("*.xplane.pb"))
     assert files, "no xplane trace written"
+
+
+def test_measured_presets_load_and_run(data_dir, tmp_path):
+    """The measured-win presets (VERDICT r02 item 6) load and actually run:
+    fast_serve through the pipeline CLI, stereo_fast_train one step."""
+    from ml_audio_restoration_tpu.cli import main
+    from ml_audio_restoration_tpu.compat import save_pth
+    from ml_audio_restoration_tpu.config import load_config
+    from ml_audio_restoration_tpu.models import stereo_separator
+
+    cfg = load_config("config/fast_serve.yaml")
+    assert cfg.pipeline.compute_dtype == "bfloat16"
+    assert cfg.pipeline.stereo_chunk_seconds == 0.25
+    assert cfg.pipeline.packed_convs  # default stays on
+
+    fast = load_config("config/stereo_fast_train.yaml")
+    assert fast.train.compute_dtype == "bfloat16"
+    assert fast.train.batch_size == 64
+    assert fast.data.chunk_duration == 0.5
+
+    # serve smoke: stereo-only restore through the preset
+    params, state = stereo_separator.init(jax.random.PRNGKey(0))
+    ckpt = tmp_path / "st.pth"
+    save_pth(ckpt, "stereo_separator", params, state)
+    out = tmp_path / "out.wav"
+    rc = main(["restore", str(next(data_dir.glob("*.wav"))), str(out),
+               "--config", "config/fast_serve.yaml",
+               "--no-denoise", "--no-super-res", "--stereo", str(ckpt)])
+    assert rc == 0 and out.exists()
+
+    # train smoke: one short epoch under the fast-train preset shapes
+    from ml_audio_restoration_tpu.train.trainer import train_from_config
+
+    fast.train.batch_size = 4  # keep the CPU smoke small; dtype/chunk kept
+    fast.train.num_epochs = 1
+    fast.data.data_dir = str(data_dir)
+    fast.train.checkpoint_dir = str(tmp_path / "ckpt")
+    fast.train.log_dir = str(tmp_path / "runs")
+    history = fast and train_from_config(fast, steps_per_epoch=1)
+    assert np.isfinite(history["train_loss"][0])

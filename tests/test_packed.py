@@ -1,0 +1,184 @@
+"""Exactness tests for the packed (space-to-depth) conv calculus.
+
+Every packed op must equal its plain counterpart at every valid sample —
+the pipeline's parity bar rides on this (ops/packed.py module docstring).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ml_audio_restoration_tpu.ops import conv1d, conv_transpose1d, max_pool1d
+from ml_audio_restoration_tpu.ops.packed import (
+    pack,
+    unpack,
+    repack_halve,
+    mask_tail,
+    packed_conv,
+    packed_conv_transpose,
+    packed_max_pool2,
+)
+
+
+def _rand(rng, *shape):
+    return jnp.asarray(rng.normal(size=shape).astype(np.float32))
+
+
+# (k, padding, dilation) covering every conv the models use:
+# k3/p1 U-Net blocks, k7/p3 stems+decoders, k5/p2 HF, k1/p0 pointwise,
+# dilated k3 blocks (d=1,2,4,8), k3 asymmetric-ish check via d=2
+CONV_CASES = [
+    (3, 1, 1), (7, 3, 1), (5, 2, 1), (1, 0, 1),
+    (3, 1, 1), (3, 2, 2), (3, 4, 4), (3, 8, 8),
+]
+
+
+@pytest.mark.parametrize("k,p,d", CONV_CASES)
+@pytest.mark.parametrize("r", [2, 4, 8])
+def test_packed_conv_matches_plain(k, p, d, r):
+    rng = np.random.default_rng(0)
+    cin, cout, t = 3, 5, 4 * 8 * 3  # divisible by every r
+    x = _rand(rng, 2, t, cin)
+    w = _rand(rng, k, cin, cout) * 0.3
+    b = _rand(rng, cout)
+    want = conv1d(x, w, b, padding=p, dilation=d)
+    got = unpack(packed_conv(pack(x, r), w, b, r=r, padding=p, dilation=d),
+                 r, cout, t)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-6, rtol=1e-5)
+
+
+@pytest.mark.parametrize("r", [2, 4])
+def test_packed_conv_tail_mask(r):
+    """T % r != 0: pad + mask_tail after each layer keeps a 2-layer relu
+    chain exact (the garbage tail would otherwise bleed into valid samples
+    through the second conv)."""
+    rng = np.random.default_rng(1)
+    cin = cout = 4
+    t = 41  # not divisible by 2 or 4
+    x = _rand(rng, 2, t, cin)
+    w1 = _rand(rng, 3, cin, cout) * 0.3
+    w2 = _rand(rng, 3, cout, cout) * 0.3
+    b1, b2 = _rand(rng, cout), _rand(rng, cout)
+
+    h = jax.nn.relu(conv1d(x, w1, b1, padding=1))
+    want = conv1d(h, w2, b2, padding=1)
+
+    hp = jax.nn.relu(packed_conv(pack(x, r), w1, b1, r=r, padding=1))
+    hp = mask_tail(hp, r, cout, t)
+    got = unpack(packed_conv(hp, w2, b2, r=r, padding=1), r, cout, t)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-6, rtol=1e-5)
+
+
+# (k, stride, padding, r_in, r_out): the U-Net k2/s2 ups (r2->r4, r1->r2),
+# the SR k4/s2/p1 upsample (r4->r8 stride-1 form and r4->r4 dilated form),
+# and the linear-interp kernel form (k4/s2/p1, C=1)
+TRANS_CASES = [
+    (2, 2, 0, 2, 4), (2, 2, 0, 1, 2), (2, 2, 0, 4, 8),
+    (4, 2, 1, 4, 8), (4, 2, 1, 4, 4), (4, 2, 1, 2, 4), (4, 2, 1, 1, 2),
+]
+
+
+@pytest.mark.parametrize("k,s,p,r_in,r_out", TRANS_CASES)
+def test_packed_conv_transpose_matches_plain(k, s, p, r_in, r_out):
+    rng = np.random.default_rng(2)
+    cin, cout = 3, 5
+    t = 8 * 6  # divisible by every r_in; outputs divisible by every r_out
+    x = _rand(rng, 2, t, cin)
+    w = _rand(rng, k, cin, cout) * 0.3
+    b = _rand(rng, cout)
+    want = conv_transpose1d(x, w, b, stride=s, padding=p)
+    t_out = (t - 1) * s - 2 * p + k
+    got = unpack(
+        packed_conv_transpose(pack(x, r_in), w, b, r_in=r_in, r_out=r_out,
+                              stride=s, padding=p, t_in=t),
+        r_out, cout, t_out)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-6, rtol=1e-5)
+
+
+@pytest.mark.parametrize("r", [2, 4, 8])
+def test_packed_max_pool(r):
+    rng = np.random.default_rng(3)
+    c, t = 5, 8 * 6
+    x = _rand(rng, 2, t, c)
+    want = max_pool1d(x)
+    got = unpack(packed_max_pool2(pack(x, r), c), r // 2, c, t // 2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want))
+
+
+def test_repack_halve_roundtrip():
+    rng = np.random.default_rng(4)
+    x = _rand(rng, 2, 48, 3)
+    xp8 = pack(x, 8)
+    xp4 = repack_halve(xp8, 8, 3)
+    np.testing.assert_array_equal(np.asarray(xp4), np.asarray(pack(x, 4)))
+    xp2 = repack_halve(xp4, 4, 3)
+    np.testing.assert_array_equal(np.asarray(xp2), np.asarray(pack(x, 2)))
+
+
+def test_multilayer_chain_exact_at_boundaries():
+    """8-layer relu chain: packed == plain INCLUDING the first/last samples
+    (the zero-shift packing's padded steps coincide with plain zero pads;
+    this is the property the probe's shifted form lacked)."""
+    rng = np.random.default_rng(5)
+    c, t, k, p = 4, 64, 3, 1
+    x = _rand(rng, 1, t, c)
+    ws = [_rand(rng, k, c, c) * (0.5 / np.sqrt(k * c)) for _ in range(8)]
+
+    h = x
+    for w in ws:
+        h = jax.nn.relu(conv1d(h, w, padding=p))
+    want = np.asarray(h)
+
+    hp = pack(x, 4)
+    for w in ws:
+        hp = jax.nn.relu(packed_conv(hp, w, r=4, padding=p))
+    got = np.asarray(unpack(hp, 4, c, t))
+    np.testing.assert_allclose(got, want, atol=2e-6, rtol=1e-5)
+
+
+# ----------------------------------------------------- model packed paths
+def test_denoiser_apply_packed_matches_apply():
+    from ml_audio_restoration_tpu.models import denoiser
+
+    params, state = denoiser.init(jax.random.PRNGKey(0))
+    # make BN stats non-trivial so folding is actually exercised
+    state = jax.tree_util.tree_map(
+        lambda a: a + 0.05 * np.random.default_rng(7).normal(size=a.shape)
+        .astype(np.float32) ** 2, state)
+    rng = np.random.default_rng(6)
+    for t in (4096, 44100):  # t % 8 == 0 and t % 8 == 4 (odd middle levels)
+        x = _rand(rng, 2, t, 1) * 0.3
+        want, _ = denoiser.apply(params, state, x)
+        got = unpack(denoiser.apply_packed(params, state, pack(x, 4), t),
+                     4, 1, t)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=5e-6, rtol=1e-4)
+
+
+def test_super_resolution_apply_packed_matches_apply():
+    from ml_audio_restoration_tpu.models import super_resolution as sr
+
+    params, state = sr.init(jax.random.PRNGKey(1))
+    rng = np.random.default_rng(8)
+    t = 4100  # % 4 == 0, not a power of two
+    x = _rand(rng, 2, t, 1) * 0.3
+    want, _ = sr.apply(params, state, x)
+    got = unpack(sr.apply_packed(params, state, pack(x, 4), t), 8, 1, 2 * t)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-6, rtol=1e-4)
+
+
+def test_stereo_apply_packed_matches_apply():
+    from ml_audio_restoration_tpu.models import stereo_separator as st
+
+    params, state = st.init(jax.random.PRNGKey(2))
+    rng = np.random.default_rng(9)
+    for t in (2048, 2049):  # even/odd (tail-mask path)
+        x = _rand(rng, 2, t, 1) * 0.3
+        want, _ = st.apply(params, state, x)
+        got = st.apply_packed(params, state, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=5e-6, rtol=1e-4)

@@ -323,3 +323,25 @@ def test_staged_pipeline_matches_single_device(pipeline_stages):
     devs = {name: next(iter(jax.tree_util.tree_leaves(tree)[0].devices()))
             for name, tree in staged.stage_params.items()}
     assert len(set(devs.values())) == 3
+
+
+def test_packed_convs_match_plain_pipeline(pipeline_stages):
+    """packed_convs=True (default) must equal the plain computation order on
+    converted reference weights — the parity bar rides on this equivalence
+    (ops/packed.py; VERDICT r02 item 1)."""
+    import dataclasses
+
+    rng = np.random.default_rng(11)
+    audio = (rng.normal(size=(1, 22050 * 3)) * 0.1).astype(np.float32)
+    for extra in ({}, {"stereo_chunk_seconds": 0.25},
+                  {"stereo_mid_exact": True}):
+        cfg = PipelineConfig(chunk_seconds=1.0, overlap_seconds=0.05, **extra)
+        packed = RestorationPipeline(**pipeline_stages, config=cfg)
+        plain = RestorationPipeline(
+            **pipeline_stages,
+            config=dataclasses.replace(cfg, packed_convs=False))
+        out_p, rate_p = packed.restore(audio, 22050)
+        out_s, rate_s = plain.restore(audio, 22050)
+        assert rate_p == rate_s
+        dev = float(np.abs(np.asarray(out_p) - np.asarray(out_s)).max())
+        assert dev < 1e-5, (extra, dev)
