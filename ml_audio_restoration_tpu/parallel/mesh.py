@@ -4,10 +4,17 @@ The reference has no multi-device story at all (SURVEY.md §2.7: zero
 DDP/NCCL/MPI hits; "multi-node" is rsync over ssh). This module defines the
 TPU-native one:
 
-- axes: ('data', 'model'). Data parallelism shards the batch; the 'model'
-  axis is reserved for tensor/sequence sharding of larger configs (the
-  reference model sizes fit one chip thousands of times over, so TP is an
-  opt-in for scaled-up configs, not the default).
+- axes: ('data', 'model'). Data parallelism shards the batch. The 'model'
+  axis carries SEQUENCE parallelism: the serving pipeline shards each
+  chunk's TIME axis over it (pipeline/restore.py sharding constraint,
+  time_sharding below) — XLA inserts the conv halo exchanges — which is how
+  one very long recording scales past a chip (whole_file + data=1,
+  model=N). Weight-matrix tensor parallelism stays off BY DESIGN at these
+  model sizes: the largest family is 676K params (2.7 MB f32), so a TP
+  shard would move more bytes in per-layer activation collectives than the
+  whole weight set; for audio models the scalable dimensions are batch
+  (chunks/streams) and time, and both are covered. Revisit only if a model
+  family outgrows single-chip HBM (~16 GB), i.e. >4B params.
 - Train steps are jit-compiled with NamedShardings: batch sharded on 'data',
   parameters replicated. Under SPMD-by-sharding, gradient all-reduce AND
   cross-device batch-norm statistics come out of XLA's partitioner

@@ -208,12 +208,16 @@ class RestorationPipeline:
             chunks = frame_structured(audio_padded, n_chunks, chunk_size, hop)
             x = chunks.astype(dtype)  # [N, chunk, C]
             if mesh is not None:
-                # shard the chunk batch across the mesh; XLA partitions all
-                # three stages and all-gathers before the overlap-add
+                # shard the chunk batch over 'data' AND the time axis over
+                # 'model' (sequence parallelism — XLA inserts the conv halo
+                # exchanges, and gathers time before the LSTM scan). With
+                # model=1 this is plain chunk sharding; with data=1 +
+                # model=N it serves ONE very long chunk (whole_file mode)
+                # across N chips. XLA all-gathers before the overlap-add.
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
                 x = jax.lax.with_sharding_constraint(
-                    x, NamedSharding(mesh, P("data", None, None)))
+                    x, NamedSharding(mesh, P("data", "model", None)))
             if packed and (has_dn or has_sr):
                 xp = pack(x, 4)
                 r_cur, t_cur = 4, chunk_size
@@ -338,22 +342,60 @@ class RestorationPipeline:
 
     def restore_directory(self, input_dir, output_dir,
                           sample_rate: Optional[int] = None,
-                          suffix: str = "_restored"):
+                          suffix: str = "_restored",
+                          normalize: bool = True):
         """Batch-restore every audio file in a directory through ONE pipeline
         instance: chunk-count bucketing + slab processing mean all files
         share a handful of compiled programs, so throughput approaches the
         steady-state device rate (the reference CLI reloads and recompiles
-        per invocation)."""
+        per invocation).
+
+        The host work is pipelined around the device (VERDICT r02 item 8):
+        file i+1 is decoded+normalized on a background thread and file i-1's
+        output is transferred/written WHILE the device runs file i's program
+        (jax dispatch is async, so self.restore returns before the device
+        finishes). Per-file results are identical to restore_file."""
+        from concurrent.futures import ThreadPoolExecutor
         from pathlib import Path
 
         from ..audio import find_audio_files
 
+        cfg = self.config
+        sr_in = sample_rate or cfg.sample_rate
         out_dir = Path(output_dir)
         out_dir.mkdir(parents=True, exist_ok=True)
+        files = find_audio_files(input_dir, recursive=False)
+        if not files:
+            return []
+
+        def load(f):
+            audio, _ = load_audio(f, sample_rate=sr_in, mono=True)
+            if normalize:
+                audio = np.asarray(normalize_audio(audio))
+            return audio
+
+        def write(path, restored, rate):
+            # D2H + host normalize + encode — off the device critical path
+            restored = np.asarray(restored)
+            if normalize:
+                restored = normalize_audio(restored)
+            save_audio(path, restored, rate)
+
         results = []
-        for f in find_audio_files(input_dir, recursive=False):
-            out = out_dir / f"{f.stem}{suffix}.wav"
-            results.append(self.restore_file(f, out, sample_rate))
+        pending = None  # (path, device array, rate) awaiting write
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            fut = ex.submit(load, files[0])
+            for i, f in enumerate(files):
+                audio = fut.result()
+                if i + 1 < len(files):
+                    fut = ex.submit(load, files[i + 1])
+                restored, rate = self.restore(audio, sr_in)  # async dispatch
+                if pending is not None:
+                    write(*pending)
+                out = out_dir / f"{f.stem}{suffix}.wav"
+                pending = (out, restored, rate)
+                results.append((out, rate))
+            write(*pending)
         return results
 
 

@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Ablate the packed-conv subpieces on device time (companion to
+profile_serve.py): which packed stages are net wins once XLA's relayout
+copies at pack/unpack boundaries are charged?
+
+configs:
+  packed_dnsr   — denoiser+SR packed, stereo entirely plain
+  packed_nodec  — + stereo encoder packed, decoders plain
+  (run profile_serve.py for plain / full packed)
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import sys
+import tempfile
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main(argv=None):
+    names = (argv or sys.argv[1:]) or ["packed_dnsr", "packed_nodec"]
+    seconds = 120.0
+
+    import jax
+
+    from bench import _make_audio, _sync
+    from ml_audio_restoration_tpu.config import PipelineConfig
+    from ml_audio_restoration_tpu.models import (
+        denoiser, super_resolution, stereo_separator)
+    from ml_audio_restoration_tpu.pipeline import RestorationPipeline
+    from ml_audio_restoration_tpu.utils.cache import (
+        enable_persistent_compile_cache)
+    from ml_audio_restoration_tpu.utils.profiling import (
+        trace, xplane_device_times)
+
+    enable_persistent_compile_cache()
+    sr = 22050
+    audio = _make_audio(seconds, sr)
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    stages = {"denoiser": denoiser.init(k1),
+              "super_resolution": super_resolution.init(k2),
+              "stereo": stereo_separator.init(k3)}
+
+    plain_decode = stereo_separator._decoder_apply_packed
+
+    def decoder_plain(p, s, h, t):
+        return stereo_separator._decoder_apply(p, s, h, False, None)[0]
+
+    def stereo_all_plain(params, state, x):
+        return stereo_separator.apply(params, state, x)[0]
+
+    for name in names:
+        # experiment-local monkeypatches (restored after each config)
+        if name == "packed_dnsr":
+            stereo_separator.apply_packed, saved = (
+                stereo_all_plain, stereo_separator.apply_packed)
+        elif name == "packed_nodec":
+            stereo_separator._decoder_apply_packed, saved = (
+                decoder_plain, plain_decode)
+        try:
+            cfg = PipelineConfig(chunk_seconds=2.0, overlap_seconds=0.05,
+                                 packed_convs=True)
+            pipe = RestorationPipeline(**stages, config=cfg)
+            out, _ = pipe.restore(audio, sr)
+            _sync(out)
+            logdir = tempfile.mkdtemp(prefix=f"serve_{name}_")
+            with trace(logdir):
+                out, _ = pipe.restore(audio, sr)
+                _sync(out)
+            times = xplane_device_times(logdir)
+            spans = times["module_step_ms"]
+            dev_ms = max(spans) if spans else times["total_device_ms"]
+            print(json.dumps({
+                "config": name,
+                "device_ms_per_call": round(dev_ms, 1),
+                "device_xrt": round(seconds / (dev_ms / 1e3), 1),
+                "breakdown": {k: v for k, v in times.items()
+                              if k != "module_step_ms"},
+            }), flush=True)
+        finally:
+            if name == "packed_dnsr":
+                stereo_separator.apply_packed = saved
+            elif name == "packed_nodec":
+                stereo_separator._decoder_apply_packed = saved
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
