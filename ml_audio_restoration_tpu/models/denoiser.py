@@ -27,6 +27,7 @@ from ..ops import (
 )
 from ..ops.packed import (
     packed_conv,
+    packed_conv_r,
     packed_conv_transpose,
     packed_max_pool2,
 )
@@ -174,21 +175,26 @@ def _fold(p, s):
     return fold_conv_bn(p["conv"], p["bn"], s["bn"])
 
 
-def apply_packed(params, state, xp, t: int):
-    """Eval-mode forward on an r=4-packed input (ops/packed.py): the C<=32
-    full-rate stages run in 128-lane packed form — exactly equal to apply()
-    up to float reassociation, but without the 4x (C=32) / 32x (C=1) HBM
-    lane-padding expansion that makes those stages the serve-path traffic
-    (docs/PERFORMANCE.md "Future lever", adopted).
+def apply_packed(params, state, x):
+    """Eval-mode forward with the C<=32 full-rate stages in r-packed
+    (space-to-depth) form — exactly equal to apply() up to float
+    reassociation, but without the 4x (C=32) HBM lane-padding expansion
+    that makes those stages the serve-path traffic (docs/PERFORMANCE.md
+    "Future lever", adopted; ops/packed.py).
 
-    xp: [B, t/4, 4] (r=4-packed [B, t, 1]); requires t % 4 == 0 and
-    in/out_channels == 1 (the pipeline falls back to apply() otherwise).
-    Packed region: enc0 (r4) -> pool -> enc1 (r2) -> pool -> [plain
+    All packing-rate changes are FUSED INTO convs (packed_conv_r /
+    packed_conv_transpose / packed pooling): no standalone pack/unpack
+    reshape exists, because XLA materializes those as full relayout copies
+    that were measured to eat the conv win. x: plain [B, t, 1] -> plain
+    [B, t, 1]; requires t % 4 == 0 and in/out_channels == 1 (the pipeline
+    falls back to apply() otherwise). Packed region: enc0 (r4) -> pool ->
+    enc1 (r2) -> pool (exits exactly to the plain layout) -> [plain
     enc2/bottleneck/dec0 at C>=128] -> up1 (r1->r2) -> dec1 (r2) -> up2
-    (r2->r4 — a single pointwise 128->128 matmul) -> dec2/detector/final/
-    masks (r4). Returns the r=4-packed [B, t/4, 4] output.
+    (r2->r4 — a single pointwise 128x128 matmul) -> dec2/detector/final
+    (r4, exits fused to plain).
     """
-    assert t % 4 == 0 and xp.shape[-1] == 4, (t, xp.shape)
+    b_sz, t, cin = x.shape
+    assert t % 4 == 0 and cin == 1, (t, cin)
     enc_p, enc_s = params["encoder"], state["encoder"]
     dec_p, dec_s = params["decoder"], state["decoder"]
 
@@ -207,9 +213,14 @@ def apply_packed(params, state, xp, t: int):
         w2, b2 = _fold(p["c2"], s["c2"])
         return leaky_relu(packed_conv(h, w2, b2, r=r, padding=1))
 
-    # encoder levels 0 (r4) and 1 (r2); pool halves the packing rate in
+    # enc0: c1 enters packed space straight from the plain input (rate-
+    # raising fused conv), c2 runs r4; pool halves the packing rate in
     # place (packed_max_pool2), so level 1 exits to the plain layout exactly
-    skip0 = block(enc_p[0], enc_s[0], xp, 4)               # [B, t/4, 128]
+    w1, b1 = _fold(enc_p[0]["c1"], enc_s[0]["c1"])
+    h = leaky_relu(packed_conv_r(x, w1, b1, r_in=1, r_out=4, padding=1,
+                                 t_in=t))
+    w2, b2 = _fold(enc_p[0]["c2"], enc_s[0]["c2"])
+    skip0 = leaky_relu(packed_conv(h, w2, b2, r=4, padding=1))
     h = packed_max_pool2(skip0, enc_p[0]["c2"]["conv"]["w"].shape[2])
     skip1 = block(enc_p[1], enc_s[1], h, 2)                # [B, t/4, 128]
     h = packed_max_pool2(skip1, enc_p[1]["c2"]["conv"]["w"].shape[2])
@@ -242,14 +253,17 @@ def apply_packed(params, state, xp, t: int):
                               stride=2, padding=0, t_in=t // 2)
     h = block(dec_p[2], dec_s[2], None, 4, split=(skip0, h, c0))
 
-    td = h
-    for j, layer in enumerate(params["transient_detector"]):
-        td = packed_conv(td, layer["w"], layer["b"], r=4, padding=1)
-        td = jax.nn.sigmoid(td) if j == 2 else leaky_relu(td)
+    # detector: two r4 convs, then the 8->1 conv exits to plain (fused)
+    l0, l1, l2 = params["transient_detector"]
+    td = leaky_relu(packed_conv(h, l0["w"], l0["b"], r=4, padding=1))
+    td = leaky_relu(packed_conv(td, l1["w"], l1["b"], r=4, padding=1))
+    td = jax.nn.sigmoid(packed_conv_r(td, l2["w"], l2["b"], r_in=4, r_out=1,
+                                      padding=1, t_in=t))    # [B, t, 1]
 
-    imp = _detect_impulses_dense(xp.reshape(xp.shape[0], t))
-    combined = jnp.maximum(td, imp.reshape(td.shape))
+    imp = _detect_impulses_dense(x[..., 0])
+    combined = jnp.maximum(td, imp[..., None])
 
     fc = params["final_conv"]
-    denoised = packed_conv(h, fc["w"], fc["b"], r=4, padding=0)
+    denoised = packed_conv_r(h, fc["w"], fc["b"], r_in=4, r_out=1,
+                             padding=0, t_in=t)              # [B, t, 1]
     return denoised * (1.0 - combined * 0.9)

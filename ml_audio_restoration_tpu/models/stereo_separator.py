@@ -17,7 +17,7 @@ import jax
 
 from ..ops import conv1d, lstm_init, leaky_relu
 from ..ops.lstm import stacked_lstm
-from ..ops.packed import pack, unpack, mask_tail, packed_conv
+from ..ops.packed import packed_conv, packed_conv_r
 from .common import (
     conv_init,
     bn_init,
@@ -127,33 +127,37 @@ def apply(params, state, x, train: bool = False,
 
 
 # ----------------------------------------------------- packed serving path
-def _packed_fold_lrelu(p, s, xp, *, r, c_out, t, padding, dilation=1):
-    w, b = fold_conv_bn(p["conv"], p["bn"], s["bn"])
-    y = leaky_relu(packed_conv(xp, w, b, r=r, padding=padding,
-                               dilation=dilation))
-    return mask_tail(y, r, c_out, t)
-
-
 def encode_packed(params, state, x):
     """Eval-mode encoder with the C<=64 full-rate stages packed
-    (ops/packed.py): stem (1->C) and dilated block 0 (C->2C + pointwise) at
-    r=4, then unpack — blocks 1..3 are C>=4C=128 and already lane-dense.
-    Handles any T via tail masks (the stereo stage sees sub-chunk lengths
-    that need not divide 4). Equal to encode() up to float reassociation.
+    (ops/packed.py): the stem enters packed space straight from the plain
+    [B, T, 1] input (rate-raising fused conv), dilated block 0 runs at r=4,
+    and block 1's dilated conv exits fused back to the plain layout —
+    blocks 1..3 are C>=128 and already lane-dense, and no standalone
+    pack/unpack reshape (= relayout copy) exists anywhere. Equal to
+    encode() up to float reassociation. Requires T % 4 == 0.
     x: [B, T, 1] -> [B, T, 4C]."""
     b, t, _ = x.shape
-    c = params["stem"]["conv"]["w"].shape[2]
-    xp = pack(x, 4)
-    h = _packed_fold_lrelu(params["stem"], state["stem"], xp, r=4, c_out=c,
-                           t=t, padding=3)
+    assert t % 4 == 0, t
+    w, bb = fold_conv_bn(params["stem"]["conv"], params["stem"]["bn"],
+                         state["stem"]["bn"])
+    h = leaky_relu(packed_conv_r(x, w, bb, r_in=1, r_out=4, padding=3,
+                                 t_in=t))
     p0, s0 = params["blocks"][0], state["blocks"][0]
-    h = _packed_fold_lrelu(p0["dilated"], s0["dilated"], h, r=4,
-                           c_out=2 * c, t=t, padding=1)
-    h = _packed_fold_lrelu(p0["pointwise"], s0["pointwise"], h, r=4,
-                           c_out=2 * c, t=t, padding=0)
-    h = unpack(h, 4, 2 * c, t)
-    for p, s, dil in zip(params["blocks"][1:], state["blocks"][1:],
-                         _DILATIONS[1:]):
+    w, bb = fold_conv_bn(p0["dilated"]["conv"], p0["dilated"]["bn"],
+                         s0["dilated"]["bn"])
+    h = leaky_relu(packed_conv(h, w, bb, r=4, padding=1))
+    w, bb = fold_conv_bn(p0["pointwise"]["conv"], p0["pointwise"]["bn"],
+                         s0["pointwise"]["bn"])
+    h = leaky_relu(packed_conv(h, w, bb, r=4, padding=0))
+    p1, s1 = params["blocks"][1], state["blocks"][1]
+    w, bb = fold_conv_bn(p1["dilated"]["conv"], p1["dilated"]["bn"],
+                         s1["dilated"]["bn"])
+    h = leaky_relu(packed_conv_r(h, w, bb, r_in=4, r_out=1, padding=2,
+                                 dilation=2, t_in=t))  # -> plain [B, T, 4C]
+    h, _ = conv_bn_lrelu_apply(p1["pointwise"], s1["pointwise"], h, False,
+                               padding=0)
+    for p, s, dil in zip(params["blocks"][2:], state["blocks"][2:],
+                         _DILATIONS[2:]):
         h, _ = conv_bn_lrelu_apply(p["dilated"], s["dilated"], h, False,
                                    padding=dil, dilation=dil)
         h, _ = conv_bn_lrelu_apply(p["pointwise"], s["pointwise"], h, False,
@@ -162,24 +166,26 @@ def encode_packed(params, state, x):
 
 
 def _decoder_apply_packed(p, s, h, t):
-    """Eval decoder with the C<=2C tail packed at r=2: l1 (H->4C) stays
-    plain (output already 128 lanes), l2/l3/final run r=2-packed so the
-    [B, T2, 64]/[B, T2, 32] tensors move dense. h: [B, T, H] -> [B, T, 1]."""
-    h, _ = conv_bn_lrelu_apply(p["l1"], s["l1"], h, False, padding=3)
-    c4 = h.shape[-1]           # 4C
-    hp = pack(h, 2)            # pure reshape when T even
-    hp = _packed_fold_lrelu(p["l2"], s["l2"], hp, r=2, c_out=c4 // 2, t=t,
-                            padding=3)
-    hp = _packed_fold_lrelu(p["l3"], s["l3"], hp, r=2, c_out=c4 // 4, t=t,
-                            padding=3)
-    out = packed_conv(hp, p["final"]["w"], p["final"]["b"], r=2, padding=3)
-    return unpack(out, 2, 1, t)
+    """Eval decoder with the conv stack r=2-packed, boundary-fused both
+    ways: l1 raises plain LSTM output [B, T, H] into packed space, l2/l3
+    run r=2 (the [B, T2, 64]/[B, T2, 32] tensors move lane-dense), and the
+    final conv exits fused to plain [B, T, 1]."""
+    w1, b1 = fold_conv_bn(p["l1"]["conv"], p["l1"]["bn"], s["l1"]["bn"])
+    hp = leaky_relu(packed_conv_r(h, w1, b1, r_in=1, r_out=2, padding=3,
+                                  t_in=t))
+    w2, b2 = fold_conv_bn(p["l2"]["conv"], p["l2"]["bn"], s["l2"]["bn"])
+    hp = leaky_relu(packed_conv(hp, w2, b2, r=2, padding=3))
+    w3, b3 = fold_conv_bn(p["l3"]["conv"], p["l3"]["bn"], s["l3"]["bn"])
+    hp = leaky_relu(packed_conv(hp, w3, b3, r=2, padding=3))
+    return packed_conv_r(hp, p["final"]["w"], p["final"]["b"], r_in=2,
+                         r_out=1, padding=3, t_in=t)
 
 
 def apply_packed(params, state, x):
     """Eval-mode apply() with the packed encoder/decoder stages; the LSTM
     recurrence itself is untouched (it is latency-bound, not traffic-bound —
-    docs/PERFORMANCE.md). x: [B, T, 1] -> [B, T, 2]."""
+    docs/PERFORMANCE.md). Requires T % 4 == 0 (callers fall back to
+    apply() otherwise). x: [B, T, 1] -> [B, T, 2]."""
     t = x.shape[1]
     h = encode_packed(params, state, x)
     h = stacked_lstm(h, params["lstm"])

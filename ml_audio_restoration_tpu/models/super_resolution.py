@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import conv1d, conv_transpose1d, leaky_relu, upsample_linear
-from ..ops.packed import packed_conv, packed_conv_transpose
+from ..ops.packed import packed_conv, packed_conv_r, packed_conv_transpose
 from .common import (
     conv_init,
     conv_transpose_init,
@@ -110,42 +110,44 @@ def apply(params, state, x, train: bool = False,
 
 
 # ----------------------------------------------------- packed serving path
-def _packed_upsample2_linear(xp, r: int, c: int, t: int):
-    """upsample_linear(x, 2) on an r-packed tensor: align_corners=False x2
-    linear interpolation is the k=4/s=2/p=1 transpose conv with kernel
+def _upsample2_linear_conv(x, c: int, t: int):
+    """upsample_linear(x, 2) as a conv: align_corners=False x2 linear
+    interpolation is the k=4/s=2/p=1 transpose conv with kernel
     [0.25, 0.75, 0.75, 0.25] per channel, plus edge-clamp corrections at the
     first/last output sample (the conv sees zeros past the signal where the
     interpolation clamps to the edge value). Avoids the plain path's gather
-    (ops/interp.py:25) entirely."""
-    w = jnp.asarray([0.25, 0.75, 0.75, 0.25], xp.dtype)
-    w = w[:, None, None] * jnp.eye(c, dtype=xp.dtype)
-    y = packed_conv_transpose(xp, w, None, r_in=r, r_out=2 * r, stride=2,
+    (ops/interp.py:25) entirely. Plain [B, t, c] -> plain [B, 2t, c]."""
+    w = jnp.asarray([0.25, 0.75, 0.75, 0.25], x.dtype)
+    w = w[:, None, None] * jnp.eye(c, dtype=x.dtype)
+    y = packed_conv_transpose(x, w, None, r_in=1, r_out=1, stride=2,
                               padding=1, t_in=t)
-    tp2, rc2 = y.shape[1], y.shape[2]
-    first = xp[:, :1, :c] * 0.25            # missing 0.25*x[0] at out[0]
-    last = xp[:, -1:, (r - 1) * c:] * 0.25  # missing 0.25*x[t-1] at out[2t-1]
-    y = y + jnp.pad(first, ((0, 0), (0, tp2 - 1), (0, rc2 - c)))
-    y = y + jnp.pad(last, ((0, 0), (tp2 - 1, 0), (rc2 - c, 0)))
+    first = x[:, :1, :] * 0.25   # missing 0.25*x[0] at out[0]
+    last = x[:, -1:, :] * 0.25   # missing 0.25*x[t-1] at out[2t-1]
+    y = y + jnp.pad(first, ((0, 0), (0, 2 * t - 1), (0, 0)))
+    y = y + jnp.pad(last, ((0, 0), (2 * t - 1, 0), (0, 0)))
     return y
 
 
-def apply_packed(params, state, xp, t: int):
-    """Eval-mode x2 forward on an r=4-packed input (ops/packed.py).
+def apply_packed(params, state, x):
+    """Eval-mode x2 forward in r-packed (space-to-depth) form.
 
     The ENTIRE model is C=32 (stem through recon), so the whole forward runs
-    in dense 128-lane packed form; the k4/s2 upsample raises the packing
-    rate r4->r8 as a stride-1 packed conv and the tail (hf/recon/global
-    residual) runs r=8 over the doubled rate. Exactly equal to apply() up to
-    float reassociation. Requires t % 4 == 0, channels == 1, upscale == 2
-    (callers fall back to apply() otherwise).
-
-    xp: [B, t/4, 4] -> [B, t/4, 8] (r=8-packed [B, 2t, 1]).
+    in dense 128-lane packed form: the stem enters packed space straight
+    from the plain input (rate-raising fused conv), the k4/s2 upsample
+    raises the packing rate r4->r8 as a stride-1 packed conv, and the recon
+    conv exits fused to the plain layout — no standalone pack/unpack
+    reshapes (they cost relayout copies; ops/packed.py::packed_conv_r).
+    Exactly equal to apply() up to float reassociation. Requires
+    t % 4 == 0, channels == 1, upscale == 2 (callers fall back to apply()
+    otherwise). x: plain [B, t, 1] -> plain [B, 2t, 1].
     """
-    assert t % 4 == 0 and xp.shape[-1] == 4 and len(params["upsample"]) == 1
+    b_sz, t, cin = x.shape
+    assert t % 4 == 0 and cin == 1 and len(params["upsample"]) == 1
     r = 4
 
-    h0 = leaky_relu(packed_conv(xp, params["initial"]["w"],
-                                params["initial"]["b"], r=r, padding=3))
+    h0 = leaky_relu(packed_conv_r(x, params["initial"]["w"],
+                                  params["initial"]["b"], r_in=1, r_out=r,
+                                  padding=3, t_in=t))
     h = h0
     for p, s in zip(params["blocks"], state["blocks"]):
         w1, b1 = fold_conv_bn(p["conv1"], p["bn1"], s["bn1"])
@@ -162,6 +164,6 @@ def apply_packed(params, state, xp, t: int):
                                          t_in=t))
     h = leaky_relu(packed_conv(h, params["hf"]["w"], params["hf"]["b"],
                                r=2 * r, padding=2))
-    out = packed_conv(h, params["recon"]["w"], params["recon"]["b"],
-                      r=2 * r, padding=3)
-    return out + _packed_upsample2_linear(xp, r, 1, t)
+    out = packed_conv_r(h, params["recon"]["w"], params["recon"]["b"],
+                        r_in=2 * r, r_out=1, padding=3, t_in=2 * t)
+    return out + _upsample2_linear_conv(x, 1, t)

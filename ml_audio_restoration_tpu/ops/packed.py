@@ -122,12 +122,12 @@ def _conv_index_map(k: int, r: int, padding: int, dilation: int):
 
 @functools.lru_cache(maxsize=None)
 def _transpose_index_map(k: int, r_in: int, r_out: int, stride: int,
-                         padding: int):
+                         padding: int, dilation: int = 1):
     """Static (m, b, a) -> j map for a transpose conv between packing rates.
 
-    j = r_out*Delta + a - stride*b + padding; multiple (Delta, b) entries per
-    (j, a) are correct — the packed-level stride parity selects exactly one
-    at each output position (requires r_out % (stride*r_in/r_out)... the
+    j*dilation = r_out*Delta + a - stride*b + padding; multiple (Delta, b)
+    entries per (j, a) are correct — the packed-level stride parity selects
+    exactly one at each output position (requires the stride*r_in/r_out
     divisibility below)."""
     dil, rem = divmod(stride * r_in, r_out)
     assert rem == 0 and dil >= 1, (
@@ -136,7 +136,7 @@ def _transpose_index_map(k: int, r_in: int, r_out: int, stride: int,
     for j in range(k):
         for a in range(r_out):
             for b in range(r_in):
-                num = stride * b + j - a - padding
+                num = stride * b + j * dilation - a - padding
                 if num % r_out == 0:
                     entries.append((num // r_out, b, a, j))
     deltas = [e[0] for e in entries]
@@ -148,6 +148,31 @@ def _transpose_index_map(k: int, r_in: int, r_out: int, stride: int,
         assert slot == k, "duplicate packed-transpose slot"
         jmap[delta + lo, b, a] = j
     return jmap, lo, dil
+
+
+@functools.lru_cache(maxsize=None)
+def _conv_raise_index_map(k: int, r_in: int, r_out: int, padding: int,
+                          dilation: int):
+    """Static map for a stride-1 plain conv whose OUTPUT is packed at a
+    HIGHER rate than its input (r_out = s*r_in): a packed-level conv with
+    window stride s. j*dilation = r_in*Delta + b - a + padding over output
+    phases a in [0, r_out)."""
+    s, rem = divmod(r_out, r_in)
+    assert rem == 0 and s >= 1, (r_in, r_out)
+    entries = []
+    for j in range(k):
+        for a in range(r_out):
+            num = j * dilation + a - padding
+            b = num % r_in
+            entries.append(((num - b) // r_in, b, a, j))
+    deltas = [e[0] for e in entries]
+    lo, hi = -min(deltas), max(deltas)
+    kp = lo + hi + 1
+    jmap = np.full((kp, r_in, r_out), k, np.int32)
+    for delta, b, a, j in entries:
+        assert jmap[delta + lo, b, a] == k, "duplicate packed-raise slot"
+        jmap[delta + lo, b, a] = j
+    return jmap, lo, s
 
 
 def _gather_kernel(w, jmap):
@@ -178,20 +203,22 @@ def packed_conv(xp, w, b=None, *, r: int, padding: int, dilation: int = 1):
 
 
 def packed_conv_transpose(xp, w, b=None, *, r_in: int, r_out: int,
-                          stride: int, padding: int, t_in: int):
+                          stride: int, padding: int, t_in: int,
+                          dilation: int = 1):
     """ConvTranspose1d on packed tensors, possibly changing the packing rate.
 
     Equal to conv_transpose1d(unpack(xp), w, b, stride=stride,
     padding=padding) packed at r_out. `t_in` is the plain input length
     (needed to trim the packed output to the exact plain output length
-    (t_in-1)*stride - 2*padding + k). Requires t_in % r_in == 0 and the
-    plain output length % r_out == 0.
+    (t_in-1)*stride - 2*padding + dilation*(k-1) + 1). Requires
+    t_in % r_in == 0 and the plain output length % r_out == 0.
     """
     k, cin, cout = w.shape
     assert t_in % r_in == 0, (t_in, r_in)
-    t_out = (t_in - 1) * stride - 2 * padding + k
+    t_out = (t_in - 1) * stride - 2 * padding + dilation * (k - 1) + 1
     assert t_out % r_out == 0, (t_out, r_out)
-    jmap, lo, dil = _transpose_index_map(int(k), r_in, r_out, stride, padding)
+    jmap, lo, dil = _transpose_index_map(int(k), r_in, r_out, stride,
+                                         padding, dilation)
     wp = _gather_kernel(w, jmap)
     kp = wp.shape[0]
     tp_in = t_in // r_in
@@ -203,6 +230,40 @@ def packed_conv_transpose(xp, w, b=None, *, r_in: int, r_out: int,
         xp, wp[::-1], window_strides=(1,),
         padding=[(kp - 1 - lo, kp - 1 - p_hi)],
         lhs_dilation=(dil,), dimension_numbers=_DIMNUMS)
+    if b is not None:
+        out = out + jnp.tile(b, r_out)
+    return out
+
+
+def packed_conv_r(xp, w, b=None, *, r_in: int, r_out: int, padding: int,
+                  dilation: int = 1, t_in: int):
+    """Stride-1 'same' plain-conv semantics between ANY two packing rates
+    (one dividing the other, r=1 meaning the plain layout itself).
+
+    This is the boundary-fusion primitive: a conv at a packing boundary
+    absorbs the rate change, so no standalone pack/unpack reshape — which
+    XLA materializes as a full relayout copy at C>=64 (measured 4-11 ms per
+    boundary on the serve path) — ever exists. r_in < r_out enters packed
+    space (packed-level window-stride conv); r_in > r_out exits it (the
+    conv re-expressed as its transpose with a flipped kernel:
+    conv(w, p, d) == conv_transpose(flip(w), stride=1, p'=(k-1)*d-p, d)).
+    """
+    if r_in == r_out:
+        return packed_conv(xp, w, b, r=r_in, padding=padding,
+                           dilation=dilation)
+    k = int(w.shape[0])
+    if r_in > r_out:
+        return packed_conv_transpose(
+            xp, w[::-1], b, r_in=r_in, r_out=r_out, stride=1,
+            padding=(k - 1) * dilation - padding, dilation=dilation,
+            t_in=t_in)
+    assert t_in % r_out == 0, (t_in, r_out)
+    jmap, lo, s = _conv_raise_index_map(k, r_in, r_out, padding, dilation)
+    wp = _gather_kernel(w, jmap)
+    kp = wp.shape[0]
+    out = lax.conv_general_dilated(
+        xp, wp, window_strides=(s,), padding=[(lo, kp - s - lo)],
+        dimension_numbers=_DIMNUMS)
     if b is not None:
         out = out + jnp.tile(b, r_out)
     return out

@@ -29,7 +29,6 @@ from ..models import super_resolution as sr_mod
 from ..models import stereo_separator as stereo_mod
 from ..ops import overlap_add, frame_structured
 from ..ops.chunking import num_chunks
-from ..ops.packed import pack, unpack
 from ..audio import load_audio, save_audio, normalize_audio
 
 
@@ -63,6 +62,10 @@ def stereo_sub_cfg(cfg: PipelineConfig, stage_len: int, f: int):
     if cfg.stereo_chunk_seconds is None:
         return None
     sub = int(round(cfg.stereo_chunk_seconds * cfg.sample_rate * f))
+    # round to the packing grid so the packed stereo path stays applicable
+    # (apply_packed requires T % 4 == 0); a +-2-sample window change is far
+    # inside the sweep's noise floor (docs/PERFORMANCE.md)
+    sub = max(4, (sub // 4) * 4)
     sub_ov = min(int(round(cfg.overlap_seconds * cfg.sample_rate * f)),
                  sub // 4)
     if sub >= stage_len:
@@ -75,8 +78,10 @@ def apply_stereo(st, x, sub_cfg, packed: bool = False):
     shorter internal LSTM windows with crossfade overlap-add (sub_cfg from
     stereo_sub_cfg; None = whole-window). `packed` routes the encoder/
     decoder conv stages through the r-packed layout (stereo_separator
-    .apply_packed — numerically equal up to float reassociation)."""
-    run = (stereo_mod.apply_packed if packed
+    .apply_packed — numerically equal up to float reassociation; requires
+    the stage window length % 4 == 0, else falls back to plain)."""
+    stage_len = sub_cfg[0] if sub_cfg is not None else x.shape[1]
+    run = (stereo_mod.apply_packed if packed and stage_len % 4 == 0
            else lambda p, s, v: stereo_mod.apply(p, s, v)[0])
     if sub_cfg is None:
         return run(st[0], st[1], x)
@@ -218,20 +223,12 @@ class RestorationPipeline:
 
                 x = jax.lax.with_sharding_constraint(
                     x, NamedSharding(mesh, P("data", "model", None)))
-            if packed and (has_dn or has_sr):
-                xp = pack(x, 4)
-                r_cur, t_cur = 4, chunk_size
-                if has_dn:
-                    xp = denoiser_mod.apply_packed(dn[0], dn[1], xp, t_cur)
-                if has_sr:
-                    xp = sr_mod.apply_packed(sr[0], sr[1], xp, t_cur)
-                    r_cur, t_cur = 8, 2 * t_cur
-                x = unpack(xp, r_cur, 1, t_cur)
-            else:
-                if has_dn:
-                    x, _ = denoiser_mod.apply(dn[0], dn[1], x)
-                if has_sr:
-                    x, _ = sr_mod.apply(sr[0], sr[1], x)
+            if has_dn:
+                x = (denoiser_mod.apply_packed(dn[0], dn[1], x) if packed
+                     else denoiser_mod.apply(dn[0], dn[1], x)[0])
+            if has_sr:
+                x = (sr_mod.apply_packed(sr[0], sr[1], x) if packed
+                     else sr_mod.apply(sr[0], sr[1], x)[0])
             if has_st:
                 y = apply_stereo(st, x, sub_cfg, packed=packed_stereo)
                 if self.config.stereo_mid_exact:

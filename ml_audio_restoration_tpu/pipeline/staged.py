@@ -37,7 +37,6 @@ from ..models import super_resolution as sr_mod
 from ..models import stereo_separator as stereo_mod
 from ..ops import overlap_add, frame_structured
 from ..ops.chunking import num_chunks
-from ..ops.packed import pack, unpack
 from .restore import (
     apply_stereo,
     stereo_sub_cfg,
@@ -123,12 +122,8 @@ class StagedRestorationPipeline:
                 if name == "stereo":
                     y = apply_stereo(tree, x, stereo_sub_cfg(cfg, t, f),
                                      packed=cfg.packed_convs)
-                elif name == "denoiser" and pk:
-                    y = unpack(mod.apply_packed(tree[0], tree[1],
-                                                pack(x, 4), t), 4, 1, t)
-                elif name == "super_resolution" and pk:
-                    y = unpack(mod.apply_packed(tree[0], tree[1],
-                                                pack(x, 4), t), 8, 1, 2 * t)
+                elif pk and name in ("denoiser", "super_resolution"):
+                    y = mod.apply_packed(tree[0], tree[1], x)
                 else:
                     y = mod.apply(tree[0], tree[1], x)[0]
                 return x, y

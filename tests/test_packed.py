@@ -152,8 +152,7 @@ def test_denoiser_apply_packed_matches_apply():
     for t in (4096, 44100):  # t % 8 == 0 and t % 8 == 4 (odd middle levels)
         x = _rand(rng, 2, t, 1) * 0.3
         want, _ = denoiser.apply(params, state, x)
-        got = unpack(denoiser.apply_packed(params, state, pack(x, 4), t),
-                     4, 1, t)
+        got = denoiser.apply_packed(params, state, x)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=5e-6, rtol=1e-4)
 
@@ -166,7 +165,7 @@ def test_super_resolution_apply_packed_matches_apply():
     t = 4100  # % 4 == 0, not a power of two
     x = _rand(rng, 2, t, 1) * 0.3
     want, _ = sr.apply(params, state, x)
-    got = unpack(sr.apply_packed(params, state, pack(x, 4), t), 8, 1, 2 * t)
+    got = sr.apply_packed(params, state, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=5e-6, rtol=1e-4)
 
@@ -176,9 +175,41 @@ def test_stereo_apply_packed_matches_apply():
 
     params, state = st.init(jax.random.PRNGKey(2))
     rng = np.random.default_rng(9)
-    for t in (2048, 2049):  # even/odd (tail-mask path)
+    for t in (2048, 4100):  # pow2 and non-pow2 (both % 4 == 0)
         x = _rand(rng, 2, t, 1) * 0.3
         want, _ = st.apply(params, state, x)
         got = st.apply_packed(params, state, x)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=5e-6, rtol=1e-4)
+
+
+# ------------------------------------------------ rate-change (fused) convs
+RATE_CASES = [
+    # (k, p, d, r_in, r_out) — raising (enter packed) and lowering (exit)
+    (7, 3, 1, 1, 4), (3, 1, 1, 1, 2), (7, 3, 1, 1, 8),
+    (3, 1, 1, 2, 4), (5, 2, 1, 4, 8),
+    (7, 3, 1, 4, 1), (3, 1, 1, 2, 1), (7, 3, 1, 8, 1),
+    (3, 1, 1, 4, 2), (7, 3, 1, 8, 4),
+    (3, 2, 2, 4, 1), (3, 4, 4, 4, 1), (3, 2, 2, 1, 4),  # dilated exits/entries
+    (1, 0, 1, 4, 1), (1, 0, 1, 1, 4),
+]
+
+
+@pytest.mark.parametrize("k,p,d,r_in,r_out", RATE_CASES)
+def test_packed_conv_r_matches_plain(k, p, d, r_in, r_out):
+    """Boundary-fused rate-change convs (packed_conv_r) == plain conv1d at
+    every sample, both directions, including dilation."""
+    from ml_audio_restoration_tpu.ops.packed import packed_conv_r
+
+    rng = np.random.default_rng(10)
+    cin, cout, t = 3, 5, 8 * 12
+    x = _rand(rng, 2, t, cin)
+    w = _rand(rng, k, cin, cout) * 0.3
+    b = _rand(rng, cout)
+    want = conv1d(x, w, b, padding=p, dilation=d)
+    got = unpack(
+        packed_conv_r(pack(x, r_in), w, b, r_in=r_in, r_out=r_out,
+                      padding=p, dilation=d, t_in=t),
+        r_out, cout, t)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-6, rtol=1e-5)
