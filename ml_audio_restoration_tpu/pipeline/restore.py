@@ -189,7 +189,11 @@ class RestorationPipeline:
         packed = (self.config.packed_convs and chunk_size % 4 == 0
                   and (not has_dn or _denoiser_packable(self.denoiser))
                   and (not has_sr or _sr_packable(self.super_resolution)))
-        packed_stereo = self.config.packed_convs and has_st
+        # packed stereo pays at FULL windows only: at sub-chunked short
+        # windows (large batch x short T) it measured ~3% slower than plain
+        # (docs/PERFORMANCE.md), so the sub-chunk path stays plain
+        packed_stereo = (self.config.packed_convs and has_st
+                         and self.config.stereo_chunk_seconds is None)
 
         def cast(tree):
             if tree is None or dtype == jnp.float32:

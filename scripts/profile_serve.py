@@ -29,6 +29,12 @@ CONFIGS = {
     "packed": {"packed_convs": True},
     "plain_bf16": {"packed_convs": False, "compute_dtype": "bfloat16"},
     "packed_bf16": {"packed_convs": True, "compute_dtype": "bfloat16"},
+    # the config/fast_serve.yaml preset (+ packed, its default)
+    "fast_serve": {"packed_convs": True, "compute_dtype": "bfloat16",
+                   "stereo_chunk_seconds": 0.25},
+    "fast_serve_plain": {"packed_convs": False,
+                         "compute_dtype": "bfloat16",
+                         "stereo_chunk_seconds": 0.25},
 }
 
 
