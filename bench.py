@@ -332,6 +332,16 @@ def main():
         extra[tag] = _train_throughput(fam, basis)
         bases[tag] = basis
 
+    # batch-16 denoiser wall train throughput: the desynced train loop
+    # (device-side loss accumulation, VERDICT r02 item 2) should land wall
+    # throughput near the device-side table (docs/PERFORMANCE.md: 540
+    # audio-s/s at batch 16)
+    if elapsed() <= hard_budget_s:
+        basis = basis_now()
+        extra["train_denoiser_b16_audio_sec_per_sec"] = _train_throughput(
+            "denoiser", basis, batch=16, steps=12)
+        bases["train_denoiser_b16_audio_sec_per_sec"] = basis
+
     # concurrent-stream serving: B live streams batched through one compiled
     # streaming step (pipeline/streaming.py)
     if elapsed() <= hard_budget_s:

@@ -56,16 +56,21 @@ class StreamingRestorer:
                  context: int = 1024,
                  lookahead: int = 512,
                  batch: int = 1,
-                 mid_exact: bool = False):
+                 mid_exact: bool = False,
+                 packed: bool = True):
         """context/lookahead in input-rate samples; both must exceed the conv
         receptive field (~400 samples for the default models). batch = number
         of concurrent lockstep streams. mid_exact mirrors
-        PipelineConfig.stereo_mid_exact (out = mid +/- predicted side)."""
+        PipelineConfig.stereo_mid_exact (out = mid +/- predicted side).
+        packed mirrors PipelineConfig.packed_convs for the denoiser/SR
+        stages (the always-win subset per docs/PERFORMANCE.md; falls back
+        per-window when shapes don't divide the packing rate)."""
         self.denoiser = denoiser
         self.super_resolution = super_resolution
         self.stereo = stereo
         self.batch = int(batch)
         self.mid_exact = bool(mid_exact)
+        self.packed = bool(packed)
         # the U-Net pools by 8, so window starts must stay on the pooling
         # grid (the model is shift-variant modulo 8): context and emission
         # lengths are kept multiples of the alignment
@@ -118,13 +123,24 @@ class StreamingRestorer:
         f = self.f
         dn, sr, st = self.denoiser, self.super_resolution, self.stereo
 
+        from .restore import _denoiser_packable, _sr_packable
+
+        packable = (self.packed
+                    and (dn is None or _denoiser_packable(dn))
+                    and (sr is None or _sr_packable(sr)))
+
         def step(carries, window):
-            # window: [1, ctx + n + la, 1] raw input; emit the middle n
+            # window: [B, >= ctx + n + la, 1] raw input; emit the middle n.
+            # The packed gate keys on the actual (static) window length —
+            # the drain loop can pass longer windows than ctx+n+la.
             x = window
+            pk = packable and window.shape[1] % 4 == 0
             if dn is not None:
-                x, _ = denoiser_mod.apply(dn[0], dn[1], x)
+                x = (denoiser_mod.apply_packed(dn[0], dn[1], x) if pk
+                     else denoiser_mod.apply(dn[0], dn[1], x)[0])
             if sr is not None:
-                x, _ = sr_mod.apply(sr[0], sr[1], x)
+                x = (sr_mod.apply_packed(sr[0], sr[1], x) if pk
+                     else sr_mod.apply(sr[0], sr[1], x)[0])
             if st is None:
                 return carries, x[:, ctx * f:(ctx + n) * f, :]
             feats, _ = stereo_mod.encode(st[0], st[1], x)
