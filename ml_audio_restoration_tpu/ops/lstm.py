@@ -39,15 +39,27 @@ def lstm_init(key, input_size: int, hidden_size: int, dtype=jnp.float32):
 
 
 def lstm_recurrence_scan(gates_x, w_hh, *, unroll: int = 8, carry=None,
-                         return_carry: bool = False):
-    """Reference recurrence: gates_x [B, T, 4H], w_hh [H, 4H] -> [B, T, H].
+                         return_carry: bool = False,
+                         time_major: bool = False):
+    """Reference recurrence: gates_x [B, T, 4H] (or [T, B, 4H] when
+    time_major), w_hh [H, 4H] -> [B, T, H].
 
     `carry`: optional ((h, c)) initial state — the streaming path threads the
     final state of one block into the next (exact state continuity the
     reference's per-chunk cuDNN calls cannot provide).
+
+    Layout note (profiled): the scan iterates/stacks on axis 0, so its
+    natural I/O is time-major. Feeding batch-major gates costs a
+    materialized [B,T,4H]->[T,B,4H] transpose (~11 ms per 120 s serve
+    call), and the batch-major output transpose was being FUSED INTO BOTH
+    stereo decoders by XLA (2 x 9.5 ms for the same relayout). The gates
+    now arrive time-major straight out of the projection matmul, and the
+    output transpose is materialized exactly once behind an
+    optimization_barrier.
     """
-    b, t, g4 = gates_x.shape
-    h_dim = g4 // 4
+    gates_tm = gates_x if time_major else gates_x.swapaxes(0, 1)
+    b = gates_tm.shape[1]
+    h_dim = gates_tm.shape[2] // 4
 
     def step(carry, gx):
         h, c = carry
@@ -62,11 +74,11 @@ def lstm_recurrence_scan(gates_x, w_hh, *, unroll: int = 8, carry=None,
         return (h, c), h
 
     init = carry if carry is not None else (
-        jnp.zeros((b, h_dim), gates_x.dtype),
-        jnp.zeros((b, h_dim), gates_x.dtype),
+        jnp.zeros((b, h_dim), gates_tm.dtype),
+        jnp.zeros((b, h_dim), gates_tm.dtype),
     )
-    final, ys = lax.scan(step, init, gates_x.swapaxes(0, 1), unroll=unroll)
-    ys = ys.swapaxes(0, 1)
+    final, ys = lax.scan(step, init, gates_tm, unroll=unroll)
+    ys = lax.optimization_barrier(ys.swapaxes(0, 1))
     return (ys, final) if return_carry else ys
 
 
@@ -105,18 +117,21 @@ def lstm(x, params, *, unroll: int = 8, impl: str = "auto", carry=None,
     kernel remains selectable for future tuning.
     """
     bias = params["b_ih"] + params["b_hh"]
-    # Input projection for the whole sequence: one MXU-sized matmul.
-    gates_x = jnp.einsum(
-        "btc,ch->bth", x, params["w_ih"], preferred_element_type=x.dtype
+    # Input projection for the whole sequence: one MXU-sized matmul, emitted
+    # TIME-MAJOR so the scan consumes it directly (the batch-major form
+    # forced a materialized transpose — see lstm_recurrence_scan).
+    gates_tm = jnp.einsum(
+        "btc,ch->tbh", x, params["w_ih"], preferred_element_type=x.dtype
     ) + bias
     w_hh = params["w_hh"]
 
     if impl == "auto":
         impl = "scan"
     if impl == "pallas" and carry is None and not return_carry:
-        return lstm_recurrence_fast(gates_x, w_hh).astype(x.dtype)
-    return lstm_recurrence_scan(gates_x, w_hh, unroll=unroll, carry=carry,
-                                return_carry=return_carry)
+        return lstm_recurrence_fast(gates_tm.swapaxes(0, 1),
+                                    w_hh).astype(x.dtype)
+    return lstm_recurrence_scan(gates_tm, w_hh, unroll=unroll, carry=carry,
+                                return_carry=return_carry, time_major=True)
 
 
 def stacked_lstm(x, layers, *, carries=None, return_carries: bool = False,
