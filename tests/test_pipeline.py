@@ -374,3 +374,23 @@ def test_restore_directory_matches_restore_file(pipeline_stages, tmp_path):
         a = (tmp_path / "batch" / f"r{i}_restored.wav").read_bytes()
         b = (seq_dir / f"r{i}_restored.wav").read_bytes()
         assert a == b, f"file {i} differs"
+
+
+def test_packed_convs_match_plain_bf16(pipeline_stages):
+    """The packed paths must also be equivalent under the bf16 serving mode
+    (the headline config): packed-vs-plain deviation stays an order below
+    the bf16-vs-f32 deviation itself."""
+    import dataclasses
+
+    rng = np.random.default_rng(12)
+    audio = (rng.normal(size=(1, 22050 * 2)) * 0.1).astype(np.float32)
+    cfg = PipelineConfig(chunk_seconds=1.0, overlap_seconds=0.05,
+                         compute_dtype="bfloat16")
+    packed = RestorationPipeline(**pipeline_stages, config=cfg)
+    plain = RestorationPipeline(
+        **pipeline_stages, config=dataclasses.replace(cfg,
+                                                      packed_convs=False))
+    out_p, _ = packed.restore(audio, 22050)
+    out_s, _ = plain.restore(audio, 22050)
+    dev = float(np.abs(np.asarray(out_p) - np.asarray(out_s)).max())
+    assert dev < 2e-4, dev  # bf16 rounding noise, well under the 1e-3 bar
