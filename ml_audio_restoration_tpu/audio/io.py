@@ -103,15 +103,18 @@ def load_audio_chunk(path, chunk_size: int, rng: np.random.Generator,
         read_frames = (chunk_size if file_sr == sample_rate or not
                        resample_chunks
                        else -(-chunk_size * file_sr // sample_rate))
-        if file_sr != sample_rate and not resample_chunks:
-            import warnings
-
-            warnings.warn(
-                f"{p}: file rate {file_sr} != requested {sample_rate}; "
-                f"seek-read chunk keeps the native rate (reference-parity "
-                f"behavior — pass resample_chunks=True to resample)",
-                stacklevel=2)
         if info.frames > read_frames:
+            if file_sr != sample_rate and not resample_chunks:
+                # warn only when the seek path actually returns a
+                # native-rate chunk (short files fall through to
+                # load_audio, which resamples correctly)
+                import warnings
+
+                warnings.warn(
+                    f"{p}: file rate {file_sr} != requested {sample_rate}; "
+                    f"seek-read chunk keeps the native rate "
+                    f"(reference-parity behavior — pass resample_chunks="
+                    f"True to resample)", stacklevel=2)
             start = int(rng.integers(0, info.frames - read_frames + 1))
             data, _sr = _read_any(p, start=start, frames=read_frames)
             audio = data.T.astype(np.float32)

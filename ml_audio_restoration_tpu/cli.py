@@ -27,7 +27,7 @@ def _add_restore(sub):
                    default="models/checkpoints/super_resolution/best_model.pth")
     p.add_argument("--stereo",
                    default="models/checkpoints/stereo/best_model.pth")
-    p.add_argument("--sample-rate", type=int, default=22050)
+    p.add_argument("--sample-rate", type=int, default=None)
     p.add_argument("--no-super-res", action="store_true")
     p.add_argument("--no-stereo", action="store_true")
     p.add_argument("--no-denoise", action="store_true")
@@ -61,15 +61,18 @@ def _cmd_restore(args):
     from .pipeline import RestorationPipeline
 
     config = load_config(args.config).pipeline
-    config.sample_rate = args.sample_rate
-    config.enable_super_resolution = not args.no_super_res
-    for flag, field in [("chunk_seconds", "chunk_seconds"),
+    # only EXPLICIT flags override the YAML overlay (None/False defaults
+    # leave the config's values alone)
+    for flag, field in [("sample_rate", "sample_rate"),
+                        ("chunk_seconds", "chunk_seconds"),
                         ("overlap_seconds", "overlap_seconds"),
                         ("dtype", "compute_dtype"),
                         ("stereo_chunk_seconds", "stereo_chunk_seconds")]:
         v = getattr(args, flag)
         if v is not None:
             setattr(config, field, v)
+    if args.no_super_res:
+        config.enable_super_resolution = False
     if args.whole_file:
         config.whole_file = True
     if args.stereo_mid_exact:

@@ -38,11 +38,12 @@ def initialize(coordinator_address: Optional[str] = None,
     if _xb.backends_are_initialized():
         if jax.process_count() > 1:
             return True  # already initialized as a multi-process job
-        if explicit:
-            raise RuntimeError(
-                "distributed.initialize() must run before any other JAX "
-                "call (jax.devices, device_put, any computation)")
-        return False
+        # a detected-or-requested multi-host job that cannot initialize is
+        # an error on EVERY rank (silently continuing single-process would
+        # mean duplicate writers and a wrong global batch on all ranks)
+        raise RuntimeError(
+            "distributed.initialize() must run before any other JAX "
+            "call (jax.devices, device_put, any computation)")
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,

@@ -189,11 +189,17 @@ class RestorationPipeline:
         packed = (self.config.packed_convs and chunk_size % 4 == 0
                   and (not has_dn or _denoiser_packable(self.denoiser))
                   and (not has_sr or _sr_packable(self.super_resolution)))
+
+        # optional finer chunking for the stereo stage (stereo_sub_cfg above)
+        sub_cfg = (stereo_sub_cfg(self.config, chunk_size * f, f)
+                   if has_st else None)
         # packed stereo pays at FULL windows only: at sub-chunked short
         # windows (large batch x short T) it measured ~3% slower than plain
-        # (docs/PERFORMANCE.md), so the sub-chunk path stays plain
+        # (docs/PERFORMANCE.md). Gate on the EFFECTIVE sub_cfg — a
+        # stereo_chunk_seconds >= the window length is a no-op and must not
+        # change the computation path.
         packed_stereo = (self.config.packed_convs and has_st
-                         and self.config.stereo_chunk_seconds is None)
+                         and sub_cfg is None)
 
         def cast(tree):
             if tree is None or dtype == jnp.float32:
@@ -203,10 +209,6 @@ class RestorationPipeline:
                 if jnp.issubdtype(a.dtype, jnp.floating) else a, tree)
 
         mesh = self.mesh
-
-        # optional finer chunking for the stereo stage (stereo_sub_cfg above)
-        sub_cfg = (stereo_sub_cfg(self.config, chunk_size * f, f)
-                   if has_st else None)
 
         def process(dn, sr, st, audio_padded, valid):
             # frame -> stages -> overlap-add, all in ONE XLA program, with
@@ -386,17 +388,23 @@ class RestorationPipeline:
         pending = None  # (path, device array, rate) awaiting write
         with ThreadPoolExecutor(max_workers=1) as ex:
             fut = ex.submit(load, files[0])
-            for i, f in enumerate(files):
-                audio = fut.result()
-                if i + 1 < len(files):
-                    fut = ex.submit(load, files[i + 1])
-                restored, rate = self.restore(audio, sr_in)  # async dispatch
+            try:
+                for i, f in enumerate(files):
+                    audio = fut.result()
+                    if i + 1 < len(files):
+                        fut = ex.submit(load, files[i + 1])
+                    restored, rate = self.restore(audio, sr_in)  # async
+                    if pending is not None:
+                        write(*pending[:3])
+                        results.append(pending[3])
+                    out = out_dir / f"{f.stem}{suffix}.wav"
+                    pending = (out, restored, rate, (out, rate))
+            finally:
+                # a failure on file i must not lose file i-1's computed
+                # output (sequential restore_file would have written it)
                 if pending is not None:
-                    write(*pending)
-                out = out_dir / f"{f.stem}{suffix}.wav"
-                pending = (out, restored, rate)
-                results.append((out, rate))
-            write(*pending)
+                    write(*pending[:3])
+                    results.append(pending[3])
         return results
 
 

@@ -120,11 +120,11 @@ class StagedRestorationPipeline:
                       and ("super_resolution" not in sp
                            or _sr_packable(sp["super_resolution"])))
                 if name == "stereo":
-                    # packed stereo only at full windows, matching the
-                    # plain pipeline's measured gate
-                    y = apply_stereo(tree, x, stereo_sub_cfg(cfg, t, f),
-                                     packed=cfg.packed_convs
-                                     and cfg.stereo_chunk_seconds is None)
+                    # packed stereo only at (effective) full windows,
+                    # matching the plain pipeline's measured gate
+                    sub = stereo_sub_cfg(cfg, t, f)
+                    y = apply_stereo(tree, x, sub,
+                                     packed=cfg.packed_convs and sub is None)
                 elif pk and name in ("denoiser", "super_resolution"):
                     y = mod.apply_packed(tree[0], tree[1], x)
                 else:
