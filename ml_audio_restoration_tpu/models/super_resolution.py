@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -110,39 +111,59 @@ def apply(params, state, x, train: bool = False,
 
 
 # ----------------------------------------------------- packed serving path
-def _upsample2_linear_conv(x, c: int, t: int):
-    """upsample_linear(x, 2) as a conv: align_corners=False x2 linear
-    interpolation is the k=4/s=2/p=1 transpose conv with kernel
-    [0.25, 0.75, 0.75, 0.25] per channel, plus edge-clamp corrections at the
-    first/last output sample (the conv sees zeros past the signal where the
-    interpolation clamps to the edge value). Avoids the plain path's gather
-    (ops/interp.py:25) entirely. Plain [B, t, c] -> plain [B, 2t, c]."""
-    w = jnp.asarray([0.25, 0.75, 0.75, 0.25], x.dtype)
-    w = w[:, None, None] * jnp.eye(c, dtype=x.dtype)
-    y = packed_conv_transpose(x, w, None, r_in=1, r_out=1, stride=2,
-                              padding=1, t_in=t)
-    first = x[:, :1, :] * 0.25   # missing 0.25*x[0] at out[0]
-    last = x[:, -1:, :] * 0.25   # missing 0.25*x[t-1] at out[2t-1]
-    y = y + jnp.pad(first, ((0, 0), (0, 2 * t - 1), (0, 0)))
-    y = y + jnp.pad(last, ((0, 0), (2 * t - 1, 0), (0, 0)))
+def _upsample_linear_conv(x, c: int, t: int, m: int):
+    """upsample_linear(x, m) as a conv: align_corners=False xm linear
+    interpolation is a k=2m / stride=m / padding=m-1 transpose conv whose
+    kernel is the triangular filter [(a+0.5)/m for both tap directions],
+    plus edge-clamp corrections on the first/last ceil(m/2) output samples
+    (the conv sees zeros past the signal where the interpolation clamps to
+    the edge value). Avoids the plain path's gather (ops/interp.py:25)
+    entirely. Plain [B, t, c] -> plain [B, m*t, c]."""
+    # output phase a at base index w reads x[w] with weight 1-|frac| and
+    # x[w +- 1] with weight |frac|, frac = (a+0.5)/m - 0.5. As a transpose
+    # conv with p = m//2: tap j = a + p for x[w], j = a + p -+ m for the
+    # neighbor (all land in [0, 2m) exactly when m is even).
+    assert m % 2 == 0, m
+    p = m // 2
+    taps = np.zeros(2 * m, np.float64)
+    edge = []  # (phase a, clamp weight missing at each edge)
+    for a in range(m):
+        frac = (a + 0.5) / m - 0.5  # src offset from v=w
+        taps[a + p] += 1 - abs(frac)
+        if frac > 0:  # also reads x[w+1]
+            taps[a + p - m] += frac
+        elif frac < 0:  # also reads x[w-1]
+            taps[a + p + m] += -frac
+            edge.append((a, -frac))
+    w = jnp.asarray(taps, x.dtype)[:, None, None] * jnp.eye(c, dtype=x.dtype)
+    y = packed_conv_transpose(x, w, None, r_in=1, r_out=1, stride=m,
+                              padding=p, t_in=t)
+    # clamp corrections: out[a] misses weight*x[0]; out[m*t-1-a] misses
+    # weight*x[t-1] (mirror symmetry of the triangular kernel)
+    t_out = m * t
+    for a, wgt in edge:
+        first = x[:, :1, :] * wgt
+        last = x[:, -1:, :] * wgt
+        y = y + jnp.pad(first, ((0, 0), (a, t_out - 1 - a), (0, 0)))
+        y = y + jnp.pad(last, ((0, 0), (t_out - 1 - a, a), (0, 0)))
     return y
 
 
 def apply_packed(params, state, x):
-    """Eval-mode x2 forward in r-packed (space-to-depth) form.
+    """Eval-mode forward in r-packed (space-to-depth) form.
 
     The ENTIRE model is C=32 (stem through recon), so the whole forward runs
     in dense 128-lane packed form: the stem enters packed space straight
-    from the plain input (rate-raising fused conv), the k4/s2 upsample
-    raises the packing rate r4->r8 as a stride-1 packed conv, and the recon
-    conv exits fused to the plain layout — no standalone pack/unpack
-    reshapes (they cost relayout copies; ops/packed.py::packed_conv_r).
-    Exactly equal to apply() up to float reassociation. Requires
-    t % 4 == 0, channels == 1, upscale == 2 (callers fall back to apply()
-    otherwise). x: plain [B, t, 1] -> plain [B, 2t, 1].
+    from the plain input (rate-raising fused conv), each k4/s2 upsample
+    stage DOUBLES the packing rate as a stride-1 packed conv (r4->r8 for
+    x2; ->r16 for x4), and the recon conv exits fused to the plain layout —
+    no standalone pack/unpack reshapes (they cost relayout copies;
+    ops/packed.py::packed_conv_r). Exactly equal to apply() up to float
+    reassociation. Requires t % 4 == 0 and channels == 1 (callers fall
+    back to apply() otherwise). x: plain [B, t, 1] -> plain [B, m*t, 1].
     """
     b_sz, t, cin = x.shape
-    assert t % 4 == 0 and cin == 1 and len(params["upsample"]) == 1
+    assert t % 4 == 0 and cin == 1
     r = 4
 
     h0 = leaky_relu(packed_conv_r(x, params["initial"]["w"],
@@ -158,12 +179,14 @@ def apply_packed(params, state, x):
                           state["middle"]["bn"])
     h = h0 + packed_conv(h, wm, bm, r=r, padding=1)
 
-    up = params["upsample"][0]
-    h = leaky_relu(packed_conv_transpose(h, up["w"], up["b"], r_in=r,
-                                         r_out=2 * r, stride=2, padding=1,
-                                         t_in=t))
+    t_cur = t
+    for up in params["upsample"]:
+        h = leaky_relu(packed_conv_transpose(h, up["w"], up["b"], r_in=r,
+                                             r_out=2 * r, stride=2,
+                                             padding=1, t_in=t_cur))
+        r, t_cur = 2 * r, 2 * t_cur
     h = leaky_relu(packed_conv(h, params["hf"]["w"], params["hf"]["b"],
-                               r=2 * r, padding=2))
+                               r=r, padding=2))
     out = packed_conv_r(h, params["recon"]["w"], params["recon"]["b"],
-                        r_in=2 * r, r_out=1, padding=3, t_in=2 * t)
-    return out + _upsample2_linear_conv(x, 1, t)
+                        r_in=r, r_out=1, padding=3, t_in=t_cur)
+    return out + _upsample_linear_conv(x, 1, t, 2 ** len(params["upsample"]))

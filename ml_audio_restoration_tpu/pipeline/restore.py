@@ -41,7 +41,7 @@ def _denoiser_packable(dn) -> bool:
 
 def _sr_packable(sr) -> bool:
     p = sr[0]
-    return (len(p["upsample"]) == 1 and p["initial"]["w"].shape[1] == 1
+    return (len(p["upsample"]) >= 1 and p["initial"]["w"].shape[1] == 1
             and p["recon"]["w"].shape[2] == 1)
 
 

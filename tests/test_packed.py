@@ -157,15 +157,17 @@ def test_denoiser_apply_packed_matches_apply():
                                    atol=5e-6, rtol=1e-4)
 
 
-def test_super_resolution_apply_packed_matches_apply():
+@pytest.mark.parametrize("upscale", [2, 4])
+def test_super_resolution_apply_packed_matches_apply(upscale):
     from ml_audio_restoration_tpu.models import super_resolution as sr
 
-    params, state = sr.init(jax.random.PRNGKey(1))
+    params, state = sr.init(jax.random.PRNGKey(1), upscale_factor=upscale)
     rng = np.random.default_rng(8)
     t = 4100  # % 4 == 0, not a power of two
     x = _rand(rng, 2, t, 1) * 0.3
     want, _ = sr.apply(params, state, x)
     got = sr.apply_packed(params, state, x)
+    assert got.shape == (2, upscale * t, 1)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=5e-6, rtol=1e-4)
 

@@ -394,3 +394,24 @@ def test_packed_convs_match_plain_bf16(pipeline_stages):
     out_s, _ = plain.restore(audio, 22050)
     dev = float(np.abs(np.asarray(out_p) - np.asarray(out_s)).max())
     assert dev < 2e-4, dev  # bf16 rounding noise, well under the 1e-3 bar
+
+
+def test_sequence_parallel_whole_file_matches_single(pipeline_stages):
+    """whole_file serving with the TIME axis sharded over the 'model' mesh
+    axis (sequence parallelism: XLA conv halo exchanges + gather before the
+    LSTM) must match the unsharded whole-file output."""
+    import dataclasses
+
+    from ml_audio_restoration_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(13)
+    audio = (rng.normal(size=(1, 22050)) * 0.1).astype(np.float32)
+    cfg = PipelineConfig(whole_file=True)
+    single = RestorationPipeline(**pipeline_stages, config=cfg)
+    want, rate = single.restore(audio, 22050)
+    seq = RestorationPipeline(
+        **pipeline_stages, config=dataclasses.replace(cfg),
+        mesh=make_mesh(data_parallel=1, model_parallel=8))
+    got, rate2 = seq.restore(audio, 22050)
+    assert rate == rate2
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
