@@ -56,14 +56,25 @@ def main(argv=None):
     p.add_argument("--stereo", required=True)
     p.add_argument("--seconds", type=float, default=8.0)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--no-packed-convs", action="store_true",
+                   help="legacy (pre-packed) computation order")
+    p.add_argument("--fast-serve", action="store_true",
+                   help="evaluate the config/fast_serve.yaml preset "
+                        "(bf16 + 0.25 s stereo windows)")
+    p.add_argument("--mid-exact", action="store_true")
     args = p.parse_args(argv)
 
     enable_persistent_compile_cache()
     sr_hi, sr_lo = 44100, 22050
     t_hi = int(args.seconds * sr_hi)
+    cfg = PipelineConfig(packed_convs=not args.no_packed_convs,
+                         stereo_mid_exact=args.mid_exact)
+    if args.fast_serve:
+        cfg.compute_dtype = "bfloat16"
+        cfg.stereo_chunk_seconds = 0.25
     pipe = RestorationPipeline.from_checkpoints(
         denoiser_path=args.denoiser, super_res_path=args.super_res,
-        stereo_path=args.stereo, config=PipelineConfig())
+        stereo_path=args.stereo, config=cfg)
 
     rows = []
     for i, f in enumerate(sorted(find_audio_files(args.eval_dir))):
