@@ -53,6 +53,15 @@ def _add_restore(sub):
                    help="rebuild L/R around the true mid (out = mid +/- "
                         "predicted side): mono fidelity exact by "
                         "construction, +3.6 dB mid SNR measured")
+    p.add_argument("--int8", action="store_true",
+                   help="int8 serving quantization (opt-in preset: halves "
+                        "the conv stacks' HBM traffic; auto-calibrates on "
+                        "the first recording — quality study in "
+                        "docs/RESULTS.md)")
+    p.add_argument("--int8-scales", default=None,
+                   help="calibration JSON: loaded if it exists, else "
+                        "written after auto-calibration (skips the f32 "
+                        "calibration pass on later runs)")
     return p
 
 
@@ -79,6 +88,8 @@ def _cmd_restore(args):
         config.stereo_mid_exact = True
     if args.no_packed_convs:
         config.packed_convs = False
+    if args.int8:
+        config.quantize_int8 = True
     mesh = None
     if args.data_parallel:
         from .parallel import make_mesh
@@ -93,14 +104,19 @@ def _cmd_restore(args):
     pipe.mesh = mesh
     import os
 
+    if args.int8_scales and os.path.exists(args.int8_scales):
+        pipe.load_int8_scales(args.int8_scales)
     if os.path.isdir(args.input):
         results = pipe.restore_directory(args.input, args.output)
         for out, rate in results:
             print(f"restored -> {out} @ {rate} Hz")
         print(f"{len(results)} files restored")
-        return 0
-    out, rate = pipe.restore_file(args.input, args.output)
-    print(f"restored -> {out} @ {rate} Hz")
+    else:
+        out, rate = pipe.restore_file(args.input, args.output)
+        print(f"restored -> {out} @ {rate} Hz")
+    if (args.int8_scales and pipe._int8_scales is not None
+            and not os.path.exists(args.int8_scales)):
+        pipe.save_int8_scales(args.int8_scales)
     return 0
 
 

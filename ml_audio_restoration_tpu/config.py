@@ -121,6 +121,17 @@ class PipelineConfig:
     # reassociation (~1e-6); stages with non-default shapes fall back to the
     # plain path automatically. False = exact legacy computation order.
     packed_convs: bool = True
+    # int8 serving quantization (opt-in): conv stacks run s8 x s8 -> s32 on
+    # the MXU with int8 activations between layers — half the HBM traffic
+    # of bf16 on the bandwidth-bound non-LSTM portion (ops/quant.py;
+    # measured ~1.6x on the packed conv stacks, scripts/int8_conv_probe.py).
+    # Needs per-layer activation scales: the pipeline auto-calibrates on
+    # the first recording it serves (one extra f32 pass) unless
+    # calibrate_int8()/load_int8_scales() ran first. Quantization error is
+    # ~1e-2 waveform-scale — far outside the 1e-3 parity bar, so this is
+    # a preset knob (config/fast_serve_int8.yaml), never the default;
+    # quality on trained checkpoints is measured in docs/RESULTS.md.
+    quantize_int8: bool = False
     # mid-exact upmix: keep the stereo model's predicted SIDE signal but
     # rebuild L/R around the true input mid (out = mid +/- side), so the
     # upmix cannot degrade mono fidelity — measured +3.6 dB mid SNR on the

@@ -175,7 +175,7 @@ def _fold(p, s):
     return fold_conv_bn(p["conv"], p["bn"], s["bn"])
 
 
-def apply_packed(params, state, x):
+def apply_packed(params, state, x, q=None):
     """Eval-mode forward with the C<=32 full-rate stages in r-packed
     (space-to-depth) form — exactly equal to apply() up to float
     reassociation, but without the 4x (C=32) HBM lane-padding expansion
@@ -192,78 +192,147 @@ def apply_packed(params, state, x):
     enc2/bottleneck/dec0 at C>=128] -> up1 (r1->r2) -> dec1 (r2) -> up2
     (r2->r4 — a single pointwise 128x128 matmul) -> dec2/detector/final
     (r4, exits fused to plain).
+
+    `q`: optional ops/quant.py QuantCtx — int8 serving (or its calibration
+    pass). With q=None the emitted HLOs are exactly the default packed
+    path; when quantized, activations travel between convs as int8 and the
+    concat-consuming convs run as kernel-split sums (no shared scale
+    needed). The sigmoid detector exit, analytic impulse score, and the
+    final mask multiply stay float.
     """
+    from ..ops.quant import QT, ctx_or_null, make_qops
+
+    q = ctx_or_null(q)
     b_sz, t, cin = x.shape
     assert t % 4 == 0 and cin == 1, (t, cin)
     enc_p, enc_s = params["encoder"], state["encoder"]
     dec_p, dec_s = params["decoder"], state["decoder"]
+    lrelu = leaky_relu
+    qconv, qconv2 = make_qops(q)
 
-    def block(p, s, h, r, split=None):
+    def block(name, p, s, h, r, split=None):
         """Eval double-conv block at packing r; `split` runs c1 as a
         kernel-split sum over (skip, up) instead of materializing the
         packed concat."""
         w1, b1 = _fold(p["c1"], s["c1"])
         if split is None:
-            h = packed_conv(h, w1, b1, r=r, padding=1)
+            h = qconv(f"{name}.c1", h, w1, b1, op=packed_conv, act=lrelu,
+                      r=r, padding=1)
         else:
             skip, up, c_skip = split
-            h = (packed_conv(skip, w1[:, :c_skip], b1, r=r, padding=1)
-                 + packed_conv(up, w1[:, c_skip:], None, r=r, padding=1))
-        h = leaky_relu(h)
+            h = qconv2(f"{name}.c1", skip, w1[:, :c_skip], up,
+                       w1[:, c_skip:], b1, act=lrelu, r=r, padding=1)
         w2, b2 = _fold(p["c2"], s["c2"])
-        return leaky_relu(packed_conv(h, w2, b2, r=r, padding=1))
+        return qconv(f"{name}.c2", h, w2, b2, op=packed_conv, act=lrelu,
+                     r=r, padding=1)
+
+    def qpool_packed(h, c):
+        if isinstance(h, QT):
+            return QT(packed_max_pool2(h.q, c), h.scale)
+        return packed_max_pool2(h, c)
+
+    xq = q.quantize_in("in", x)
 
     # enc0: c1 enters packed space straight from the plain input (rate-
     # raising fused conv), c2 runs r4; pool halves the packing rate in
     # place (packed_max_pool2), so level 1 exits to the plain layout exactly
     w1, b1 = _fold(enc_p[0]["c1"], enc_s[0]["c1"])
-    h = leaky_relu(packed_conv_r(x, w1, b1, r_in=1, r_out=4, padding=1,
-                                 t_in=t))
+    h = qconv("enc0.c1", xq, w1, b1, op=packed_conv_r, act=lrelu,
+              r_in=1, r_out=4, padding=1, t_in=t)
     w2, b2 = _fold(enc_p[0]["c2"], enc_s[0]["c2"])
-    skip0 = leaky_relu(packed_conv(h, w2, b2, r=4, padding=1))
-    h = packed_max_pool2(skip0, enc_p[0]["c2"]["conv"]["w"].shape[2])
-    skip1 = block(enc_p[1], enc_s[1], h, 2)                # [B, t/4, 128]
-    h = packed_max_pool2(skip1, enc_p[1]["c2"]["conv"]["w"].shape[2])
+    skip0 = qconv("enc0.c2", h, w2, b2, op=packed_conv, act=lrelu,
+                  r=4, padding=1)
+    h = qpool_packed(skip0, enc_p[0]["c2"]["conv"]["w"].shape[2])
+    skip1 = block("enc1", enc_p[1], enc_s[1], h, 2)        # [B, t/4, 128]
+    h = qpool_packed(skip1, enc_p[1]["c2"]["conv"]["w"].shape[2])
 
-    # plain middle (C>=128 is already lane-dense): enc2 -> bottleneck ->
-    # up0 -> dec0, same code path as apply()
-    h, _ = double_conv_block_apply(enc_p[2], enc_s[2], h, False)
-    skip2 = h
-    h = max_pool1d(h)
-    h, _ = double_conv_block_apply(params["bottleneck"], state["bottleneck"],
-                                   h, False)
+    # middle (C>=128 is already lane-dense, plain layout): enc2 ->
+    # bottleneck -> up0 -> dec0
     up0 = params["up"][0]
-    h = conv_transpose1d(h, up0["w"], up0["b"], stride=2, padding=0)
-    if h.shape[1] != skip2.shape[1]:
-        h = jnp.pad(h, ((0, 0), (0, skip2.shape[1] - h.shape[1]), (0, 0)))
-    h = jnp.concatenate([skip2, h], axis=-1)
-    h, _ = double_conv_block_apply(dec_p[0], dec_s[0], h, False)
+    if not q.active:
+        # default path: same code path as apply() (concat decode)
+        h, _ = double_conv_block_apply(enc_p[2], enc_s[2], h, False)
+        skip2 = h
+        h = max_pool1d(h)
+        h, _ = double_conv_block_apply(params["bottleneck"],
+                                       state["bottleneck"], h, False)
+        h = conv_transpose1d(h, up0["w"], up0["b"], stride=2, padding=0)
+        if h.shape[1] != skip2.shape[1]:
+            h = jnp.pad(h, ((0, 0), (0, skip2.shape[1] - h.shape[1]), (0, 0)))
+        h = jnp.concatenate([skip2, h], axis=-1)
+        h, _ = double_conv_block_apply(dec_p[0], dec_s[0], h, False)
+    else:
+        # quantized middle: same math with r=1 packed convs (== plain
+        # conv1d HLO) through the ctx; dec0.c1 as a kernel-split sum
+        skip2 = block("enc2", enc_p[2], enc_s[2], h, 1)
+        arr2 = skip2.q if isinstance(skip2, QT) else skip2
+        if isinstance(skip2, QT):
+            h = QT(lax_max_pool_int8(skip2.q), skip2.scale)
+        else:
+            h = max_pool1d(skip2)
+        h = block("bot", params["bottleneck"], state["bottleneck"], h, 1)
+        t8 = (h.q if isinstance(h, QT) else h).shape[1]
+        h = qconv("up0", h, up0["w"], up0["b"], op=packed_conv_transpose,
+                  r_in=1, r_out=1, stride=2, padding=0, t_in=t8)
+        harr = h.q if isinstance(h, QT) else h
+        if harr.shape[1] != arr2.shape[1]:
+            pad = ((0, 0), (0, arr2.shape[1] - harr.shape[1]), (0, 0))
+            h = (QT(jnp.pad(h.q, pad), h.scale) if isinstance(h, QT)
+                 else jnp.pad(h, pad))
+        c2 = arr2.shape[-1]
+        h = block("dec0", dec_p[0], dec_s[0], None, 1, split=(skip2, h, c2))
 
     # packed decoder: the k2/s2 up-convs become stride-1 packed convs that
     # also raise the packing rate (r1->r2, r2->r4)
-    c1 = skip1.shape[-1] // 2  # 64
+    skip1_arr = skip1.q if isinstance(skip1, QT) else skip1
+    skip0_arr = skip0.q if isinstance(skip0, QT) else skip0
+    c1 = skip1_arr.shape[-1] // 2  # 64
     up1 = params["up"][1]
-    h = packed_conv_transpose(h, up1["w"], up1["b"], r_in=1, r_out=2,
-                              stride=2, padding=0, t_in=t // 4)
-    h = block(dec_p[1], dec_s[1], None, 2, split=(skip1, h, c1))
+    h = qconv("up1", h, up1["w"], up1["b"], op=packed_conv_transpose,
+              r_in=1, r_out=2, stride=2, padding=0, t_in=t // 4)
+    h = block("dec1", dec_p[1], dec_s[1], None, 2, split=(skip1, h, c1))
 
-    c0 = skip0.shape[-1] // 4  # 32
+    c0 = skip0_arr.shape[-1] // 4  # 32
     up2 = params["up"][2]
-    h = packed_conv_transpose(h, up2["w"], up2["b"], r_in=2, r_out=4,
-                              stride=2, padding=0, t_in=t // 2)
-    h = block(dec_p[2], dec_s[2], None, 4, split=(skip0, h, c0))
+    h = qconv("up2", h, up2["w"], up2["b"], op=packed_conv_transpose,
+              r_in=2, r_out=4, stride=2, padding=0, t_in=t // 2)
+    h = block("dec2", dec_p[2], dec_s[2], None, 4, split=(skip0, h, c0))
 
     # detector: two r4 convs, then the 8->1 conv exits to plain (fused)
     l0, l1, l2 = params["transient_detector"]
-    td = leaky_relu(packed_conv(h, l0["w"], l0["b"], r=4, padding=1))
-    td = leaky_relu(packed_conv(td, l1["w"], l1["b"], r=4, padding=1))
-    td = jax.nn.sigmoid(packed_conv_r(td, l2["w"], l2["b"], r_in=4, r_out=1,
-                                      padding=1, t_in=t))    # [B, t, 1]
+    td = qconv("td0", h, l0["w"], l0["b"], op=packed_conv, act=lrelu,
+               r=4, padding=1)
+    td = qconv("td1", td, l1["w"], l1["b"], op=packed_conv, act=lrelu,
+               r=4, padding=1)
+    td = qconv("td2", td, l2["w"], l2["b"], op=packed_conv_r,
+               act=jax.nn.sigmoid, requant=False, r_in=4, r_out=1,
+               padding=1, t_in=t)                            # [B, t, 1]
 
     imp = _detect_impulses_dense(x[..., 0])
     combined = jnp.maximum(td, imp[..., None])
 
     fc = params["final_conv"]
-    denoised = packed_conv_r(h, fc["w"], fc["b"], r_in=4, r_out=1,
-                             padding=0, t_in=t)              # [B, t, 1]
+    denoised = qconv("final", h, fc["w"], fc["b"], op=packed_conv_r,
+                     requant=False, r_in=4, r_out=1, padding=0, t_in=t)
     return denoised * (1.0 - combined * 0.9)
+
+
+def lax_max_pool_int8(x):
+    """MaxPool1d(2) on an int8 [B, T, C] tensor (reduce_window needs an
+    integer identity, not -inf)."""
+    from jax import lax
+
+    return lax.reduce_window(
+        x, jnp.int8(-128), lax.max,
+        window_dimensions=(1, 2, 1), window_strides=(1, 2, 1),
+        padding="VALID")
+
+
+def packed_amax(params, state, x):
+    """Calibration forward: per-quantization-point amax dict for
+    apply_packed's int8 mode (ops/quant.py::calibrate)."""
+    from ..ops.quant import QuantCtx
+
+    ctx = QuantCtx()
+    apply_packed(params, state, x, q=ctx)
+    return ctx.amax

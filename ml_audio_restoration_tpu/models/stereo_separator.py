@@ -127,7 +127,7 @@ def apply(params, state, x, train: bool = False,
 
 
 # ----------------------------------------------------- packed serving path
-def encode_packed(params, state, x):
+def encode_packed(params, state, x, q=None):
     """Eval-mode encoder with the C<=64 full-rate stages packed
     (ops/packed.py): the stem enters packed space straight from the plain
     [B, T, 1] input (rate-raising fused conv), dilated block 0 runs at r=4,
@@ -135,60 +135,114 @@ def encode_packed(params, state, x):
     blocks 1..3 are C>=128 and already lane-dense, and no standalone
     pack/unpack reshape (= relayout copy) exists anywhere. Equal to
     encode() up to float reassociation. Requires T % 4 == 0.
-    x: [B, T, 1] -> [B, T, 4C]."""
+    x: [B, T, 1] -> [B, T, 4C] (float — the LSTM consumes it).
+
+    `q`: optional ops/quant.py QuantCtx for int8 serving / calibration."""
+    from ..ops.quant import ctx_or_null, make_qops
+
+    q = ctx_or_null(q)
+    qconv, _ = make_qops(q)
     b, t, _ = x.shape
     assert t % 4 == 0, t
+    xq = q.quantize_in("in", x)
     w, bb = fold_conv_bn(params["stem"]["conv"], params["stem"]["bn"],
                          state["stem"]["bn"])
-    h = leaky_relu(packed_conv_r(x, w, bb, r_in=1, r_out=4, padding=3,
-                                 t_in=t))
+    h = qconv("stem", xq, w, bb, op=packed_conv_r, act=leaky_relu,
+              r_in=1, r_out=4, padding=3, t_in=t)
     p0, s0 = params["blocks"][0], state["blocks"][0]
     w, bb = fold_conv_bn(p0["dilated"]["conv"], p0["dilated"]["bn"],
                          s0["dilated"]["bn"])
-    h = leaky_relu(packed_conv(h, w, bb, r=4, padding=1))
+    h = qconv("b0.d", h, w, bb, op=packed_conv, act=leaky_relu,
+              r=4, padding=1)
     w, bb = fold_conv_bn(p0["pointwise"]["conv"], p0["pointwise"]["bn"],
                          s0["pointwise"]["bn"])
-    h = leaky_relu(packed_conv(h, w, bb, r=4, padding=0))
+    h = qconv("b0.p", h, w, bb, op=packed_conv, act=leaky_relu,
+              r=4, padding=0)
     p1, s1 = params["blocks"][1], state["blocks"][1]
     w, bb = fold_conv_bn(p1["dilated"]["conv"], p1["dilated"]["bn"],
                          s1["dilated"]["bn"])
-    h = leaky_relu(packed_conv_r(h, w, bb, r_in=4, r_out=1, padding=2,
-                                 dilation=2, t_in=t))  # -> plain [B, T, 4C]
-    h, _ = conv_bn_lrelu_apply(p1["pointwise"], s1["pointwise"], h, False,
-                               padding=0)
-    for p, s, dil in zip(params["blocks"][2:], state["blocks"][2:],
-                         _DILATIONS[2:]):
-        h, _ = conv_bn_lrelu_apply(p["dilated"], s["dilated"], h, False,
-                                   padding=dil, dilation=dil)
-        h, _ = conv_bn_lrelu_apply(p["pointwise"], s["pointwise"], h, False,
-                                   padding=0)
-    return h
+    h = qconv("b1.d", h, w, bb, op=packed_conv_r, act=leaky_relu,
+              r_in=4, r_out=1, padding=2, dilation=2,
+              t_in=t)                               # -> plain [B, T, 4C]
+    if not q.active:
+        h, _ = conv_bn_lrelu_apply(p1["pointwise"], s1["pointwise"], h,
+                                   False, padding=0)
+        for p, s, dil in zip(params["blocks"][2:], state["blocks"][2:],
+                             _DILATIONS[2:]):
+            h, _ = conv_bn_lrelu_apply(p["dilated"], s["dilated"], h, False,
+                                       padding=dil, dilation=dil)
+            h, _ = conv_bn_lrelu_apply(p["pointwise"], s["pointwise"], h,
+                                       False, padding=0)
+        return h
+    # quantized tail: same math with r=1 packed convs (== plain conv1d)
+    w, bb = fold_conv_bn(p1["pointwise"]["conv"], p1["pointwise"]["bn"],
+                         s1["pointwise"]["bn"])
+    h = qconv("b1.p", h, w, bb, op=packed_conv, act=leaky_relu,
+              r=1, padding=0)
+    for i, (p, s, dil) in enumerate(zip(params["blocks"][2:],
+                                        state["blocks"][2:],
+                                        _DILATIONS[2:]), start=2):
+        w, bb = fold_conv_bn(p["dilated"]["conv"], p["dilated"]["bn"],
+                             s["dilated"]["bn"])
+        h = qconv(f"b{i}.d", h, w, bb, op=packed_conv, act=leaky_relu,
+                  r=1, padding=dil, dilation=dil)
+        w, bb = fold_conv_bn(p["pointwise"]["conv"], p["pointwise"]["bn"],
+                             s["pointwise"]["bn"])
+        last = i == len(params["blocks"]) - 1
+        h = qconv(f"b{i}.p", h, w, bb, op=packed_conv, act=leaky_relu,
+                  r=1, padding=0, requant=not last)
+    return h  # float: the LSTM recurrence stays f32/bf16
 
 
-def _decoder_apply_packed(p, s, h, t):
+def _decoder_apply_packed(p, s, h, t, q=None, name: str = "dec"):
     """Eval decoder with the conv stack r=2-packed, boundary-fused both
     ways: l1 raises plain LSTM output [B, T, H] into packed space, l2/l3
     run r=2 (the [B, T2, 64]/[B, T2, 32] tensors move lane-dense), and the
     final conv exits fused to plain [B, T, 1]."""
+    from ..ops.quant import ctx_or_null, make_qops
+
+    q = ctx_or_null(q)
+    qconv, _ = make_qops(q)
     w1, b1 = fold_conv_bn(p["l1"]["conv"], p["l1"]["bn"], s["l1"]["bn"])
-    hp = leaky_relu(packed_conv_r(h, w1, b1, r_in=1, r_out=2, padding=3,
-                                  t_in=t))
+    hp = qconv(f"{name}.l1", h, w1, b1, op=packed_conv_r, act=leaky_relu,
+               r_in=1, r_out=2, padding=3, t_in=t)
     w2, b2 = fold_conv_bn(p["l2"]["conv"], p["l2"]["bn"], s["l2"]["bn"])
-    hp = leaky_relu(packed_conv(hp, w2, b2, r=2, padding=3))
+    hp = qconv(f"{name}.l2", hp, w2, b2, op=packed_conv, act=leaky_relu,
+               r=2, padding=3)
     w3, b3 = fold_conv_bn(p["l3"]["conv"], p["l3"]["bn"], s["l3"]["bn"])
-    hp = leaky_relu(packed_conv(hp, w3, b3, r=2, padding=3))
-    return packed_conv_r(hp, p["final"]["w"], p["final"]["b"], r_in=2,
-                         r_out=1, padding=3, t_in=t)
+    hp = qconv(f"{name}.l3", hp, w3, b3, op=packed_conv, act=leaky_relu,
+               r=2, padding=3)
+    return qconv(f"{name}.final", hp, p["final"]["w"], p["final"]["b"],
+                 op=packed_conv_r, requant=False, r_in=2, r_out=1,
+                 padding=3, t_in=t)
 
 
-def apply_packed(params, state, x):
+def apply_packed(params, state, x, q=None):
     """Eval-mode apply() with the packed encoder/decoder stages; the LSTM
     recurrence itself is untouched (it is latency-bound, not traffic-bound —
-    docs/PERFORMANCE.md). Requires T % 4 == 0 (callers fall back to
-    apply() otherwise). x: [B, T, 1] -> [B, T, 2]."""
+    docs/PERFORMANCE.md) and runs in the parameter dtype even under int8
+    serving. Requires T % 4 == 0 (callers fall back to apply() otherwise).
+    x: [B, T, 1] -> [B, T, 2]."""
+    from ..ops.quant import ctx_or_null
+
+    q = ctx_or_null(q)
     t = x.shape[1]
-    h = encode_packed(params, state, x)
+    h = encode_packed(params, state, x, q=q)
+    h = h.astype(params["lstm"][0]["w_hh"].dtype)
     h = stacked_lstm(h, params["lstm"])
-    left = _decoder_apply_packed(params["left"], state["left"], h, t)
-    right = _decoder_apply_packed(params["right"], state["right"], h, t)
+    hq = q.quantize_in("lstm_out", h.astype(jnp.float32) if q.quantized
+                       else h)
+    left = _decoder_apply_packed(params["left"], state["left"], hq, t, q,
+                                 "left")
+    right = _decoder_apply_packed(params["right"], state["right"], hq, t, q,
+                                  "right")
     return jnp.concatenate([left, right], axis=-1)
+
+
+def packed_amax(params, state, x):
+    """Calibration forward for apply_packed's int8 mode (ops/quant.py)."""
+    from ..ops.quant import QuantCtx
+
+    ctx = QuantCtx()
+    apply_packed(params, state, x, q=ctx)
+    return ctx.amax

@@ -149,7 +149,7 @@ def _upsample_linear_conv(x, c: int, t: int, m: int):
     return y
 
 
-def apply_packed(params, state, x):
+def apply_packed(params, state, x, q=None):
     """Eval-mode forward in r-packed (space-to-depth) form.
 
     The ENTIRE model is C=32 (stem through recon), so the whole forward runs
@@ -161,32 +161,54 @@ def apply_packed(params, state, x):
     ops/packed.py::packed_conv_r). Exactly equal to apply() up to float
     reassociation. Requires t % 4 == 0 and channels == 1 (callers fall
     back to apply() otherwise). x: plain [B, t, 1] -> plain [B, m*t, 1].
+
+    `q`: optional ops/quant.py QuantCtx for int8 serving / calibration;
+    residual adds dequantize both sides in the consuming conv's epilogue.
+    The global linear-interp residual stays float.
     """
+    from ..ops.quant import ctx_or_null, make_qops
+
+    q = ctx_or_null(q)
+    qconv, _ = make_qops(q)
     b_sz, t, cin = x.shape
     assert t % 4 == 0 and cin == 1
     r = 4
+    lrelu = leaky_relu
 
-    h0 = leaky_relu(packed_conv_r(x, params["initial"]["w"],
-                                  params["initial"]["b"], r_in=1, r_out=r,
-                                  padding=3, t_in=t))
+    xq = q.quantize_in("in", x)
+    h0 = qconv("stem", xq, params["initial"]["w"], params["initial"]["b"],
+               op=packed_conv_r, act=lrelu, r_in=1, r_out=r, padding=3,
+               t_in=t)
     h = h0
-    for p, s in zip(params["blocks"], state["blocks"]):
+    for i, (p, s) in enumerate(zip(params["blocks"], state["blocks"])):
         w1, b1 = fold_conv_bn(p["conv1"], p["bn1"], s["bn1"])
-        hh = leaky_relu(packed_conv(h, w1, b1, r=r, padding=1))
+        hh = qconv(f"blk{i}.c1", h, w1, b1, op=packed_conv, act=lrelu,
+                   r=r, padding=1)
         w2, b2 = fold_conv_bn(p["conv2"], p["bn2"], s["bn2"])
-        h = packed_conv(hh, w2, b2, r=r, padding=1) + h
+        h = qconv(f"blk{i}.c2", hh, w2, b2, op=packed_conv, add=h,
+                  r=r, padding=1)
     wm, bm = fold_conv_bn(params["middle"]["conv"], params["middle"]["bn"],
                           state["middle"]["bn"])
-    h = h0 + packed_conv(h, wm, bm, r=r, padding=1)
+    h = qconv("middle", h, wm, bm, op=packed_conv, add=h0, r=r, padding=1)
 
     t_cur = t
-    for up in params["upsample"]:
-        h = leaky_relu(packed_conv_transpose(h, up["w"], up["b"], r_in=r,
-                                             r_out=2 * r, stride=2,
-                                             padding=1, t_in=t_cur))
+    for i, up in enumerate(params["upsample"]):
+        h = qconv(f"up{i}", h, up["w"], up["b"], op=packed_conv_transpose,
+                  act=lrelu, r_in=r, r_out=2 * r, stride=2, padding=1,
+                  t_in=t_cur)
         r, t_cur = 2 * r, 2 * t_cur
-    h = leaky_relu(packed_conv(h, params["hf"]["w"], params["hf"]["b"],
-                               r=r, padding=2))
-    out = packed_conv_r(h, params["recon"]["w"], params["recon"]["b"],
-                        r_in=r, r_out=1, padding=3, t_in=t_cur)
+    h = qconv("hf", h, params["hf"]["w"], params["hf"]["b"], op=packed_conv,
+              act=lrelu, r=r, padding=2)
+    out = qconv("recon", h, params["recon"]["w"], params["recon"]["b"],
+                op=packed_conv_r, requant=False, r_in=r, r_out=1, padding=3,
+                t_in=t_cur)
     return out + _upsample_linear_conv(x, 1, t, 2 ** len(params["upsample"]))
+
+
+def packed_amax(params, state, x):
+    """Calibration forward for apply_packed's int8 mode (ops/quant.py)."""
+    from ..ops.quant import QuantCtx
+
+    ctx = QuantCtx()
+    apply_packed(params, state, x, q=ctx)
+    return ctx.amax

@@ -186,7 +186,21 @@ def _gather_kernel(w, jmap):
 
 
 # ------------------------------------------------------------ packed ops
-def packed_conv(xp, w, b=None, *, r: int, padding: int, dilation: int = 1):
+def _plain_exec(xp, wp, bias, *, window_strides, padding, lhs_dilation=None):
+    """Default conv executor. The `_exec` hook on the packed ops lets the
+    int8 serving path (ops/quant.py::int8_exec) swap in an s8 x s8 -> s32
+    conv with a dequant epilogue while reusing every packed-kernel
+    construction above unchanged."""
+    out = lax.conv_general_dilated(xp, wp, window_strides, padding,
+                                   lhs_dilation=lhs_dilation,
+                                   dimension_numbers=_DIMNUMS)
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+def packed_conv(xp, w, b=None, *, r: int, padding: int, dilation: int = 1,
+                _exec=None):
     """Stride-1 'same' conv on an r-packed tensor, equal to
     conv1d(unpack(xp), w, b, padding=padding, dilation=dilation) at every
     valid sample (exactly — see module docstring).
@@ -195,16 +209,14 @@ def packed_conv(xp, w, b=None, *, r: int, padding: int, dilation: int = 1):
     """
     jmap, (lo, hi) = _conv_index_map(int(w.shape[0]), r, padding, dilation)
     wp = _gather_kernel(w, jmap)
-    out = lax.conv_general_dilated(xp, wp, (1,), [(lo, hi)],
-                                   dimension_numbers=_DIMNUMS)
-    if b is not None:
-        out = out + jnp.tile(b, r)
-    return out
+    return (_exec or _plain_exec)(
+        xp, wp, None if b is None else jnp.tile(b, r),
+        window_strides=(1,), padding=[(lo, hi)])
 
 
 def packed_conv_transpose(xp, w, b=None, *, r_in: int, r_out: int,
                           stride: int, padding: int, t_in: int,
-                          dilation: int = 1):
+                          dilation: int = 1, _exec=None):
     """ConvTranspose1d on packed tensors, possibly changing the packing rate.
 
     Equal to conv_transpose1d(unpack(xp), w, b, stride=stride,
@@ -226,17 +238,14 @@ def packed_conv_transpose(xp, w, b=None, *, r_in: int, r_out: int,
     # kernel + lhs_dilation with padding (kp-1-lo, kp-1-p_hi), where p_hi
     # trims the packed output to exactly t_out/r_out steps
     p_hi = dil * (tp_in - 1) + kp - lo - t_out // r_out
-    out = lax.conv_general_dilated(
-        xp, wp[::-1], window_strides=(1,),
-        padding=[(kp - 1 - lo, kp - 1 - p_hi)],
-        lhs_dilation=(dil,), dimension_numbers=_DIMNUMS)
-    if b is not None:
-        out = out + jnp.tile(b, r_out)
-    return out
+    return (_exec or _plain_exec)(
+        xp, wp[::-1], None if b is None else jnp.tile(b, r_out),
+        window_strides=(1,), padding=[(kp - 1 - lo, kp - 1 - p_hi)],
+        lhs_dilation=(dil,))
 
 
 def packed_conv_r(xp, w, b=None, *, r_in: int, r_out: int, padding: int,
-                  dilation: int = 1, t_in: int):
+                  dilation: int = 1, t_in: int, _exec=None):
     """Stride-1 'same' plain-conv semantics between ANY two packing rates
     (one dividing the other, r=1 meaning the plain layout itself).
 
@@ -250,23 +259,20 @@ def packed_conv_r(xp, w, b=None, *, r_in: int, r_out: int, padding: int,
     """
     if r_in == r_out:
         return packed_conv(xp, w, b, r=r_in, padding=padding,
-                           dilation=dilation)
+                           dilation=dilation, _exec=_exec)
     k = int(w.shape[0])
     if r_in > r_out:
         return packed_conv_transpose(
             xp, w[::-1], b, r_in=r_in, r_out=r_out, stride=1,
             padding=(k - 1) * dilation - padding, dilation=dilation,
-            t_in=t_in)
+            t_in=t_in, _exec=_exec)
     assert t_in % r_out == 0, (t_in, r_out)
     jmap, lo, s = _conv_raise_index_map(k, r_in, r_out, padding, dilation)
     wp = _gather_kernel(w, jmap)
     kp = wp.shape[0]
-    out = lax.conv_general_dilated(
-        xp, wp, window_strides=(s,), padding=[(lo, kp - s - lo)],
-        dimension_numbers=_DIMNUMS)
-    if b is not None:
-        out = out + jnp.tile(b, r_out)
-    return out
+    return (_exec or _plain_exec)(
+        xp, wp, None if b is None else jnp.tile(b, r_out),
+        window_strides=(s,), padding=[(lo, kp - s - lo)])
 
 
 def packed_max_pool2(xp, c: int):

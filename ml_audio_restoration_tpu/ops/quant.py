@@ -1,0 +1,213 @@
+"""int8 serving quantization for the HBM-bound conv stacks.
+
+Why: serving is HBM-bandwidth-bound outside the LSTM recurrence
+(docs/PERFORMANCE.md), so int8 activations halve the conv stacks' traffic
+vs bf16 and quarter it vs f32 — and TPU v5e's MXU runs s8 x s8 -> s32
+natively at 2x the bf16 rate. Probe (scripts/int8_conv_probe.py): the
+packed-shape C=128 k=3 conv stack runs ~1.6x faster in int8 than f32/bf16
+device-side.
+
+Scheme: symmetric linear quantization. Weights are quantized per output
+channel inside the trace (the tensors are tiny — this constant-folds into
+a few small HLOs per program, like the packed-kernel gathers). Activations
+use STATIC per-point scales from a calibration pass (amax / 127): dynamic
+absmax would cost the very HBM reduction pass the scheme saves. Each conv
+runs s8 conv -> s32, then its epilogue dequantizes, adds bias/residual,
+applies the activation, and requantizes for the next layer — all
+elementwise, fused into the conv output by XLA, so the tensors that
+actually move through HBM are int8.
+
+No reference counterpart (/root/reference serves f32/AMP on GPU); this is
+an opt-in serving mode (PipelineConfig.quantize_int8) — quantization error
+(~1e-2 waveform deviation) is far above the 1e-3 parity bar, so the
+default path is untouched. Quality on trained checkpoints is measured in
+docs/RESULTS.md (scripts/full_chain_eval.py --int8).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+from jax import lax
+
+_DIMNUMS = ("NWC", "WIO", "NWC")
+
+
+class QT(NamedTuple):
+    """A quantized activation: int8 values + its static dequant scale."""
+    q: jnp.ndarray
+    scale: float
+
+
+def quantize_weight(wp):
+    """f32/bf16 [k, ci, co] -> (int8 [k, ci, co], f32 [co] per-channel scales).
+
+    Runs on the PACKED kernel (after ops/packed.py's block-Toeplitz gather),
+    so each packed output channel gets its own scale."""
+    wp = wp.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(wp), axis=(0, 1)), 1e-12) / 127.0
+    wq = jnp.clip(jnp.round(wp / s), -127, 127).astype(jnp.int8)
+    return wq, s
+
+
+def requantize(y, scale: float):
+    return jnp.clip(jnp.round(y * (1.0 / scale)), -127, 127).astype(jnp.int8)
+
+
+def dequantize(x):
+    return x.q.astype(jnp.float32) * x.scale if isinstance(x, QT) else x
+
+
+def int8_exec(x_scale: float):
+    """Conv executor for ops/packed.py's `_exec` hook: s8 x s8 -> s32 on the
+    MXU, dequantized (+bias) in the epilogue. The caller's packed op builds
+    the packed f32 kernel and the tiled bias; quantization happens here so
+    per-packed-channel weight scales line up with the packed output."""
+
+    def _exec(xq, wp, bias, *, window_strides, padding, lhs_dilation=None):
+        wq, ws = quantize_weight(wp)
+        acc = lax.conv_general_dilated(
+            xq, wq, window_strides, padding,
+            lhs_dilation=lhs_dilation, dimension_numbers=_DIMNUMS,
+            preferred_element_type=jnp.int32)
+        y = acc.astype(jnp.float32) * (ws * x_scale)
+        if bias is not None:
+            y = y + bias.astype(jnp.float32)
+        return y
+
+    return _exec
+
+
+class QuantCtx:
+    """Threads int8 serving (or its calibration pass) through a forward.
+
+    Modes:
+      QuantCtx()            — CALIBRATE: forward computes in f32; `out()`
+        records each quantization point's running amax (traced scalars in
+        .amax, to be maxed over batches and turned into scales host-side).
+      QuantCtx(scales=dict) — QUANTIZED: activations travel between convs
+        as int8 `QT`s; `exec_for()` yields the int8 executor per input.
+
+    Model forwards take `q=None` (a null ctx) by default and emit exactly
+    the HLOs they always did — the ctx indirection exists only at trace
+    time.
+    """
+
+    active = True
+
+    def __init__(self, scales: dict | None = None):
+        self.scales = scales
+        self.amax: dict = {}
+
+    @property
+    def quantized(self) -> bool:
+        return self.scales is not None
+
+    def record(self, name: str, y):
+        m = jnp.max(jnp.abs(y)).astype(jnp.float32)
+        self.amax[name] = (jnp.maximum(self.amax[name], m)
+                           if name in self.amax else m)
+
+    def quantize_in(self, name: str, x):
+        """Entry point: bring an f32 tensor into the quantized domain."""
+        if not self.quantized:
+            self.record(name, x)
+            return x
+        s = self.scales[name]
+        return QT(requantize(x, s), s)
+
+    def exec_for(self, x):
+        """(raw array, _exec hook) for a conv input that may be f32 or QT."""
+        if isinstance(x, QT):
+            return x.q, int8_exec(x.scale)
+        return x, None
+
+    def out(self, name: str, y, act=None, requant: bool = True):
+        """Close a conv layer: activation, then requantize (or record amax
+        when calibrating). requant=False marks an exit back to float."""
+        if act is not None:
+            y = act(y)
+        if not self.quantized:
+            if requant:
+                self.record(name, y)
+            return y
+        if not requant:
+            return y
+        s = self.scales[name]
+        return QT(requantize(y, s), s)
+
+    def deq(self, x):
+        return dequantize(x)
+
+
+class _NullCtx:
+    """Inactive ctx: the default (non-quantized) serving path."""
+
+    active = False
+    quantized = False
+
+    def quantize_in(self, name, x):
+        return x
+
+    def exec_for(self, x):
+        return x, None
+
+    def out(self, name, y, act=None, requant=True):
+        return act(y) if act is not None else y
+
+    def deq(self, x):
+        return x
+
+
+NULL_CTX = _NullCtx()
+
+
+def ctx_or_null(q):
+    return NULL_CTX if q is None else q
+
+
+def make_qops(q):
+    """(qconv, qconv2) layer helpers bound to a ctx.
+
+    qconv: one conv layer — conv (+ optional residual `add`) + activation,
+    then requantize/record. With the null ctx this emits exactly
+    `act(op(h, w, bias, **kw) + add)`.
+    qconv2: kernel-split sum of two convs over differently-scaled inputs
+    (replaces a concat-consuming conv; bias rides the first half).
+    """
+    from .packed import packed_conv
+
+    def qconv(name, h, w, bias, *, op, act=None, requant=True, add=None,
+              **kw):
+        hr, ex = q.exec_for(h)
+        y = op(hr, w, bias, _exec=ex, **kw)
+        if add is not None:
+            y = y + q.deq(add)
+        return q.out(name, y, act=act, requant=requant)
+
+    def qconv2(name, h1, w1, h2, w2, bias, *, act=None, **kw):
+        h1r, ex1 = q.exec_for(h1)
+        h2r, ex2 = q.exec_for(h2)
+        y = (packed_conv(h1r, w1, bias, _exec=ex1, **kw)
+             + packed_conv(h2r, w2, None, _exec=ex2, **kw))
+        return q.out(name, y, act=act)
+
+    return qconv, qconv2
+
+
+def scales_from_amax(amax: dict) -> dict:
+    """Host-side: accumulated per-point amaxes -> static scales."""
+    return {k: max(float(v), 1e-8) / 127.0 for k, v in amax.items()}
+
+
+def calibrate(forward, batches) -> dict:
+    """Run `forward(x) -> amax dict` (jitted) over batches; return scales."""
+    import jax
+
+    jf = jax.jit(forward)
+    acc: dict | None = None
+    for x in batches:
+        am = {k: float(v) for k, v in jf(x).items()}
+        acc = am if acc is None else {k: max(acc[k], am[k]) for k in am}
+    assert acc is not None, "calibration needs at least one batch"
+    return scales_from_amax(acc)

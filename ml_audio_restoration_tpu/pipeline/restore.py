@@ -73,16 +73,22 @@ def stereo_sub_cfg(cfg: PipelineConfig, stage_len: int, f: int):
     return (sub, sub - sub_ov, sub_ov)
 
 
-def apply_stereo(st, x, sub_cfg, packed: bool = False):
+def apply_stereo(st, x, sub_cfg, packed: bool = False, q=None):
     """Stereo stage over [N, T2, 1] -> [N, T2, 2], optionally re-framed into
     shorter internal LSTM windows with crossfade overlap-add (sub_cfg from
     stereo_sub_cfg; None = whole-window). `packed` routes the encoder/
     decoder conv stages through the r-packed layout (stereo_separator
     .apply_packed — numerically equal up to float reassociation; requires
-    the stage window length % 4 == 0, else falls back to plain)."""
+    the stage window length % 4 == 0, else falls back to plain). `q`: an
+    ops/quant.py QuantCtx — int8 serving (or calibration) via the packed
+    forward, which hosts the quantized conv stacks; the LSTM stays float."""
     stage_len = sub_cfg[0] if sub_cfg is not None else x.shape[1]
-    run = (stereo_mod.apply_packed if packed and stage_len % 4 == 0
-           else lambda p, s, v: stereo_mod.apply(p, s, v)[0])
+    if q is not None and stage_len % 4 == 0:
+        run = lambda p, s, v: stereo_mod.apply_packed(p, s, v, q=q)
+    elif packed and stage_len % 4 == 0:
+        run = stereo_mod.apply_packed
+    else:
+        run = lambda p, s, v: stereo_mod.apply(p, s, v)[0]
     if sub_cfg is None:
         return run(st[0], st[1], x)
     sub, sub_hop, sub_ov = sub_cfg
@@ -122,6 +128,9 @@ class RestorationPipeline:
         self.stereo = stereo
         self.mesh = mesh
         self._compiled = {}
+        # int8 serving state: per-stage {point: scale} from calibrate_int8
+        self._int8_scales = None
+        self._int8_version = 0
 
     # ---------------------------------------------------------------- setup
     @classmethod
@@ -175,7 +184,8 @@ class RestorationPipeline:
                        overlap: int):
         key = (n_chunks, chunk_size, hop, self._stages_key(),
                self.config.compute_dtype, self.config.stereo_chunk_seconds,
-               self.config.stereo_mid_exact, self.config.packed_convs)
+               self.config.stereo_mid_exact, self.config.packed_convs,
+               self.config.quantize_int8, self._int8_version)
         if key in self._compiled:
             return self._compiled[key]
 
@@ -200,6 +210,12 @@ class RestorationPipeline:
         # change the computation path.
         packed_stereo = (self.config.packed_convs and has_st
                          and sub_cfg is None)
+        # int8 serving rides the packed forwards (they host the quantized
+        # conv stacks), so it shares the packed gate; it additionally needs
+        # calibrated scales (restore() auto-calibrates before compiling)
+        int8 = (self.config.quantize_int8 and packed
+                and self._int8_scales is not None)
+        scales = self._int8_scales if int8 else {}
 
         def cast(tree):
             if tree is None or dtype == jnp.float32:
@@ -229,14 +245,27 @@ class RestorationPipeline:
 
                 x = jax.lax.with_sharding_constraint(
                     x, NamedSharding(mesh, P("data", "model", None)))
+            if int8:
+                from ..ops.quant import QuantCtx
             if has_dn:
-                x = (denoiser_mod.apply_packed(dn[0], dn[1], x) if packed
-                     else denoiser_mod.apply(dn[0], dn[1], x)[0])
+                if int8:
+                    x = denoiser_mod.apply_packed(
+                        dn[0], dn[1], x, q=QuantCtx(scales["denoiser"]))
+                else:
+                    x = (denoiser_mod.apply_packed(dn[0], dn[1], x) if packed
+                         else denoiser_mod.apply(dn[0], dn[1], x)[0])
             if has_sr:
-                x = (sr_mod.apply_packed(sr[0], sr[1], x) if packed
-                     else sr_mod.apply(sr[0], sr[1], x)[0])
+                if int8:
+                    x = sr_mod.apply_packed(
+                        sr[0], sr[1], x, q=QuantCtx(scales["super_resolution"]))
+                else:
+                    x = (sr_mod.apply_packed(sr[0], sr[1], x) if packed
+                         else sr_mod.apply(sr[0], sr[1], x)[0])
             if has_st:
-                y = apply_stereo(st, x, sub_cfg, packed=packed_stereo)
+                y = apply_stereo(
+                    st, x.astype(jnp.float32) if int8 else x, sub_cfg,
+                    packed=packed_stereo,
+                    q=QuantCtx(scales["stereo"]) if int8 else None)
                 if self.config.stereo_mid_exact:
                     # out = mid +/- predicted side: mono fidelity exact by
                     # construction, width carried entirely by the side
@@ -251,6 +280,85 @@ class RestorationPipeline:
         jitted = jax.jit(process)
         self._compiled[key] = jitted
         return jitted
+
+    # ------------------------------------------------------- int8 serving
+    def calibrate_int8(self, audio, sample_rate: Optional[int] = None,
+                       max_chunks: int = 8):
+        """Collect per-layer activation scales for int8 serving from one
+        f32 pass over (up to max_chunks of) `audio`, framed exactly as
+        restore() would frame it. Stored on the pipeline; restore() calls
+        this automatically on the first recording when
+        config.quantize_int8 is set (ops/quant.py for the scheme)."""
+        from ..ops.quant import QuantCtx, scales_from_amax
+
+        cfg = self.config
+        sample_rate = sample_rate or cfg.sample_rate
+        audio = np.asarray(audio, np.float32)
+        if audio.ndim == 1:
+            audio = audio[None]
+        if audio.shape[0] > 1:
+            audio = np.mean(audio, axis=0, keepdims=True)
+        t = audio.shape[1]
+        chunk_size = int(round(cfg.chunk_seconds * sample_rate))
+        if cfg.whole_file:
+            chunk_size = t
+        if chunk_size % 4 != 0:
+            raise ValueError(
+                f"int8 serving rides the packed path: chunk length "
+                f"{chunk_size} must be a multiple of 4")
+        overlap = int(round(cfg.overlap_seconds * sample_rate))
+        hop = chunk_size - overlap
+        n = min(max(num_chunks(t, chunk_size, hop), 1), max_chunks)
+        total = (n - 1) * hop + chunk_size
+        audio_padded = np.pad(audio, ((0, 0), (0, max(total - t, 0))))
+
+        has_dn, has_sr, has_st = self._stages_key()
+        f = self.upscale_factor
+        sub_cfg = (stereo_sub_cfg(cfg, chunk_size * f, f)
+                   if has_st else None)
+
+        def calib(dn, sr, st, audio_padded):
+            chunks = frame_structured(audio_padded, n, chunk_size, hop)
+            amax = {}
+            x = chunks
+            if has_dn:
+                ctx = QuantCtx()
+                x = denoiser_mod.apply_packed(dn[0], dn[1], x, q=ctx)
+                amax["denoiser"] = ctx.amax
+            if has_sr:
+                ctx = QuantCtx()
+                x = sr_mod.apply_packed(sr[0], sr[1], x, q=ctx)
+                amax["super_resolution"] = ctx.amax
+            if has_st:
+                ctx = QuantCtx()
+                apply_stereo(st, x, sub_cfg, q=ctx)
+                amax["stereo"] = ctx.amax
+            return amax
+
+        amax = jax.jit(calib)(self.denoiser, self.super_resolution,
+                              self.stereo, audio_padded[:, :total])
+        self._int8_scales = {
+            stage: scales_from_amax({k: float(v) for k, v in d.items()})
+            for stage, d in amax.items()}
+        self._int8_version += 1
+        return self._int8_scales
+
+    def save_int8_scales(self, path):
+        """Persist calibration so later processes skip the f32 pass."""
+        import json
+
+        assert self._int8_scales is not None, "calibrate_int8 first"
+        with open(path, "w") as fh:
+            json.dump(self._int8_scales, fh, indent=1, sort_keys=True)
+        return path
+
+    def load_int8_scales(self, path):
+        import json
+
+        with open(path) as fh:
+            self._int8_scales = json.load(fh)
+        self._int8_version += 1
+        return self._int8_scales
 
     # ---------------------------------------------------------------- run
     def restore(self, audio, sample_rate: Optional[int] = None):
@@ -273,6 +381,15 @@ class RestorationPipeline:
 
         t = audio.shape[1]
         f = self.upscale_factor
+        if cfg.quantize_int8 and self._int8_scales is None:
+            # seed the static activation scales with one f32 pass over (a
+            # slice of) this recording; later recordings reuse them
+            try:
+                self.calibrate_int8(np.asarray(audio), sample_rate)
+            except ValueError as e:
+                import warnings
+
+                warnings.warn(f"int8 serving disabled: {e}")
         if cfg.whole_file:
             chunk_size, hop, overlap = t, t, 0
             n = n_real = 1

@@ -62,6 +62,11 @@ def main(argv=None):
                    help="evaluate the config/fast_serve.yaml preset "
                         "(bf16 + 0.25 s stereo windows)")
     p.add_argument("--mid-exact", action="store_true")
+    p.add_argument("--int8", action="store_true",
+                   help="int8 serving quantization (PipelineConfig"
+                        ".quantize_int8; auto-calibrates on the first "
+                        "eval recording) — the quality-delta study "
+                        "behind docs/RESULTS.md's int8 row")
     args = p.parse_args(argv)
 
     enable_persistent_compile_cache()
@@ -72,6 +77,8 @@ def main(argv=None):
     if args.fast_serve:
         cfg.compute_dtype = "bfloat16"
         cfg.stereo_chunk_seconds = 0.25
+    if args.int8:
+        cfg.quantize_int8 = True
     pipe = RestorationPipeline.from_checkpoints(
         denoiser_path=args.denoiser, super_res_path=args.super_res,
         stereo_path=args.stereo, config=cfg)

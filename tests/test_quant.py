@@ -1,0 +1,150 @@
+"""int8 serving quantization (ops/quant.py): per-model calibrate+quantize
+accuracy bounds, default-path invariance, and pipeline integration
+(auto-calibration, scale persistence, fallback gating)."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from ml_audio_restoration_tpu.config import PipelineConfig
+from ml_audio_restoration_tpu.models import (
+    denoiser,
+    super_resolution,
+    stereo_separator,
+)
+from ml_audio_restoration_tpu.ops.quant import (
+    QT,
+    QuantCtx,
+    calibrate,
+    quantize_weight,
+    requantize,
+)
+from ml_audio_restoration_tpu.pipeline import RestorationPipeline
+
+
+@pytest.fixture(scope="module")
+def x_mono(rng_module):
+    return jnp.asarray(
+        (rng_module.normal(size=(2, 1024, 1)) * 0.1).astype(np.float32))
+
+
+@pytest.fixture(scope="module")
+def rng_module():
+    return np.random.default_rng(0)
+
+
+def test_quantize_weight_roundtrip():
+    rng = np.random.default_rng(1)
+    w = jnp.asarray(rng.normal(size=(3, 16, 8)).astype(np.float32))
+    wq, s = quantize_weight(w)
+    assert wq.dtype == jnp.int8
+    back = wq.astype(jnp.float32) * s
+    # per-out-channel symmetric quant: error bounded by half a step
+    step = np.asarray(s)
+    assert np.all(np.abs(np.asarray(back - w)) <= step / 2 + 1e-7)
+    # the max-magnitude element of each channel hits +-127 exactly
+    assert int(jnp.max(jnp.abs(wq))) == 127
+
+
+def test_requantize_clips():
+    y = jnp.asarray([-10.0, 0.0, 0.004, 10.0])
+    q = requantize(y, 0.01)
+    assert q.dtype == jnp.int8
+    assert np.array_equal(np.asarray(q), [-127, 0, 0, 127])  # round-half-even
+
+
+@pytest.mark.parametrize("model,init_kw,nscales", [
+    (denoiser, {}, 20),
+    (super_resolution, {}, 13),
+    (stereo_separator, {}, 16),
+])
+def test_model_int8_close_to_f32(model, init_kw, nscales, x_mono):
+    p, s = model.init(jax.random.PRNGKey(3), **init_kw)
+    y32 = jax.jit(lambda p, s, x: model.apply_packed(p, s, x))(p, s, x_mono)
+    scales = calibrate(lambda x: model.packed_amax(p, s, x), [x_mono])
+    assert len(scales) == nscales
+    yq = jax.jit(
+        lambda p, s, x: model.apply_packed(p, s, x, q=QuantCtx(scales))
+    )(p, s, x_mono)
+    assert yq.shape == y32.shape and yq.dtype == jnp.float32
+    err = float(jnp.abs(yq - y32).max())
+    # random-init bound; trained-checkpoint quality is measured in
+    # docs/RESULTS.md (scripts/full_chain_eval.py --int8)
+    assert err < 5e-3, err
+
+
+def test_calibration_keys_match_quantized_consumption(x_mono):
+    """Every scale the int8 forward reads exists in the calibration dict
+    (a missing key would KeyError at trace time — this guards renames)."""
+    p, s = denoiser.init(jax.random.PRNGKey(4))
+    scales = calibrate(lambda x: denoiser.packed_amax(p, s, x), [x_mono])
+    # trace only (no execution) — enough to touch every scale lookup
+    jax.eval_shape(
+        lambda x: denoiser.apply_packed(p, s, x, q=QuantCtx(scales)), x_mono)
+
+
+def test_default_path_ignores_quant_machinery(x_mono):
+    """apply_packed with q=None must equal the plain apply() as before."""
+    for model in (denoiser, super_resolution, stereo_separator):
+        p, s = model.init(jax.random.PRNGKey(5))
+        y_ref = jax.jit(lambda p, s, x, m=model: m.apply(p, s, x)[0])(
+            p, s, x_mono)
+        y_pk = jax.jit(lambda p, s, x, m=model: m.apply_packed(p, s, x))(
+            p, s, x_mono)
+        assert float(jnp.abs(y_pk - y_ref).max()) < 1e-5
+
+
+def _stages(seed=11):
+    dn = denoiser.init(jax.random.PRNGKey(seed))
+    sr = super_resolution.init(jax.random.PRNGKey(seed + 1))
+    st = stereo_separator.init(jax.random.PRNGKey(seed + 2))
+    return {"denoiser": dn, "super_resolution": sr, "stereo": st}
+
+
+def test_pipeline_int8_autocalibrates_and_tracks_f32(rng_module):
+    audio = (rng_module.normal(size=(1, 22050)) * 0.15).astype(np.float32)
+    base = PipelineConfig(chunk_seconds=0.4, overlap_seconds=0.05)
+    int8 = PipelineConfig(chunk_seconds=0.4, overlap_seconds=0.05,
+                          quantize_int8=True)
+    stages = _stages()
+    out32, rate32 = RestorationPipeline(**stages, config=base).restore(audio)
+    pq = RestorationPipeline(**stages, config=int8)
+    outq, rateq = pq.restore(audio)
+    assert pq._int8_scales is not None  # auto-calibrated
+    assert set(pq._int8_scales) == {"denoiser", "super_resolution", "stereo"}
+    assert rateq == rate32 and outq.shape == out32.shape
+    a, b = np.asarray(out32), np.asarray(outq)
+    denom = float(np.abs(a).mean()) + 1e-9
+    assert float(np.abs(a - b).mean()) / denom < 0.05
+    # a second recording reuses the scales (no recalibration)
+    v = pq._int8_version
+    pq.restore((rng_module.normal(size=(1, 11025)) * 0.1).astype(np.float32))
+    assert pq._int8_version == v
+
+
+def test_pipeline_int8_scales_roundtrip(tmp_path, rng_module):
+    audio = (rng_module.normal(size=(1, 11025)) * 0.15).astype(np.float32)
+    cfg = PipelineConfig(chunk_seconds=0.4, quantize_int8=True)
+    stages = _stages()
+    p1 = RestorationPipeline(**stages, config=cfg)
+    out1, _ = p1.restore(audio)
+    path = p1.save_int8_scales(tmp_path / "scales.json")
+    p2 = RestorationPipeline(**stages, config=cfg)
+    p2.load_int8_scales(path)
+    out2, _ = p2.restore(audio)
+    assert p2._int8_scales == p1._int8_scales
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2))
+
+
+def test_pipeline_int8_whole_file_odd_length_falls_back(rng_module):
+    """whole_file with a length not on the packing grid cannot quantize:
+    it must warn and produce the plain-path output exactly."""
+    audio = (rng_module.normal(size=(1, 4099)) * 0.1).astype(np.float32)
+    stages = _stages()
+    plain, _ = RestorationPipeline(
+        **stages, config=PipelineConfig(whole_file=True)).restore(audio)
+    pq = RestorationPipeline(
+        **stages, config=PipelineConfig(whole_file=True, quantize_int8=True))
+    with pytest.warns(UserWarning, match="int8 serving disabled"):
+        outq, _ = pq.restore(audio)
+    np.testing.assert_array_equal(np.asarray(plain), np.asarray(outq))
