@@ -327,6 +327,24 @@ def main():
         extra["stereo_subchunk_xrt"] = round(xrt, 1)
         bases["stereo_subchunk_xrt"] = basis
 
+    # the config/fast_serve.yaml preset (bf16 + 0.25 s stereo windows +
+    # packed convs) and its int8 variant (config/fast_serve_int8.yaml —
+    # quantized conv stacks, packed scope; auto-calibrates on the warmup
+    # call). Quality-neutral on trained checkpoints per docs/RESULTS.md.
+    if elapsed() <= hard_budget_s:
+        fs_cfg = dataclasses.replace(cfg, compute_dtype="bfloat16",
+                                     stereo_chunk_seconds=0.25)
+        fs = RestorationPipeline(**stages, config=fs_cfg)
+        xrt, basis = measure_pipeline(fs)
+        extra["fast_serve_xrt"] = round(xrt, 1)
+        bases["fast_serve_xrt"] = basis
+    if elapsed() <= hard_budget_s:
+        q_cfg = dataclasses.replace(fs_cfg, quantize_int8=True)
+        qp = RestorationPipeline(**stages, config=q_cfg)
+        xrt, basis = measure_pipeline(qp)
+        extra["fast_serve_int8_xrt"] = round(xrt, 1)
+        bases["fast_serve_int8_xrt"] = basis
+
     # training throughput, all three families (BASELINE config 5 is the
     # denoiser one: batch 2, 2-s chunks, combined time-MSE + spectral loss;
     # on-device degradation included for the denoiser)

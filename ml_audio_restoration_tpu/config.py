@@ -132,6 +132,13 @@ class PipelineConfig:
     # a preset knob (config/fast_serve_int8.yaml), never the default;
     # quality on trained checkpoints is measured in docs/RESULTS.md.
     quantize_int8: bool = False
+    # which conv stacks quantize under quantize_int8: "packed" (default)
+    # quantizes only the r>1 packed stages — measured on v5e, XLA lowers
+    # the plain-layout C>=128 dilated/pointwise convs (stereo encoder
+    # tail, denoiser middle) SLOWER in int8 than bf16, so those stay in
+    # compute_dtype; "full" quantizes everything (ops/quant.py).
+    # Calibration records every point, so saved scales fit either scope.
+    int8_scope: str = "packed"
     # mid-exact upmix: keep the stereo model's predicted SIDE signal but
     # rebuild L/R around the true input mid (out = mid +/- side), so the
     # upmix cannot degrade mono fidelity — measured +3.6 dB mid SNR on the

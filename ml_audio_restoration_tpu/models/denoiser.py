@@ -247,10 +247,15 @@ def apply_packed(params, state, x, q=None):
     h = qpool_packed(skip1, enc_p[1]["c2"]["conv"]["w"].shape[2])
 
     # middle (C>=128 is already lane-dense, plain layout): enc2 ->
-    # bottleneck -> up0 -> dec0
+    # bottleneck -> up0 -> dec0. Quantized only under full scope — XLA's
+    # int8 lowering of plain-layout C>=128 convs measured slower than
+    # bf16 on v5e (ops/quant.py QuantCtx docstring).
     up0 = params["up"][0]
-    if not q.active:
-        # default path: same code path as apply() (concat decode)
+    if not (q.active and q.full):
+        # default path: same code path as apply() (concat decode); the
+        # packed-scope dequant lands in f32 — run the plain middle in the
+        # parameter/compute dtype
+        h = q.deq(h).astype(up0["w"].dtype)
         h, _ = double_conv_block_apply(enc_p[2], enc_s[2], h, False)
         skip2 = h
         h = max_pool1d(h)

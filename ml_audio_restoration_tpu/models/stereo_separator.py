@@ -161,10 +161,18 @@ def encode_packed(params, state, x, q=None):
     p1, s1 = params["blocks"][1], state["blocks"][1]
     w, bb = fold_conv_bn(p1["dilated"]["conv"], p1["dilated"]["bn"],
                          s1["dilated"]["bn"])
+    # Blocks 1..3 are plain-layout C>=128: quantized only under full
+    # scope — XLA's int8 lowering of plain dilated/pointwise convs
+    # measured slower than bf16 on v5e (ops/quant.py QuantCtx docstring),
+    # so packed scope exits the quantized domain at b1.d.
+    full_tail = q.active and q.full
     h = qconv("b1.d", h, w, bb, op=packed_conv_r, act=leaky_relu,
-              r_in=4, r_out=1, padding=2, dilation=2,
+              requant=full_tail, r_in=4, r_out=1, padding=2, dilation=2,
               t_in=t)                               # -> plain [B, T, 4C]
-    if not q.active:
+    if not full_tail:
+        # packed-scope exit lands in f32 (dequant epilogue); run the plain
+        # tail in the parameter/compute dtype (bf16 under fast_serve)
+        h = h.astype(w.dtype)
         h, _ = conv_bn_lrelu_apply(p1["pointwise"], s1["pointwise"], h,
                                    False, padding=0)
         for p, s, dil in zip(params["blocks"][2:], state["blocks"][2:],

@@ -85,8 +85,18 @@ class QuantCtx:
       QuantCtx()            — CALIBRATE: forward computes in f32; `out()`
         records each quantization point's running amax (traced scalars in
         .amax, to be maxed over batches and turned into scales host-side).
+        Calibration always records EVERY point (scope-independent), so one
+        scales file serves either serving scope.
       QuantCtx(scales=dict) — QUANTIZED: activations travel between convs
         as int8 `QT`s; `exec_for()` yields the int8 executor per input.
+
+    `scope` (quantized mode only): "full" quantizes every conv stack;
+    "packed" quantizes only the stages that run in r>1 packed layout —
+    measured (docs/PERFORMANCE.md "int8"): XLA's int8 lowering of the
+    plain-layout C>=128 dilated/pointwise convs (stereo encoder tail,
+    denoiser middle) is SLOWER than bf16 on v5e, while the packed stages
+    (dense stride-1 block-Toeplitz convs) win, so the model forwards route
+    those plain stages back to the float path when `full` is False.
 
     Model forwards take `q=None` (a null ctx) by default and emit exactly
     the HLOs they always did — the ctx indirection exists only at trace
@@ -95,9 +105,17 @@ class QuantCtx:
 
     active = True
 
-    def __init__(self, scales: dict | None = None):
+    def __init__(self, scales: dict | None = None, scope: str = "full"):
+        assert scope in ("full", "packed"), scope
         self.scales = scales
+        self.scope = scope
         self.amax: dict = {}
+
+    @property
+    def full(self) -> bool:
+        """True when the plain-layout (non-packed) stages also quantize.
+        Calibration is always full: it records every point."""
+        return self.scales is None or self.scope == "full"
 
     @property
     def quantized(self) -> bool:
@@ -145,6 +163,7 @@ class _NullCtx:
 
     active = False
     quantized = False
+    full = False
 
     def quantize_in(self, name, x):
         return x

@@ -185,7 +185,8 @@ class RestorationPipeline:
         key = (n_chunks, chunk_size, hop, self._stages_key(),
                self.config.compute_dtype, self.config.stereo_chunk_seconds,
                self.config.stereo_mid_exact, self.config.packed_convs,
-               self.config.quantize_int8, self._int8_version)
+               self.config.quantize_int8, self.config.int8_scope,
+               self._int8_version)
         if key in self._compiled:
             return self._compiled[key]
 
@@ -216,6 +217,13 @@ class RestorationPipeline:
         int8 = (self.config.quantize_int8 and packed
                 and self._int8_scales is not None)
         scales = self._int8_scales if int8 else {}
+        scope = self.config.int8_scope
+        # int8 stereo shares the packed-stereo gate (full windows only):
+        # at sub-chunked windows the quantized stereo runs the packed
+        # layout, which measured ~3% slower than plain there — enough to
+        # cancel its quantization win (docs/PERFORMANCE.md "int8"), while
+        # the denoiser/SR int8 win (~8 ms/120 s) is window-independent.
+        int8_stereo = int8 and sub_cfg is None
 
         def cast(tree):
             if tree is None or dtype == jnp.float32:
@@ -250,22 +258,26 @@ class RestorationPipeline:
             if has_dn:
                 if int8:
                     x = denoiser_mod.apply_packed(
-                        dn[0], dn[1], x, q=QuantCtx(scales["denoiser"]))
+                        dn[0], dn[1], x, q=QuantCtx(scales["denoiser"], scope))
                 else:
                     x = (denoiser_mod.apply_packed(dn[0], dn[1], x) if packed
                          else denoiser_mod.apply(dn[0], dn[1], x)[0])
             if has_sr:
                 if int8:
                     x = sr_mod.apply_packed(
-                        sr[0], sr[1], x, q=QuantCtx(scales["super_resolution"]))
+                        sr[0], sr[1], x, q=QuantCtx(scales["super_resolution"], scope))
                 else:
                     x = (sr_mod.apply_packed(sr[0], sr[1], x) if packed
                          else sr_mod.apply(sr[0], sr[1], x)[0])
             if has_st:
+                # int8 denoiser/SR exit in f32: hand the stereo stage its
+                # expected dtype (f32 when quantizing, compute dtype when
+                # running the plain/packed float path)
                 y = apply_stereo(
-                    st, x.astype(jnp.float32) if int8 else x, sub_cfg,
-                    packed=packed_stereo,
-                    q=QuantCtx(scales["stereo"]) if int8 else None)
+                    st, x.astype(jnp.float32 if int8_stereo else dtype)
+                    if int8 else x, sub_cfg, packed=packed_stereo,
+                    q=(QuantCtx(scales["stereo"], scope)
+                       if int8_stereo else None))
                 if self.config.stereo_mid_exact:
                     # out = mid +/- predicted side: mono fidelity exact by
                     # construction, width carried entirely by the side

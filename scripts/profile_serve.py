@@ -35,6 +35,21 @@ CONFIGS = {
     "fast_serve_plain": {"packed_convs": False,
                          "compute_dtype": "bfloat16",
                          "stereo_chunk_seconds": 0.25},
+    # int8-quantized conv stacks (ops/quant.py; auto-calibrates on the
+    # warmup call) on top of the default / fast_serve configs
+    "int8": {"packed_convs": True, "quantize_int8": True},
+    "fast_serve_int8": {"packed_convs": True, "compute_dtype": "bfloat16",
+                        "stereo_chunk_seconds": 0.25,
+                        "quantize_int8": True},
+    # scope ablation: quantize the plain-layout C>=128 stages too
+    # (measured slower than bf16 on v5e — the reason scope defaults
+    # to "packed")
+    "fast_serve_int8_full": {"packed_convs": True,
+                             "compute_dtype": "bfloat16",
+                             "stereo_chunk_seconds": 0.25,
+                             "quantize_int8": True, "int8_scope": "full"},
+    "int8_full": {"packed_convs": True, "quantize_int8": True,
+                  "int8_scope": "full"},
 }
 
 

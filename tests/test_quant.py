@@ -73,6 +73,27 @@ def test_model_int8_close_to_f32(model, init_kw, nscales, x_mono):
     assert err < 5e-3, err
 
 
+@pytest.mark.parametrize("model", [denoiser, stereo_separator])
+def test_int8_packed_scope_close_to_f32(model, x_mono):
+    """scope='packed' (the config default) keeps the plain-layout C>=128
+    stages float — measured faster on v5e than quantizing them
+    (docs/PERFORMANCE.md) — and must stay at least as close to f32 as the
+    full scope since it quantizes strictly fewer layers."""
+    p, s = model.init(jax.random.PRNGKey(7))
+    y32 = jax.jit(lambda p, s, x: model.apply_packed(p, s, x))(p, s, x_mono)
+    scales = calibrate(lambda x: model.packed_amax(p, s, x), [x_mono])
+    yp = jax.jit(lambda p, s, x: model.apply_packed(
+        p, s, x, q=QuantCtx(scales, scope="packed")))(p, s, x_mono)
+    yf = jax.jit(lambda p, s, x: model.apply_packed(
+        p, s, x, q=QuantCtx(scales, scope="full")))(p, s, x_mono)
+    err_p = float(jnp.abs(yp - y32).max())
+    err_f = float(jnp.abs(yf - y32).max())
+    assert err_p < 5e-3, err_p
+    assert err_p <= err_f * 1.5 + 1e-4, (err_p, err_f)
+    # the two scopes genuinely differ (packed keeps the middle/tail float)
+    assert float(jnp.abs(yp - yf).max()) > 0
+
+
 def test_calibration_keys_match_quantized_consumption(x_mono):
     """Every scale the int8 forward reads exists in the calibration dict
     (a missing key would KeyError at trace time — this guards renames)."""
@@ -120,6 +141,26 @@ def test_pipeline_int8_autocalibrates_and_tracks_f32(rng_module):
     v = pq._int8_version
     pq.restore((rng_module.normal(size=(1, 11025)) * 0.1).astype(np.float32))
     assert pq._int8_version == v
+
+
+def test_pipeline_int8_subchunk_stereo_stays_float(rng_module):
+    """At sub-chunked stereo windows (fast_serve), int8 applies to the
+    denoiser/SR only — the stereo stage runs the same plain float path as
+    the non-int8 preset (the packed-stereo gate; measured rationale in
+    docs/PERFORMANCE.md 'int8'), so outputs still track f32."""
+    audio = (rng_module.normal(size=(1, 22050)) * 0.15).astype(np.float32)
+    base = PipelineConfig(chunk_seconds=0.4, overlap_seconds=0.05,
+                          stereo_chunk_seconds=0.1)
+    int8 = PipelineConfig(chunk_seconds=0.4, overlap_seconds=0.05,
+                          stereo_chunk_seconds=0.1, quantize_int8=True)
+    stages = _stages()
+    out32, _ = RestorationPipeline(**stages, config=base).restore(audio)
+    pq = RestorationPipeline(**stages, config=int8)
+    outq, _ = pq.restore(audio)
+    assert "stereo" in pq._int8_scales  # calibration still records it
+    a, b = np.asarray(out32), np.asarray(outq)
+    denom = float(np.abs(a).mean()) + 1e-9
+    assert float(np.abs(a - b).mean()) / denom < 0.05
 
 
 def test_pipeline_int8_scales_roundtrip(tmp_path, rng_module):
