@@ -175,6 +175,18 @@ def _fold(p, s):
     return fold_conv_bn(p["conv"], p["bn"], s["bn"])
 
 
+# int8 serving (ops/quant.py): quantization points that stay float under
+# the default skip set — sensitivity-measured on the trained fid10
+# checkpoint: the LAST two decoder blocks' quantization noise reaches the
+# output waveform nearly unattenuated (all-int8 output lands 14.7 dB from
+# f32; floating dec2 -> 22.8 dB, dec1+dec2 -> 24.7 dB) while costing only
+# ~0.6 ms of the 3.8 ms int8 stage win (10.3 -> 10.9 ms vs 14.1 bf16 at
+# batch-60 serve shapes). Encoder/bottleneck/detector quantization is
+# benign: their noise is attenuated by the decoder stack above it.
+INT8_FLOAT_LAYERS = frozenset(
+    {"dec1.c1", "dec1.c2", "dec2.c1", "dec2.c2"})
+
+
 def apply_packed(params, state, x, q=None):
     """Eval-mode forward with the C<=32 full-rate stages in r-packed
     (space-to-depth) form — exactly equal to apply() up to float
@@ -200,7 +212,8 @@ def apply_packed(params, state, x, q=None):
     needed). The sigmoid detector exit, analytic impulse score, and the
     final mask multiply stay float.
     """
-    from ..ops.quant import QT, ctx_or_null, make_qops
+    from ..ops.quant import (QT, ctx_or_null, make_qops, pooled_scale,
+                             tie_pool_pairs)
 
     q = ctx_or_null(q)
     b_sz, t, cin = x.shape
@@ -210,10 +223,12 @@ def apply_packed(params, state, x, q=None):
     lrelu = leaky_relu
     qconv, qconv2 = make_qops(q)
 
-    def block(name, p, s, h, r, split=None):
+    def block(name, p, s, h, r, split=None, pool_tie_c=None):
         """Eval double-conv block at packing r; `split` runs c1 as a
         kernel-split sum over (skip, up) instead of materializing the
-        packed concat."""
+        packed concat. `pool_tie_c`: this block's output feeds a packed
+        max pool over channel pairs — tie the c2 quantization scales
+        pairwise so the int8 pool compares like with like."""
         w1, b1 = _fold(p["c1"], s["c1"])
         if split is None:
             h = qconv(f"{name}.c1", h, w1, b1, op=packed_conv, act=lrelu,
@@ -224,11 +239,13 @@ def apply_packed(params, state, x, q=None):
                        w1[:, c_skip:], b1, act=lrelu, r=r, padding=1)
         w2, b2 = _fold(p["c2"], s["c2"])
         return qconv(f"{name}.c2", h, w2, b2, op=packed_conv, act=lrelu,
-                     r=r, padding=1)
+                     r=r, padding=1,
+                     scale_tx=(tie_pool_pairs(pool_tie_c)
+                               if pool_tie_c else None))
 
     def qpool_packed(h, c):
         if isinstance(h, QT):
-            return QT(packed_max_pool2(h.q, c), h.scale)
+            return QT(packed_max_pool2(h.q, c), pooled_scale(h.scale, c))
         return packed_max_pool2(h, c)
 
     xq = q.quantize_in("in", x)
@@ -240,11 +257,14 @@ def apply_packed(params, state, x, q=None):
     h = qconv("enc0.c1", xq, w1, b1, op=packed_conv_r, act=lrelu,
               r_in=1, r_out=4, padding=1, t_in=t)
     w2, b2 = _fold(enc_p[0]["c2"], enc_s[0]["c2"])
+    c_e0 = enc_p[0]["c2"]["conv"]["w"].shape[2]
     skip0 = qconv("enc0.c2", h, w2, b2, op=packed_conv, act=lrelu,
-                  r=4, padding=1)
-    h = qpool_packed(skip0, enc_p[0]["c2"]["conv"]["w"].shape[2])
-    skip1 = block("enc1", enc_p[1], enc_s[1], h, 2)        # [B, t/4, 128]
-    h = qpool_packed(skip1, enc_p[1]["c2"]["conv"]["w"].shape[2])
+                  r=4, padding=1, scale_tx=tie_pool_pairs(c_e0))
+    h = qpool_packed(skip0, c_e0)
+    c_e1 = enc_p[1]["c2"]["conv"]["w"].shape[2]
+    skip1 = block("enc1", enc_p[1], enc_s[1], h, 2,
+                  pool_tie_c=c_e1)                         # [B, t/4, 128]
+    h = qpool_packed(skip1, c_e1)
 
     # middle (C>=128 is already lane-dense, plain layout): enc2 ->
     # bottleneck -> up0 -> dec0. Quantized only under full scope — XLA's

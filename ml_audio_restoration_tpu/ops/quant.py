@@ -10,12 +10,21 @@ device-side.
 Scheme: symmetric linear quantization. Weights are quantized per output
 channel inside the trace (the tensors are tiny — this constant-folds into
 a few small HLOs per program, like the packed-kernel gathers). Activations
-use STATIC per-point scales from a calibration pass (amax / 127): dynamic
-absmax would cost the very HBM reduction pass the scheme saves. Each conv
-runs s8 conv -> s32, then its epilogue dequantizes, adds bias/residual,
-applies the activation, and requantizes for the next layer — all
-elementwise, fused into the conv output by XLA, so the tensors that
-actually move through HBM are int8.
+use STATIC per-point PER-CHANNEL scales from a calibration pass
+(amax/127 over the batch+time axes): dynamic absmax would cost the very
+HBM reduction pass the scheme saves, and a single per-tensor scale
+measured catastrophically coarse on trained checkpoints (the folded BN
+leaves channels with wildly different ranges: the fid10 denoiser's int8
+output came out 8 dB from f32 per-tensor vs ~30 dB per-channel). The
+consuming conv folds its input's per-channel scales into its f32 kernel
+BEFORE weight quantization (conv is linear per channel pair, so
+x_q[c]*s[c] commutes into w[k,c,o]*s[c]) — per-channel activation
+scaling is therefore runtime-free AND equalizes the weight columns ahead
+of their own quantization. Each conv runs s8 conv -> s32, then its
+epilogue dequantizes (per-output-channel), adds bias/residual, applies
+the activation, and requantizes for the next layer — all elementwise,
+fused into the conv output by XLA, so the tensors that actually move
+through HBM are int8.
 
 No reference counterpart (/root/reference serves f32/AMP on GPU); this is
 an opt-in serving mode (PipelineConfig.quantize_int8) — quantization error
@@ -34,9 +43,10 @@ _DIMNUMS = ("NWC", "WIO", "NWC")
 
 
 class QT(NamedTuple):
-    """A quantized activation: int8 values + its static dequant scale."""
+    """A quantized activation: int8 values + its static per-channel dequant
+    scale ([C] vector over the trailing axis; constant-folded by XLA)."""
     q: jnp.ndarray
-    scale: float
+    scale: jnp.ndarray
 
 
 def quantize_weight(wp):
@@ -50,27 +60,36 @@ def quantize_weight(wp):
     return wq, s
 
 
-def requantize(y, scale: float):
-    return jnp.clip(jnp.round(y * (1.0 / scale)), -127, 127).astype(jnp.int8)
+def requantize(y, scale):
+    """f32/bf16 [..., C] -> int8 with a per-channel [C] (or scalar) scale."""
+    inv = 1.0 / jnp.asarray(scale, jnp.float32)
+    return jnp.clip(jnp.round(y.astype(jnp.float32) * inv), -127, 127
+                    ).astype(jnp.int8)
 
 
 def dequantize(x):
-    return x.q.astype(jnp.float32) * x.scale if isinstance(x, QT) else x
+    if isinstance(x, QT):
+        return x.q.astype(jnp.float32) * jnp.asarray(x.scale, jnp.float32)
+    return x
 
 
-def int8_exec(x_scale: float):
+def int8_exec(x_scale):
     """Conv executor for ops/packed.py's `_exec` hook: s8 x s8 -> s32 on the
     MXU, dequantized (+bias) in the epilogue. The caller's packed op builds
     the packed f32 kernel and the tiled bias; quantization happens here so
-    per-packed-channel weight scales line up with the packed output."""
+    per-packed-channel weight scales line up with the packed output.
+    `x_scale`: the input's per-channel dequant scales, folded into the
+    kernel's input-channel axis before weight quantization (free at
+    runtime; the fold constant-folds with the kernel gathers)."""
 
     def _exec(xq, wp, bias, *, window_strides, padding, lhs_dilation=None):
-        wq, ws = quantize_weight(wp)
+        xs = jnp.asarray(x_scale, jnp.float32).reshape(-1)
+        wq, ws = quantize_weight(wp * xs[None, :, None])
         acc = lax.conv_general_dilated(
             xq, wq, window_strides, padding,
             lhs_dilation=lhs_dilation, dimension_numbers=_DIMNUMS,
             preferred_element_type=jnp.int32)
-        y = acc.astype(jnp.float32) * (ws * x_scale)
+        y = acc.astype(jnp.float32) * ws
         if bias is not None:
             y = y + bias.astype(jnp.float32)
         return y
@@ -105,10 +124,17 @@ class QuantCtx:
 
     active = True
 
-    def __init__(self, scales: dict | None = None, scope: str = "full"):
+    def __init__(self, scales: dict | None = None, scope: str = "full",
+                 skip=frozenset()):
+        """`skip`: quantization-point names that stay float (sensitivity-
+        driven mixed precision — e.g. the denoiser's last decoder block,
+        whose quantization noise reaches the output unattenuated:
+        models/denoiser.py::INT8_FLOAT_LAYERS). Ignored while calibrating
+        (amax is still recorded so the same scales file serves any skip)."""
         assert scope in ("full", "packed"), scope
         self.scales = scales
         self.scope = scope
+        self.skip = frozenset(skip)
         self.amax: dict = {}
 
     @property
@@ -122,16 +148,24 @@ class QuantCtx:
         return self.scales is not None
 
     def record(self, name: str, y):
-        m = jnp.max(jnp.abs(y)).astype(jnp.float32)
+        # per-channel amax over the batch/time axes ([C] vector)
+        m = jnp.max(jnp.abs(y.astype(jnp.float32)),
+                    axis=tuple(range(y.ndim - 1)))
         self.amax[name] = (jnp.maximum(self.amax[name], m)
                            if name in self.amax else m)
+
+    def scale_of(self, name: str, tx=None):
+        s = jnp.asarray(self.scales[name], jnp.float32).reshape(-1)
+        return tx(s) if tx is not None else s
 
     def quantize_in(self, name: str, x):
         """Entry point: bring an f32 tensor into the quantized domain."""
         if not self.quantized:
             self.record(name, x)
             return x
-        s = self.scales[name]
+        if name in self.skip:
+            return x
+        s = self.scale_of(name)
         return QT(requantize(x, s), s)
 
     def exec_for(self, x):
@@ -140,18 +174,22 @@ class QuantCtx:
             return x.q, int8_exec(x.scale)
         return x, None
 
-    def out(self, name: str, y, act=None, requant: bool = True):
+    def out(self, name: str, y, act=None, requant: bool = True,
+            scale_tx=None):
         """Close a conv layer: activation, then requantize (or record amax
-        when calibrating). requant=False marks an exit back to float."""
+        when calibrating). requant=False marks an exit back to float.
+        `scale_tx`: optional transform applied to the stored scale vector
+        before use (e.g. tie_pool_pairs for outputs feeding a packed max
+        pool, where pooled channel pairs must share a scale)."""
         if act is not None:
             y = act(y)
         if not self.quantized:
             if requant:
                 self.record(name, y)
             return y
-        if not requant:
+        if not requant or name in self.skip:
             return y
-        s = self.scales[name]
+        s = self.scale_of(name, scale_tx)
         return QT(requantize(y, s), s)
 
     def deq(self, x):
@@ -171,7 +209,7 @@ class _NullCtx:
     def exec_for(self, x):
         return x, None
 
-    def out(self, name, y, act=None, requant=True):
+    def out(self, name, y, act=None, requant=True, scale_tx=None):
         return act(y) if act is not None else y
 
     def deq(self, x):
@@ -197,36 +235,79 @@ def make_qops(q):
     from .packed import packed_conv
 
     def qconv(name, h, w, bias, *, op, act=None, requant=True, add=None,
-              **kw):
+              scale_tx=None, **kw):
         hr, ex = q.exec_for(h)
+        if q.quantized and ex is None:
+            # float input in quantized mode (a skipped/exited section):
+            # run the conv in the parameter dtype, not the f32 the dequant
+            # epilogue produced
+            hr = hr.astype(w.dtype)
         y = op(hr, w, bias, _exec=ex, **kw)
         if add is not None:
             y = y + q.deq(add)
-        return q.out(name, y, act=act, requant=requant)
+        out = q.out(name, y, act=act, requant=requant, scale_tx=scale_tx)
+        if q.quantized and not isinstance(out, QT):
+            out = out.astype(w.dtype)  # float exits land in compute dtype
+        return out
 
     def qconv2(name, h1, w1, h2, w2, bias, *, act=None, **kw):
         h1r, ex1 = q.exec_for(h1)
         h2r, ex2 = q.exec_for(h2)
+        if q.quantized and ex1 is None:
+            h1r = h1r.astype(w1.dtype)
+        if q.quantized and ex2 is None:
+            h2r = h2r.astype(w2.dtype)
         y = (packed_conv(h1r, w1, bias, _exec=ex1, **kw)
              + packed_conv(h2r, w2, None, _exec=ex2, **kw))
-        return q.out(name, y, act=act)
+        out = q.out(name, y, act=act)
+        if q.quantized and not isinstance(out, QT):
+            out = out.astype(w1.dtype)
+        return out
 
     return qconv, qconv2
 
 
+def tie_pool_pairs(c: int):
+    """scale_tx for a quantization point feeding packed_max_pool2: the pool
+    maxes raw int8 across the (2i, 2i+1) packing-phase channel pairs, which
+    is only meaningful when each pair shares one scale — tie each pair to
+    its max. The pooled QT's scale is then every other entry (see the
+    models' qpool helpers)."""
+
+    def tx(s):
+        m = jnp.max(s.reshape(-1, 2, c), axis=1, keepdims=True)
+        return jnp.broadcast_to(m, (s.size // (2 * c), 2, c)).reshape(-1)
+
+    return tx
+
+
+def pooled_scale(s, c: int):
+    """Scale vector of packed_max_pool2's output given the (tied) input
+    scale vector: one entry per surviving pair."""
+    return jnp.asarray(s, jnp.float32).reshape(-1, 2, c)[:, 0, :].reshape(-1)
+
+
 def scales_from_amax(amax: dict) -> dict:
-    """Host-side: accumulated per-point amaxes -> static scales."""
-    return {k: max(float(v), 1e-8) / 127.0 for k, v in amax.items()}
+    """Host-side: accumulated per-point per-channel amaxes -> static scales
+    (plain Python lists — JSON-serializable)."""
+    import numpy as np
+
+    return {k: (np.maximum(np.asarray(v, np.float32).reshape(-1), 1e-8)
+                / 127.0).tolist()
+            for k, v in amax.items()}
 
 
 def calibrate(forward, batches) -> dict:
     """Run `forward(x) -> amax dict` (jitted) over batches; return scales."""
+    import numpy as np
+
     import jax
 
     jf = jax.jit(forward)
     acc: dict | None = None
     for x in batches:
-        am = {k: float(v) for k, v in jf(x).items()}
-        acc = am if acc is None else {k: max(acc[k], am[k]) for k in am}
+        am = {k: np.asarray(v, np.float32) for k, v in jf(x).items()}
+        acc = am if acc is None else {k: np.maximum(acc[k], am[k])
+                                      for k in am}
     assert acc is not None, "calibration needs at least one batch"
     return scales_from_amax(acc)

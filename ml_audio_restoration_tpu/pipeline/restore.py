@@ -258,7 +258,9 @@ class RestorationPipeline:
             if has_dn:
                 if int8:
                     x = denoiser_mod.apply_packed(
-                        dn[0], dn[1], x, q=QuantCtx(scales["denoiser"], scope))
+                        dn[0], dn[1], x,
+                        q=QuantCtx(scales["denoiser"], scope,
+                                   skip=denoiser_mod.INT8_FLOAT_LAYERS))
                 else:
                     x = (denoiser_mod.apply_packed(dn[0], dn[1], x) if packed
                          else denoiser_mod.apply(dn[0], dn[1], x)[0])
@@ -350,7 +352,8 @@ class RestorationPipeline:
         amax = jax.jit(calib)(self.denoiser, self.super_resolution,
                               self.stereo, audio_padded[:, :total])
         self._int8_scales = {
-            stage: scales_from_amax({k: float(v) for k, v in d.items()})
+            stage: scales_from_amax({k: np.asarray(v, np.float32)
+                                     for k, v in d.items()})
             for stage, d in amax.items()}
         self._int8_version += 1
         return self._int8_scales
