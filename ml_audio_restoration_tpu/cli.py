@@ -53,6 +53,12 @@ def _add_restore(sub):
                    help="rebuild L/R around the true mid (out = mid +/- "
                         "predicted side): mono fidelity exact by "
                         "construction, +3.6 dB mid SNR measured")
+    p.add_argument("--stereo-source-rate", action="store_true",
+                   help="run the stereo stage on the denoised source-rate "
+                        "signal (pre super-res, the rate the reference "
+                        "trains it at) and upsample only its side — halves "
+                        "the LSTM recurrence, mid stays the exact SR "
+                        "output (implies mid-exact semantics)")
     p.add_argument("--int8", action="store_true",
                    help="int8 serving quantization (opt-in preset: halves "
                         "the conv stacks' HBM traffic; auto-calibrates on "
@@ -86,6 +92,8 @@ def _cmd_restore(args):
         config.whole_file = True
     if args.stereo_mid_exact:
         config.stereo_mid_exact = True
+    if args.stereo_source_rate:
+        config.stereo_source_rate = True
     if args.no_packed_convs:
         config.packed_convs = False
     if args.int8:

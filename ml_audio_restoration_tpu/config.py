@@ -145,6 +145,15 @@ class PipelineConfig:
     # full chain at equal stereo statistics (docs/RESULTS.md). False =
     # reference parity (raw L/R decoder output).
     stereo_mid_exact: bool = False
+    # source-rate stereo: run the stereo stage on the DENOISED source-rate
+    # signal (pre super-resolution) and upsample only its predicted side,
+    # rebuilding L/R around the exact SR mid (mid-exact semantics are
+    # implied). Halves the LSTM's sequential step count — the pipeline's
+    # latency floor (docs/PERFORMANCE.md) — and feeds the stereo model the
+    # 22.05 kHz rate the reference actually TRAINS it at (its inference
+    # feeds a 22.05-trained model 44.1 kHz audio, inference.py:78-94 —
+    # see PARITY.md "Known upstream quirks"). Off = reference parity.
+    stereo_source_rate: bool = False
     # bound on chunks per compiled program: longer recordings are processed
     # in slabs of this many chunks (bounded HBM, one compile reused) and the
     # slab outputs crossfaded — bit-exact vs single-shot

@@ -29,6 +29,7 @@ from ..models import super_resolution as sr_mod
 from ..models import stereo_separator as stereo_mod
 from ..ops import overlap_add, frame_structured
 from ..ops.chunking import num_chunks
+from ..ops.interp import upsample_linear
 from ..audio import load_audio, save_audio, normalize_audio
 
 
@@ -184,7 +185,8 @@ class RestorationPipeline:
                        overlap: int):
         key = (n_chunks, chunk_size, hop, self._stages_key(),
                self.config.compute_dtype, self.config.stereo_chunk_seconds,
-               self.config.stereo_mid_exact, self.config.packed_convs,
+               self.config.stereo_mid_exact, self.config.stereo_source_rate,
+               self.config.packed_convs,
                self.config.quantize_int8, self.config.int8_scope,
                self._int8_version)
         if key in self._compiled:
@@ -201,8 +203,14 @@ class RestorationPipeline:
                   and (not has_dn or _denoiser_packable(self.denoiser))
                   and (not has_sr or _sr_packable(self.super_resolution)))
 
+        # source-rate stereo: the stereo stage consumes the pre-SR signal
+        # (chunk_size samples at sample_rate, not chunk_size*f) and only its
+        # side output is upsampled — config.stereo_source_rate docstring
+        src_rate = self.config.stereo_source_rate and has_st
+        st_len, st_f = ((chunk_size, 1) if src_rate
+                        else (chunk_size * f, f))
         # optional finer chunking for the stereo stage (stereo_sub_cfg above)
-        sub_cfg = (stereo_sub_cfg(self.config, chunk_size * f, f)
+        sub_cfg = (stereo_sub_cfg(self.config, st_len, st_f)
                    if has_st else None)
         # packed stereo pays at FULL windows only: at sub-chunked short
         # windows (large batch x short T) it measured ~3% slower than plain
@@ -264,6 +272,24 @@ class RestorationPipeline:
                 else:
                     x = (denoiser_mod.apply_packed(dn[0], dn[1], x) if packed
                          else denoiser_mod.apply(dn[0], dn[1], x)[0])
+
+            def run_stereo(v):
+                # int8 denoiser/SR exit in f32: hand the stereo stage its
+                # expected dtype (f32 when quantizing, compute dtype when
+                # running the plain/packed float path)
+                return apply_stereo(
+                    st, v.astype(jnp.float32 if int8_stereo else dtype)
+                    if int8 else v, sub_cfg, packed=packed_stereo,
+                    q=(QuantCtx(scales["stereo"], scope)
+                       if int8_stereo else None))
+
+            side = None
+            if has_st and src_rate:
+                # source-rate stereo: predict the side from the denoised
+                # pre-SR signal (half the LSTM steps); only the side is
+                # upsampled below, the mid stays the exact SR output
+                y = run_stereo(x)
+                side = (y[..., 0:1] - y[..., 1:2]) * 0.5
             if has_sr:
                 if int8:
                     x = sr_mod.apply_packed(
@@ -272,20 +298,19 @@ class RestorationPipeline:
                     x = (sr_mod.apply_packed(sr[0], sr[1], x) if packed
                          else sr_mod.apply(sr[0], sr[1], x)[0])
             if has_st:
-                # int8 denoiser/SR exit in f32: hand the stereo stage its
-                # expected dtype (f32 when quantizing, compute dtype when
-                # running the plain/packed float path)
-                y = apply_stereo(
-                    st, x.astype(jnp.float32 if int8_stereo else dtype)
-                    if int8 else x, sub_cfg, packed=packed_stereo,
-                    q=(QuantCtx(scales["stereo"], scope)
-                       if int8_stereo else None))
-                if self.config.stereo_mid_exact:
-                    # out = mid +/- predicted side: mono fidelity exact by
-                    # construction, width carried entirely by the side
-                    side = (y[..., 0:1] - y[..., 1:2]) * 0.5
-                    y = jnp.concatenate([x + side, x - side], axis=-1)
-                x = y
+                if src_rate:
+                    if f > 1:
+                        side = upsample_linear(side, f)
+                    x = x + jnp.concatenate([side, -side],
+                                            axis=-1).astype(x.dtype)
+                else:
+                    y = run_stereo(x)
+                    if self.config.stereo_mid_exact:
+                        # out = mid +/- predicted side: mono fidelity exact by
+                        # construction, width carried entirely by the side
+                        side = (y[..., 0:1] - y[..., 1:2]) * 0.5
+                        y = jnp.concatenate([x + side, x - side], axis=-1)
+                    x = y
             x = x.astype(jnp.float32).transpose(0, 2, 1)  # [N, C_out, chunk*f]
             total = (n_chunks - 1) * hop + chunk_size
             return overlap_add(x, hop * f, total * f, overlap=overlap * f,
@@ -328,7 +353,9 @@ class RestorationPipeline:
 
         has_dn, has_sr, has_st = self._stages_key()
         f = self.upscale_factor
-        sub_cfg = (stereo_sub_cfg(cfg, chunk_size * f, f)
+        src_rate = cfg.stereo_source_rate and has_st
+        st_len, st_f = ((chunk_size, 1) if src_rate else (chunk_size * f, f))
+        sub_cfg = (stereo_sub_cfg(cfg, st_len, st_f)
                    if has_st else None)
 
         def calib(dn, sr, st, audio_padded):
@@ -339,11 +366,17 @@ class RestorationPipeline:
                 ctx = QuantCtx()
                 x = denoiser_mod.apply_packed(dn[0], dn[1], x, q=ctx)
                 amax["denoiser"] = ctx.amax
+            if has_st and src_rate:
+                # source-rate mode: the stereo stage consumes the PRE-SR
+                # signal — calibrate it on what it will actually see
+                ctx = QuantCtx()
+                apply_stereo(st, x, sub_cfg, q=ctx)
+                amax["stereo"] = ctx.amax
             if has_sr:
                 ctx = QuantCtx()
                 x = sr_mod.apply_packed(sr[0], sr[1], x, q=ctx)
                 amax["super_resolution"] = ctx.amax
-            if has_st:
+            if has_st and not src_rate:
                 ctx = QuantCtx()
                 apply_stereo(st, x, sub_cfg, q=ctx)
                 amax["stereo"] = ctx.amax

@@ -55,6 +55,15 @@ class StagedRestorationPipeline:
                  config: Optional[PipelineConfig] = None,
                  devices=None):
         self.config = config or PipelineConfig()
+        # staged serving is a linear per-device chain: config fields that
+        # fork the dataflow (source-rate stereo consumes the PRE-SR signal)
+        # or need calibration state (int8) are rejected rather than
+        # silently ignored — use RestorationPipeline for those modes
+        for field in ("stereo_source_rate", "quantize_int8"):
+            if getattr(self.config, field):
+                raise ValueError(
+                    f"StagedRestorationPipeline does not support "
+                    f"config.{field}; use RestorationPipeline")
         devices = list(devices if devices is not None else jax.devices())
         stages = [s for s in
                   (("denoiser", denoiser),

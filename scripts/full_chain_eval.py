@@ -62,6 +62,14 @@ def main(argv=None):
                    help="evaluate the config/fast_serve.yaml preset "
                         "(bf16 + 0.25 s stereo windows)")
     p.add_argument("--mid-exact", action="store_true")
+    p.add_argument("--stereo-source-rate", action="store_true",
+                   help="stereo side predicted at 22.05 kHz pre-SR (the "
+                        "reference's stereo TRAINING rate), mid exact by "
+                        "construction — PipelineConfig.stereo_source_rate")
+    p.add_argument("--stereo-ckpt-rate", type=int, default=None,
+                   help="informational: the stereo checkpoint's training "
+                        "rate (use a 22.05 kHz-trained checkpoint with "
+                        "--stereo-source-rate)")
     p.add_argument("--int8", action="store_true",
                    help="int8 serving quantization (PipelineConfig"
                         ".quantize_int8; auto-calibrates on the first "
@@ -73,7 +81,8 @@ def main(argv=None):
     sr_hi, sr_lo = 44100, 22050
     t_hi = int(args.seconds * sr_hi)
     cfg = PipelineConfig(packed_convs=not args.no_packed_convs,
-                         stereo_mid_exact=args.mid_exact)
+                         stereo_mid_exact=args.mid_exact,
+                         stereo_source_rate=args.stereo_source_rate)
     if args.fast_serve:
         cfg.compute_dtype = "bfloat16"
         cfg.stereo_chunk_seconds = 0.25

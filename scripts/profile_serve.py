@@ -37,6 +37,18 @@ CONFIGS = {
                          "stereo_chunk_seconds": 0.25},
     # int8-quantized conv stacks (ops/quant.py; auto-calibrates on the
     # warmup call) on top of the default / fast_serve configs
+    # source-rate stereo (side predicted pre-SR at half the sample rate —
+    # halves the LSTM recurrence, PipelineConfig.stereo_source_rate)
+    "src_bf16": {"packed_convs": True, "compute_dtype": "bfloat16",
+                 "stereo_source_rate": True},
+    "fast_serve_src": {"packed_convs": True, "compute_dtype": "bfloat16",
+                       "stereo_chunk_seconds": 0.25,
+                       "stereo_source_rate": True},
+    "fast_serve_src_int8": {"packed_convs": True,
+                            "compute_dtype": "bfloat16",
+                            "stereo_chunk_seconds": 0.25,
+                            "stereo_source_rate": True,
+                            "quantize_int8": True},
     "int8": {"packed_convs": True, "quantize_int8": True},
     "fast_serve_int8": {"packed_convs": True, "compute_dtype": "bfloat16",
                         "stereo_chunk_seconds": 0.25,

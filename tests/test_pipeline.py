@@ -259,6 +259,90 @@ def test_stereo_mid_exact_preserves_mono(pipeline_stages, rng):
                                atol=1e-6)
 
 
+def test_stereo_source_rate_upmix(pipeline_stages, rng):
+    """stereo_source_rate: the stereo stage runs on the denoised PRE-SR
+    signal (half the LSTM steps) and only its side is upsampled. The output
+    mid must equal the denoise+SR-only pipeline exactly (overlap-add is
+    linear, so the invariant survives chunking), and the side must equal
+    the linearly-upsampled source-rate stereo side."""
+    import dataclasses
+
+    audio = (rng.normal(size=(1, 22050)) * 0.2).astype(np.float32)
+    cfg = PipelineConfig(chunk_seconds=4000 / 22050,
+                         overlap_seconds=200 / 22050)
+    src = RestorationPipeline(**pipeline_stages, config=dataclasses.replace(
+        cfg, stereo_source_rate=True))
+    out, rate = src.restore(audio, 22050)
+    out = np.asarray(out)
+    assert rate == 44100 and out.shape == (2, 44100)
+
+    mono = RestorationPipeline(
+        denoiser=pipeline_stages["denoiser"],
+        super_resolution=pipeline_stages["super_resolution"], config=cfg)
+    mid_want, _ = mono.restore(audio, 22050)
+    np.testing.assert_allclose(out.mean(axis=0), np.asarray(mid_want)[0],
+                               atol=1e-6)
+    # it actually carries a side signal
+    assert np.abs(out[0] - out[1]).max() > 1e-4
+
+    # value check against a manual composition at whole-file framing:
+    # side = upsample(side(stereo(denoised22))), out = mid +/- side
+    from ml_audio_restoration_tpu.ops.interp import upsample_linear
+
+    wcfg = dataclasses.replace(cfg, whole_file=True)
+    src_w = RestorationPipeline(
+        **pipeline_stages, config=dataclasses.replace(
+            wcfg, stereo_source_rate=True))
+    got, _ = src_w.restore(audio, 22050)
+    dn22, _ = RestorationPipeline(
+        denoiser=pipeline_stages["denoiser"],
+        config=dataclasses.replace(wcfg, enable_super_resolution=False),
+    ).restore(audio, 22050)
+    y22, _ = RestorationPipeline(
+        stereo=pipeline_stages["stereo"], config=wcfg).restore(
+            np.asarray(dn22), 22050)
+    side = upsample_linear(
+        np.asarray((y22[0:1] - y22[1:2]) * 0.5).T[None], 2)[0].T
+    mid, _ = RestorationPipeline(
+        denoiser=pipeline_stages["denoiser"],
+        super_resolution=pipeline_stages["super_resolution"],
+        config=wcfg).restore(audio, 22050)
+    want = np.concatenate([np.asarray(mid) + side, np.asarray(mid) - side])
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-6)
+
+    # degenerate (no SR): identical to stereo_mid_exact
+    a, _ = RestorationPipeline(
+        stereo=pipeline_stages["stereo"], config=dataclasses.replace(
+            cfg, stereo_source_rate=True)).restore(audio, 22050)
+    b, _ = RestorationPipeline(
+        stereo=pipeline_stages["stereo"], config=dataclasses.replace(
+            cfg, stereo_mid_exact=True)).restore(audio, 22050)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # mid invariant also holds with finer internal stereo windows (the
+    # sub-windows re-frame the SOURCE-rate stage input)
+    sub, _ = RestorationPipeline(
+        **pipeline_stages, config=dataclasses.replace(
+            cfg, stereo_source_rate=True,
+            stereo_chunk_seconds=1000 / 22050)).restore(audio, 22050)
+    np.testing.assert_allclose(np.asarray(sub).mean(axis=0),
+                               np.asarray(mid_want)[0], atol=1e-6)
+
+
+def test_stereo_source_rate_staged_rejected(pipeline_stages):
+    """Staged serving is a linear device chain: the forked source-rate
+    dataflow must be rejected loudly, not silently ignored."""
+    import dataclasses
+    from ml_audio_restoration_tpu.pipeline import StagedRestorationPipeline
+
+    cfg = dataclasses.replace(PipelineConfig(), stereo_source_rate=True)
+    with pytest.raises(ValueError, match="stereo_source_rate"):
+        StagedRestorationPipeline(**pipeline_stages, config=cfg)
+    cfg = dataclasses.replace(PipelineConfig(), quantize_int8=True)
+    with pytest.raises(ValueError, match="quantize_int8"):
+        StagedRestorationPipeline(**pipeline_stages, config=cfg)
+
+
 def test_stereo_mid_exact_staged_matches_batch(pipeline_stages, rng):
     """mid-exact mode must behave identically in staged serving."""
     import dataclasses
