@@ -57,20 +57,29 @@ class StreamingRestorer:
                  lookahead: int = 512,
                  batch: int = 1,
                  mid_exact: bool = False,
-                 packed: bool = True):
+                 packed: bool = True,
+                 source_rate: bool = False):
         """context/lookahead in input-rate samples; both must exceed the conv
         receptive field (~400 samples for the default models). batch = number
         of concurrent lockstep streams. mid_exact mirrors
         PipelineConfig.stereo_mid_exact (out = mid +/- predicted side).
         packed mirrors PipelineConfig.packed_convs for the denoiser/SR
         stages (the always-win subset per docs/PERFORMANCE.md; falls back
-        per-window when shapes don't divide the packing rate)."""
+        per-window when shapes don't divide the packing rate).
+        source_rate mirrors PipelineConfig.stereo_source_rate: the stereo
+        stage consumes the PRE-SR signal (half the LSTM steps per block)
+        and only its side is upsampled around the exact SR mid — the
+        half-pixel (align_corners=False) interpolation of a windowed side
+        slice matches the single-shot interpolation in the interior, so
+        block-fed output still matches the whole-recording forward.
+        Implies mid-exact semantics."""
         self.denoiser = denoiser
         self.super_resolution = super_resolution
         self.stereo = stereo
         self.batch = int(batch)
         self.mid_exact = bool(mid_exact)
         self.packed = bool(packed)
+        self.source_rate = bool(source_rate)
         # the U-Net pools by 8, so window starts must stay on the pooling
         # grid (the model is shift-variant modulo 8): context and emission
         # lengths are kept multiples of the alignment
@@ -79,6 +88,9 @@ class StreamingRestorer:
         self.lookahead = lookahead
         self.f = (2 ** len(super_resolution[0]["upsample"])
                   if super_resolution is not None else 1)
+        # rate factor at the stereo stage: 1 when it consumes the pre-SR
+        # signal (source_rate), f when it consumes the SR output
+        self._g = 1 if self.source_rate else self.f
         self._compiled = {}
         self.reset()
 
@@ -129,6 +141,8 @@ class StreamingRestorer:
                     and (dn is None or _denoiser_packable(dn))
                     and (sr is None or _sr_packable(sr)))
 
+        g = self._g
+
         def step(carries, window):
             # window: [B, >= ctx + n + la, 1] raw input; emit the middle n.
             # The packed gate keys on the actual (static) window length —
@@ -138,16 +152,18 @@ class StreamingRestorer:
             if dn is not None:
                 x = (denoiser_mod.apply_packed(dn[0], dn[1], x) if pk
                      else denoiser_mod.apply(dn[0], dn[1], x)[0])
+            x_src = x  # pre-SR signal (source_rate stereo input)
             if sr is not None:
                 x = (sr_mod.apply_packed(sr[0], sr[1], x) if pk
                      else sr_mod.apply(sr[0], sr[1], x)[0])
             if st is None:
                 return carries, x[:, ctx * f:(ctx + n) * f, :]
-            feats, _ = stereo_mod.encode(st[0], st[1], x)
+            feats, _ = stereo_mod.encode(
+                st[0], st[1], x_src if self.source_rate else x)
             # The LSTM consumes each NEW frame exactly once; the carried
             # state supplies the past (exact). The conv context supplied the
             # feature edges.
-            new_feats = feats[:, ctx * f:(ctx + n) * f, :]
+            new_feats = feats[:, ctx * g:(ctx + n) * g, :]
             lstm_out, new_carries = stacked_lstm(
                 new_feats, st[0]["lstm"], carries=carries,
                 return_carries=True)
@@ -156,20 +172,37 @@ class StreamingRestorer:
             # decoder-history buffer; right side from a speculative LSTM run
             # over the lookahead frames whose state is NOT committed (those
             # frames will be consumed for real next block).
-            future_feats = feats[:, (ctx + n) * f:, :]
+            future_feats = feats[:, (ctx + n) * g:, :]
             lstm_future = stacked_lstm(future_feats, st[0]["lstm"],
                                        carries=new_carries)
-            dec_hist = carries[-1]  # [1, ctx*f, H]
+            dec_hist = carries[-1]  # [1, ctx*g, H]
             dec_in = jnp.concatenate([dec_hist, lstm_out, lstm_future],
                                      axis=1)
             stereo, _ = stereo_mod.decode(st[0], st[1], dec_in)
-            out = stereo[:, ctx * f:(ctx + n) * f, :]
-            if self.mid_exact:
+            if self.source_rate:
+                # side at the source rate over the WHOLE decoded window,
+                # upsampled, then sliced: half-pixel interp of a window
+                # starting at absolute frame (warm - ctx) reproduces the
+                # single-shot interp at every emitted sample (src index
+                # ctx + (k+0.5)/f - 0.5 in window coords == warm +
+                # (k'+0.5)/f - 0.5 absolute), and ctx/lookahead keep the
+                # clamped edges out of the emitted region
+                side = (stereo[..., 0:1] - stereo[..., 1:2]) * 0.5
+                if f > 1:
+                    from ..ops.interp import upsample_linear
+
+                    side = upsample_linear(side, f)
                 mid = x[:, ctx * f:(ctx + n) * f, :]
-                side = (out[..., 0:1] - out[..., 1:2]) * 0.5
+                side = side[:, ctx * f:(ctx + n) * f, :]
                 out = jnp.concatenate([mid + side, mid - side], axis=-1)
+            else:
+                out = stereo[:, ctx * f:(ctx + n) * f, :]
+                if self.mid_exact:
+                    mid = x[:, ctx * f:(ctx + n) * f, :]
+                    side = (out[..., 0:1] - out[..., 1:2]) * 0.5
+                    out = jnp.concatenate([mid + side, mid - side], axis=-1)
             new_dec_hist = jnp.concatenate(
-                [dec_hist, lstm_out], axis=1)[:, -ctx * f:, :]
+                [dec_hist, lstm_out], axis=1)[:, -ctx * g:, :]
             return new_carries[:len(st[0]["lstm"])] + [new_dec_hist], out
 
         jitted = jax.jit(step)
@@ -249,5 +282,5 @@ class StreamingRestorer:
         if not hasattr(self, "_dec_hist_buf") or self._dec_hist_buf is None:
             h_dim = self.stereo[0]["lstm"][-1]["w_hh"].shape[0]
             self._dec_hist_buf = jnp.zeros(
-                (self.batch, self.context * self.f, h_dim), jnp.float32)
+                (self.batch, self.context * self._g, h_dim), jnp.float32)
         return self._dec_hist_buf

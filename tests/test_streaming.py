@@ -92,6 +92,36 @@ def test_streaming_mid_exact_preserves_mono(stages, audio):
                                atol=1e-5)
 
 
+def test_streaming_source_rate_matches_single_shot(stages, audio):
+    """source_rate streaming (stereo side predicted at the pre-SR rate,
+    half the LSTM steps per block) must match the single-shot source-rate
+    forward: mid exact, side = upsampled source-rate side."""
+    from ml_audio_restoration_tpu.ops.interp import upsample_linear
+
+    x = jnp.asarray(audio.T[None])
+    dn = stages["denoiser"]
+    x22, _ = dn_mod.apply(dn[0], dn[1], x)
+    sr = stages["super_resolution"]
+    mid, _ = sr_mod.apply(sr[0], sr[1], x22)
+    st = stages["stereo"]
+    y22, _ = st_mod.apply(st[0], st[1], x22)
+    side = upsample_linear((y22[..., 0:1] - y22[..., 1:2]) * 0.5, 2)
+    want = np.asarray(jnp.concatenate([mid + side, mid - side], -1))[0].T
+
+    s = StreamingRestorer(**stages, source_rate=True)
+    outs = [s.feed(b) for b in np.array_split(audio, 4, axis=1)]
+    outs.append(s.flush())
+    got = np.concatenate(outs, axis=1)
+    assert got.shape == want.shape  # [2, T*2]
+    dev = np.max(np.abs(got[:, 8000:-1200] - want[:, 8000:-1200]))
+    assert dev < 1e-3, dev
+    # the mid is the exact SR output in the interior
+    mono = np.asarray(mid)[0, :, 0]
+    dev_mid = np.max(np.abs(got.mean(axis=0)[8000:-1200]
+                            - mono[8000:-1200]))
+    assert dev_mid < 1e-3, dev_mid
+
+
 def test_streaming_irregular_blocks(stages, audio):
     """Arbitrary block sizes emit the same total output."""
     s = StreamingRestorer(**stages)
