@@ -345,6 +345,16 @@ def main():
         extra["fast_serve_int8_xrt"] = round(xrt, 1)
         bases["fast_serve_int8_xrt"] = basis
 
+    # source-rate stereo (config/fast_serve_src.yaml): the side is
+    # predicted at the pre-SR rate — half the LSTM steps, measured 1708x
+    # device-side (docs/PERFORMANCE.md "Source-rate stereo")
+    if elapsed() <= hard_budget_s:
+        src_cfg = dataclasses.replace(fs_cfg, stereo_source_rate=True)
+        sp = RestorationPipeline(**stages, config=src_cfg)
+        xrt, basis = measure_pipeline(sp)
+        extra["fast_serve_src_xrt"] = round(xrt, 1)
+        bases["fast_serve_src_xrt"] = basis
+
     # training throughput, all three families (BASELINE config 5 is the
     # denoiser one: batch 2, 2-s chunks, combined time-MSE + spectral loss;
     # on-device degradation included for the denoiser)

@@ -311,6 +311,10 @@ def test_measured_presets_load_and_run(data_dir, tmp_path):
     assert fast.train.batch_size == 64
     assert fast.data.chunk_duration == 0.5
 
+    src = load_config("config/fast_serve_src.yaml")
+    assert src.pipeline.stereo_source_rate
+    assert src.pipeline.compute_dtype == "bfloat16"
+
     # serve smoke: stereo-only restore through the preset
     params, state = stereo_separator.init(jax.random.PRNGKey(0))
     ckpt = tmp_path / "st.pth"
