@@ -163,6 +163,34 @@ def test_pipeline_int8_subchunk_stereo_stays_float(rng_module):
     assert float(np.abs(a - b).mean()) / denom < 0.05
 
 
+def test_pipeline_int8_with_source_rate_stereo(rng_module):
+    """int8 + stereo_source_rate: calibration runs the stereo stage on the
+    PRE-SR signal (what it will actually consume), quantized serving
+    tracks the f32 source-rate output, and the mid stays exactly the
+    (quantized) denoise+SR output."""
+    import dataclasses
+
+    audio = (rng_module.normal(size=(1, 22050)) * 0.15).astype(np.float32)
+    base = PipelineConfig(chunk_seconds=0.4, overlap_seconds=0.05,
+                          stereo_source_rate=True)
+    stages = _stages()
+    out32, _ = RestorationPipeline(**stages, config=base).restore(audio)
+    pq = RestorationPipeline(**stages, config=dataclasses.replace(
+        base, quantize_int8=True))
+    outq, _ = pq.restore(audio)
+    assert set(pq._int8_scales) == {"denoiser", "super_resolution", "stereo"}
+    a, b = np.asarray(out32), np.asarray(outq)
+    denom = float(np.abs(a).mean()) + 1e-9
+    assert float(np.abs(a - b).mean()) / denom < 0.05
+    # mid == the int8 pipeline's own denoise+SR output (exact construction)
+    mono_q, _ = RestorationPipeline(
+        denoiser=stages["denoiser"],
+        super_resolution=stages["super_resolution"],
+        config=dataclasses.replace(base, quantize_int8=True)).restore(audio)
+    np.testing.assert_allclose(b.mean(axis=0), np.asarray(mono_q)[0],
+                               atol=1e-5)
+
+
 def test_pipeline_int8_scales_roundtrip(tmp_path, rng_module):
     audio = (rng_module.normal(size=(1, 11025)) * 0.15).astype(np.float32)
     cfg = PipelineConfig(chunk_seconds=0.4, quantize_int8=True)
