@@ -42,25 +42,37 @@ def test_two_process_distributed_training(tmp_path):
              + 0.02 * rng.normal(size=t.shape)).astype(np.float32)
         save_audio(data_dir / f"f{i}.wav", x[None], sr)
 
-    port = _free_port()
     worker = Path(__file__).parent / "multihost_worker.py"
-    procs = [
-        subprocess.Popen(
-            [sys.executable, str(worker), str(rank), str(port),
-             str(data_dir), str(out_dir)],
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-            cwd=str(tmp_path))
-        for rank in (0, 1)
-    ]
-    outs = []
-    try:
-        for p in procs:
-            out, _ = p.communicate(timeout=420)
-            outs.append(out)
-    finally:
-        for p in procs:
-            if p.poll() is None:
-                p.kill()
+
+    def spawn_and_wait():
+        port = _free_port()
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(worker), str(rank), str(port),
+                 str(data_dir), str(out_dir)],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+                cwd=str(tmp_path))
+            for rank in (0, 1)
+        ]
+        outs = []
+        try:
+            for p in procs:
+                out, _ = p.communicate(timeout=420)
+                outs.append(out)
+        finally:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+        return procs, outs
+
+    procs, outs = spawn_and_wait()
+    if any("Gloo context initialization failed" in o
+           or "Connect timeout" in o for o in outs):
+        # gloo's TCP pair connect can time out when the host is heavily
+        # loaded and one rank is starved during startup (observed once on
+        # the 1-CPU CI box with the full suite running) — environmental,
+        # not a code path under test; retry once on a fresh port
+        procs, outs = spawn_and_wait()
     for rank, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0 and f"RANK{rank}_DONE" in out, (
             f"rank {rank} failed:\n{out[-4000:]}")
