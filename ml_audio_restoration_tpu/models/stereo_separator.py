@@ -126,6 +126,73 @@ def apply(params, state, x, train: bool = False,
     return stereo, new_state
 
 
+# ---------------------------------------------------- grouped dual decoders
+def _fold_lr(params, state, layer):
+    """Fold BN into the L and R decoders' `layer` conv -> ((wL, wR), (bL, bR))."""
+    ws, bs = [], []
+    for side in ("left", "right"):
+        if layer == "final":
+            w, b = params[side]["final"]["w"], params[side]["final"]["b"]
+        else:
+            w, b = fold_conv_bn(params[side][layer]["conv"],
+                                params[side][layer]["bn"],
+                                state[side][layer]["bn"])
+        ws.append(w)
+        bs.append(b)
+    return tuple(ws), tuple(bs)
+
+
+def decode_grouped(params, state, h):
+    """Eval-only grouped dual decoder: the L and R stacks run as ONE conv
+    stack — layer 1 reads the shared LSTM output once (kernels concatenated
+    along the output axis), layers 2/3/final are feature_group_count=2
+    convs. Identical math to decode() per output channel (same multiply-add
+    set), but half the op count, one HBM read of `h` instead of two, and
+    the per-decoder 64/32-channel tensors travel as 128/64-lane-dense
+    group-major tensors. [B, T, H] -> [B, T, 2] (L, R).
+
+    The reference runs its decoders as two sequential nn.Sequential stacks
+    (stereo_separator.py:66-88 upstream); on TPU the grouped form keeps the
+    lanes full — measured A/B in docs/PERFORMANCE.md."""
+    (w1l, w1r), (b1l, b1r) = _fold_lr(params, state, "l1")
+    h = leaky_relu(conv1d(h, jnp.concatenate([w1l, w1r], axis=2),
+                          jnp.concatenate([b1l, b1r]), padding=3))
+    for layer in ("l2", "l3"):
+        (wl, wr), (bl, br) = _fold_lr(params, state, layer)
+        h = leaky_relu(conv1d(h, jnp.concatenate([wl, wr], axis=2),
+                              jnp.concatenate([bl, br]), padding=3,
+                              groups=2))
+    (wfl, wfr), (bfl, bfr) = _fold_lr(params, state, "final")
+    return conv1d(h, jnp.concatenate([wfl, wfr], axis=2),
+                  jnp.concatenate([bfl, bfr]), padding=3, groups=2)
+
+
+def apply_grouped(params, state, x):
+    """Eval-mode apply() with the grouped dual decoder (plain layout).
+    x: [B, T, 1] -> [B, T, 2]."""
+    h, _ = encode(params, state, x, train=False)
+    h = stacked_lstm(h, params["lstm"])
+    return decode_grouped(params, state, h)
+
+
+def _decoders_apply_packed_grouped(params, state, h, t):
+    """Grouped dual decoder in r=2-packed layout (see decode_grouped):
+    l1 raises the shared LSTM output into group-major packed space in one
+    conv, l2/l3 run as feature_group_count=2 packed convs, and the final
+    convs exit fused to plain [B, T, 2] — the group-major output channels
+    ARE the (L, R) pair, so even the output concat disappears."""
+    (w1l, w1r), (b1l, b1r) = _fold_lr(params, state, "l1")
+    hp = leaky_relu(packed_conv_r(h, (w1l, w1r), (b1l, b1r),
+                                  shared_input=True, r_in=1, r_out=2,
+                                  padding=3, t_in=t))
+    for layer in ("l2", "l3"):
+        (wl, wr), (bl, br) = _fold_lr(params, state, layer)
+        hp = leaky_relu(packed_conv(hp, (wl, wr), (bl, br), r=2, padding=3))
+    (wfl, wfr), (bfl, bfr) = _fold_lr(params, state, "final")
+    return packed_conv_r(hp, (wfl, wfr), (bfl, bfr), r_in=2, r_out=1,
+                         padding=3, t_in=t)
+
+
 # ----------------------------------------------------- packed serving path
 def encode_packed(params, state, x, q=None):
     """Eval-mode encoder with the C<=64 full-rate stages packed
@@ -225,11 +292,14 @@ def _decoder_apply_packed(p, s, h, t, q=None, name: str = "dec"):
                  padding=3, t_in=t)
 
 
-def apply_packed(params, state, x, q=None):
+def apply_packed(params, state, x, q=None, grouped: bool = True):
     """Eval-mode apply() with the packed encoder/decoder stages; the LSTM
     recurrence itself is untouched (it is latency-bound, not traffic-bound —
     docs/PERFORMANCE.md) and runs in the parameter dtype even under int8
     serving. Requires T % 4 == 0 (callers fall back to apply() otherwise).
+    The dual decoders run grouped (one feature_group_count=2 stack —
+    decode_grouped docstring) except under int8 serving/calibration, whose
+    per-point scales are calibrated on the ungrouped names.
     x: [B, T, 1] -> [B, T, 2]."""
     from ..ops.quant import ctx_or_null
 
@@ -238,6 +308,8 @@ def apply_packed(params, state, x, q=None):
     h = encode_packed(params, state, x, q=q)
     h = h.astype(params["lstm"][0]["w_hh"].dtype)
     h = stacked_lstm(h, params["lstm"])
+    if grouped and not q.active:
+        return _decoders_apply_packed_grouped(params, state, h, t)
     hq = q.quantize_in("lstm_out", h.astype(jnp.float32) if q.quantized
                        else h)
     left = _decoder_apply_packed(params["left"], state["left"], hq, t, q,

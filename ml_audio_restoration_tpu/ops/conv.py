@@ -20,12 +20,13 @@ from jax import lax
 _DIMNUMS = ("NWC", "WIO", "NWC")
 
 
-def conv1d(x, w, b=None, *, stride: int = 1, padding: int = 0, dilation: int = 1):
-    """Conv1d matching torch.nn.Conv1d semantics.
+def conv1d(x, w, b=None, *, stride: int = 1, padding: int = 0,
+           dilation: int = 1, groups: int = 1):
+    """Conv1d matching torch.nn.Conv1d semantics (incl. groups).
 
     Args:
       x: [B, T, Cin]
-      w: [K, Cin, Cout]
+      w: [K, Cin // groups, Cout]
       b: optional [Cout]
     Returns [B, T_out, Cout].
     """
@@ -36,6 +37,7 @@ def conv1d(x, w, b=None, *, stride: int = 1, padding: int = 0, dilation: int = 1
         padding=[(padding, padding)],
         rhs_dilation=(dilation,),
         dimension_numbers=_DIMNUMS,
+        feature_group_count=groups,
     )
     if b is not None:
         out = out + b

@@ -186,32 +186,68 @@ def _gather_kernel(w, jmap):
 
 
 # ------------------------------------------------------------ packed ops
-def _plain_exec(xp, wp, bias, *, window_strides, padding, lhs_dilation=None):
+def _plain_exec(xp, wp, bias, *, window_strides, padding, lhs_dilation=None,
+                groups: int = 1):
     """Default conv executor. The `_exec` hook on the packed ops lets the
     int8 serving path (ops/quant.py::int8_exec) swap in an s8 x s8 -> s32
     conv with a dequant epilogue while reusing every packed-kernel
     construction above unchanged."""
     out = lax.conv_general_dilated(xp, wp, window_strides, padding,
                                    lhs_dilation=lhs_dilation,
-                                   dimension_numbers=_DIMNUMS)
+                                   dimension_numbers=_DIMNUMS,
+                                   feature_group_count=groups)
     if bias is not None:
         out = out + bias
     return out
 
 
+def _group_kernels(w, b, jmap, r_out: int, shared_input: bool,
+                   flip: bool = False):
+    """Normalize the (w, b) arguments of the packed ops for grouped convs.
+
+    `w` may be a single plain kernel [k, Cin, Cout] or a tuple of G kernels
+    of identical shape (one per group, e.g. the stereo L/R decoders —
+    models/stereo_separator.py). Returns (wp, bias, groups) where wp is the
+    per-group packed kernels concatenated along the output axis (GROUP-major
+    packed channel layout: [g0's r*Cout | g1's ... ]), matching
+    feature_group_count=G convs whose grouped input uses the same layout.
+    `shared_input=True` means every group convolves the SAME input tensor
+    (fgc=1, kernels concatenated along O) — the entry layer of a grouped
+    stack, which then reads its shared input from HBM once instead of G
+    times."""
+    ws = w if isinstance(w, (list, tuple)) else (w,)
+    bs = b if isinstance(b, (list, tuple)) else (b,) * len(ws)
+    assert len(bs) == len(ws)
+    parts = [_gather_kernel(wg, jmap) for wg in ws]
+    if flip:
+        parts = [p[::-1] for p in parts]
+    wp = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=2)
+    if all(bg is None for bg in bs):
+        bias = None
+    else:
+        tiles = [jnp.zeros(r_out * ws[0].shape[2], wp.dtype)
+                 if bg is None else jnp.tile(bg, r_out) for bg in bs]
+        bias = tiles[0] if len(tiles) == 1 else jnp.concatenate(tiles)
+    groups = 1 if (shared_input or len(ws) == 1) else len(ws)
+    return wp, bias, groups
+
+
 def packed_conv(xp, w, b=None, *, r: int, padding: int, dilation: int = 1,
-                _exec=None):
+                shared_input: bool = False, _exec=None):
     """Stride-1 'same' conv on an r-packed tensor, equal to
     conv1d(unpack(xp), w, b, padding=padding, dilation=dilation) at every
     valid sample (exactly — see module docstring).
 
     xp: [B, Tp, r*Cin]; w: [k, Cin, Cout] (plain WIO); -> [B, Tp, r*Cout].
+    `w`/`b` may be tuples of G per-group kernels/biases (feature_group_count
+    conv over a group-major packed input — see _group_kernels).
     """
-    jmap, (lo, hi) = _conv_index_map(int(w.shape[0]), r, padding, dilation)
-    wp = _gather_kernel(w, jmap)
+    w0 = w[0] if isinstance(w, (list, tuple)) else w
+    jmap, (lo, hi) = _conv_index_map(int(w0.shape[0]), r, padding, dilation)
+    wp, bias, groups = _group_kernels(w, b, jmap, r, shared_input)
     return (_exec or _plain_exec)(
-        xp, wp, None if b is None else jnp.tile(b, r),
-        window_strides=(1,), padding=[(lo, hi)])
+        xp, wp, bias, window_strides=(1,), padding=[(lo, hi)],
+        groups=groups)
 
 
 def packed_conv_transpose(xp, w, b=None, *, r_in: int, r_out: int,
@@ -225,13 +261,14 @@ def packed_conv_transpose(xp, w, b=None, *, r_in: int, r_out: int,
     (t_in-1)*stride - 2*padding + dilation*(k-1) + 1). Requires
     t_in % r_in == 0 and the plain output length % r_out == 0.
     """
-    k, cin, cout = w.shape
+    w0 = w[0] if isinstance(w, (list, tuple)) else w
+    k, cin, cout = w0.shape
     assert t_in % r_in == 0, (t_in, r_in)
     t_out = (t_in - 1) * stride - 2 * padding + dilation * (k - 1) + 1
     assert t_out % r_out == 0, (t_out, r_out)
     jmap, lo, dil = _transpose_index_map(int(k), r_in, r_out, stride,
                                          padding, dilation)
-    wp = _gather_kernel(w, jmap)
+    wp, bias, groups = _group_kernels(w, b, jmap, r_out, False, flip=True)
     kp = wp.shape[0]
     tp_in = t_in // r_in
     # out_p[t'] = sum_m Wp[m] xp[v'], t' = dil*v' + m - lo  ->  flipped
@@ -239,13 +276,14 @@ def packed_conv_transpose(xp, w, b=None, *, r_in: int, r_out: int,
     # trims the packed output to exactly t_out/r_out steps
     p_hi = dil * (tp_in - 1) + kp - lo - t_out // r_out
     return (_exec or _plain_exec)(
-        xp, wp[::-1], None if b is None else jnp.tile(b, r_out),
+        xp, wp, bias,
         window_strides=(1,), padding=[(kp - 1 - lo, kp - 1 - p_hi)],
-        lhs_dilation=(dil,))
+        lhs_dilation=(dil,), groups=groups)
 
 
 def packed_conv_r(xp, w, b=None, *, r_in: int, r_out: int, padding: int,
-                  dilation: int = 1, t_in: int, _exec=None):
+                  dilation: int = 1, t_in: int, shared_input: bool = False,
+                  _exec=None):
     """Stride-1 'same' plain-conv semantics between ANY two packing rates
     (one dividing the other, r=1 meaning the plain layout itself).
 
@@ -259,20 +297,24 @@ def packed_conv_r(xp, w, b=None, *, r_in: int, r_out: int, padding: int,
     """
     if r_in == r_out:
         return packed_conv(xp, w, b, r=r_in, padding=padding,
-                           dilation=dilation, _exec=_exec)
-    k = int(w.shape[0])
+                           dilation=dilation, shared_input=shared_input,
+                           _exec=_exec)
+    w0 = w[0] if isinstance(w, (list, tuple)) else w
+    k = int(w0.shape[0])
     if r_in > r_out:
+        wf = (tuple(wg[::-1] for wg in w)
+              if isinstance(w, (list, tuple)) else w[::-1])
         return packed_conv_transpose(
-            xp, w[::-1], b, r_in=r_in, r_out=r_out, stride=1,
+            xp, wf, b, r_in=r_in, r_out=r_out, stride=1,
             padding=(k - 1) * dilation - padding, dilation=dilation,
             t_in=t_in, _exec=_exec)
     assert t_in % r_out == 0, (t_in, r_out)
     jmap, lo, s = _conv_raise_index_map(k, r_in, r_out, padding, dilation)
-    wp = _gather_kernel(w, jmap)
+    wp, bias, groups = _group_kernels(w, b, jmap, r_out, shared_input)
     kp = wp.shape[0]
     return (_exec or _plain_exec)(
-        xp, wp, None if b is None else jnp.tile(b, r_out),
-        window_strides=(s,), padding=[(lo, kp - s - lo)])
+        xp, wp, bias, window_strides=(s,), padding=[(lo, kp - s - lo)],
+        groups=groups)
 
 
 def packed_max_pool2(xp, c: int):

@@ -82,12 +82,19 @@ def int8_exec(x_scale):
     kernel's input-channel axis before weight quantization (free at
     runtime; the fold constant-folds with the kernel gathers)."""
 
-    def _exec(xq, wp, bias, *, window_strides, padding, lhs_dilation=None):
+    def _exec(xq, wp, bias, *, window_strides, padding, lhs_dilation=None,
+              groups: int = 1):
+        if groups > 1:
+            # per-group input-scale folding is unimplemented; the int8
+            # serving path runs ungrouped decoders on purpose
+            # (models/stereo_separator.py gates grouped on `not q.active`)
+            raise NotImplementedError("int8_exec with feature groups")
         xs = jnp.asarray(x_scale, jnp.float32).reshape(-1)
         wq, ws = quantize_weight(wp * xs[None, :, None])
         acc = lax.conv_general_dilated(
             xq, wq, window_strides, padding,
             lhs_dilation=lhs_dilation, dimension_numbers=_DIMNUMS,
+            feature_group_count=groups,
             preferred_element_type=jnp.int32)
         y = acc.astype(jnp.float32) * ws
         if bias is not None:

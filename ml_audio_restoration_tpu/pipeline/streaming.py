@@ -178,7 +178,9 @@ class StreamingRestorer:
             dec_hist = carries[-1]  # [1, ctx*g, H]
             dec_in = jnp.concatenate([dec_hist, lstm_out, lstm_future],
                                      axis=1)
-            stereo, _ = stereo_mod.decode(st[0], st[1], dec_in)
+            # grouped dual decoder (stereo_separator.decode_grouped): one
+            # feature_group_count=2 stack, single HBM read of dec_in
+            stereo = stereo_mod.decode_grouped(st[0], st[1], dec_in)
             if self.source_rate:
                 # side at the source rate over the WHOLE decoded window,
                 # upsampled, then sliced: half-pixel interp of a window

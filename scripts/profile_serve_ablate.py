@@ -6,6 +6,8 @@ copies at pack/unpack boundaries are charged?
 configs:
   packed_dnsr   — denoiser+SR packed, stereo entirely plain
   packed_nodec  — + stereo encoder packed, decoders plain
+  packed_full   — everything packed, grouped dual decoder (the default)
+  dec_ungrouped — everything packed, decoders as two separate stacks
   (run profile_serve.py for plain / full packed)
 """
 from __future__ import annotations
@@ -61,6 +63,12 @@ def main(argv=None):
         elif name == "packed_nodec":
             stereo_separator._decoder_apply_packed, saved = (
                 decoder_plain, plain_decode)
+        elif name == "dec_ungrouped":
+            real_packed = stereo_separator.apply_packed
+            stereo_separator.apply_packed, saved = (
+                lambda p, s, x, q=None: real_packed(p, s, x, q=q,
+                                                    grouped=False),
+                real_packed)
         try:
             cfg = PipelineConfig(chunk_seconds=2.0, overlap_seconds=0.05,
                                  packed_convs=True)
@@ -82,7 +90,7 @@ def main(argv=None):
                               if k != "module_step_ms"},
             }), flush=True)
         finally:
-            if name == "packed_dnsr":
+            if name in ("packed_dnsr", "dec_ungrouped"):
                 stereo_separator.apply_packed = saved
             elif name == "packed_nodec":
                 stereo_separator._decoder_apply_packed = saved

@@ -215,3 +215,113 @@ def test_packed_conv_r_matches_plain(k, p, d, r_in, r_out):
         r_out, cout, t)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-6, rtol=1e-5)
+
+
+# ------------------------------------------------------ grouped packed convs
+def test_conv1d_groups_matches_per_group():
+    """conv1d(groups=G) == per-group conv1d stitched along channels
+    (torch.nn.Conv1d groups semantics)."""
+    rng = np.random.default_rng(11)
+    cin, cout, t, g = 4, 6, 32, 2
+    x = _rand(rng, 2, t, g * cin)
+    w = _rand(rng, 7, cin, g * cout) * 0.3
+    b = _rand(rng, g * cout)
+    got = conv1d(x, w, b, padding=3, groups=g)
+    parts = [
+        conv1d(x[..., i * cin:(i + 1) * cin],
+               w[:, :, i * cout:(i + 1) * cout],
+               b[i * cout:(i + 1) * cout], padding=3)
+        for i in range(g)
+    ]
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(jnp.concatenate(parts, axis=-1)),
+                               atol=2e-6, rtol=1e-5)
+
+
+def _pack_groups(xs, r):
+    """Group-major packed layout: [pack(x_g0, r) | pack(x_g1, r) | ...]."""
+    return jnp.concatenate([pack(x, r) for x in xs], axis=2)
+
+
+@pytest.mark.parametrize("k,p,d", [(7, 3, 1), (3, 1, 1), (1, 0, 1)])
+def test_packed_conv_grouped_matches_per_group(k, p, d):
+    """packed_conv with tuple kernels (feature_group_count conv on a
+    group-major packed tensor) == the per-group packed convs stitched."""
+    rng = np.random.default_rng(12)
+    cin, cout, t, r = 3, 5, 48, 2
+    xs = [_rand(rng, 2, t, cin) for _ in range(2)]
+    ws = [_rand(rng, k, cin, cout) * 0.3 for _ in range(2)]
+    bs = [_rand(rng, cout) for _ in range(2)]
+    got = packed_conv(_pack_groups(xs, r), tuple(ws), tuple(bs), r=r,
+                      padding=p, dilation=d)
+    want = _pack_groups(
+        [conv1d(x, w, b, padding=p, dilation=d)
+         for x, w, b in zip(xs, ws, bs)], r)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-6, rtol=1e-5)
+
+
+def test_packed_conv_r_shared_input_entry():
+    """Entry layer of a grouped stack: shared plain input, tuple kernels,
+    r_in=1 -> r_out=2 — output is the group-major packed pair of the two
+    plain convs over the SAME input."""
+    from ml_audio_restoration_tpu.ops.packed import packed_conv_r
+
+    rng = np.random.default_rng(13)
+    cin, cout, t = 4, 6, 48
+    x = _rand(rng, 2, t, cin)
+    ws = [_rand(rng, 7, cin, cout) * 0.3 for _ in range(2)]
+    bs = [_rand(rng, cout) for _ in range(2)]
+    got = packed_conv_r(x, tuple(ws), tuple(bs), shared_input=True,
+                        r_in=1, r_out=2, padding=3, t_in=t)
+    want = _pack_groups(
+        [conv1d(x, w, b, padding=3) for w, b in zip(ws, bs)], 2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-6, rtol=1e-5)
+
+
+def test_packed_conv_r_grouped_exit():
+    """Exit layer of a grouped stack: group-major r=2 packed input, tuple
+    kernels, r_in=2 -> r_out=1 — output channels ARE the per-group plain
+    conv outputs (the stereo decoders' (L, R) pair)."""
+    from ml_audio_restoration_tpu.ops.packed import packed_conv_r
+
+    rng = np.random.default_rng(14)
+    cin, t = 5, 48
+    xs = [_rand(rng, 2, t, cin) for _ in range(2)]
+    ws = [_rand(rng, 7, cin, 1) * 0.3 for _ in range(2)]
+    bs = [_rand(rng, 1) for _ in range(2)]
+    got = packed_conv_r(_pack_groups(xs, 2), tuple(ws), tuple(bs),
+                        r_in=2, r_out=1, padding=3, t_in=t)
+    want = jnp.concatenate(
+        [conv1d(x, w, b, padding=3) for x, w, b in zip(xs, ws, bs)],
+        axis=-1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-6, rtol=1e-5)
+
+
+def test_stereo_apply_grouped_matches_apply():
+    """Plain-layout grouped dual decoder (decode_grouped) == apply()."""
+    from ml_audio_restoration_tpu.models import stereo_separator as st
+
+    params, state = st.init(jax.random.PRNGKey(3))
+    rng = np.random.default_rng(15)
+    x = _rand(rng, 2, 2048, 1) * 0.3
+    want, _ = st.apply(params, state, x)
+    got = st.apply_grouped(params, state, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-6, rtol=1e-4)
+
+
+def test_stereo_apply_packed_ungrouped_matches_apply():
+    """apply_packed(grouped=False) — the int8 serving/calibration decoder
+    path — stays exact vs apply()."""
+    from ml_audio_restoration_tpu.models import stereo_separator as st
+
+    params, state = st.init(jax.random.PRNGKey(4))
+    rng = np.random.default_rng(16)
+    x = _rand(rng, 2, 2048, 1) * 0.3
+    want, _ = st.apply(params, state, x)
+    got = st.apply_packed(params, state, x, grouped=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-6, rtol=1e-4)
