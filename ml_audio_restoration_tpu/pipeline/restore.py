@@ -74,7 +74,8 @@ def stereo_sub_cfg(cfg: PipelineConfig, stage_len: int, f: int):
     return (sub, sub - sub_ov, sub_ov)
 
 
-def apply_stereo(st, x, sub_cfg, packed: bool = False, q=None):
+def apply_stereo(st, x, sub_cfg, packed: bool = False, q=None,
+                 grouped: bool = False):
     """Stereo stage over [N, T2, 1] -> [N, T2, 2], optionally re-framed into
     shorter internal LSTM windows with crossfade overlap-add (sub_cfg from
     stereo_sub_cfg; None = whole-window). `packed` routes the encoder/
@@ -82,12 +83,19 @@ def apply_stereo(st, x, sub_cfg, packed: bool = False, q=None):
     .apply_packed — numerically equal up to float reassociation; requires
     the stage window length % 4 == 0, else falls back to plain). `q`: an
     ops/quant.py QuantCtx — int8 serving (or calibration) via the packed
-    forward, which hosts the quantized conv stacks; the LSTM stays float."""
+    forward, which hosts the quantized conv stacks; the LSTM stays float.
+    `grouped` upgrades the PLAIN fallback (packed stereo gated off, e.g. at
+    sub-chunked fast_serve windows) to the grouped dual decoder
+    (stereo_separator.apply_grouped) — same optimization family as
+    packed_convs, so callers pass config.packed_convs here and
+    --no-packed-convs keeps the exact legacy computation order."""
     stage_len = sub_cfg[0] if sub_cfg is not None else x.shape[1]
     if q is not None and stage_len % 4 == 0:
         run = lambda p, s, v: stereo_mod.apply_packed(p, s, v, q=q)
     elif packed and stage_len % 4 == 0:
         run = stereo_mod.apply_packed
+    elif grouped:
+        run = stereo_mod.apply_grouped
     else:
         run = lambda p, s, v: stereo_mod.apply(p, s, v)[0]
     if sub_cfg is None:
@@ -281,7 +289,8 @@ class RestorationPipeline:
                     st, v.astype(jnp.float32 if int8_stereo else dtype)
                     if int8 else v, sub_cfg, packed=packed_stereo,
                     q=(QuantCtx(scales["stereo"], scope)
-                       if int8_stereo else None))
+                       if int8_stereo else None),
+                    grouped=self.config.packed_convs)
 
             side = None
             if has_st and src_rate:

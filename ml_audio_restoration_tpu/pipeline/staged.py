@@ -133,7 +133,8 @@ class StagedRestorationPipeline:
                     # matching the plain pipeline's measured gate
                     sub = stereo_sub_cfg(cfg, t, f)
                     y = apply_stereo(tree, x, sub,
-                                     packed=cfg.packed_convs and sub is None)
+                                     packed=cfg.packed_convs and sub is None,
+                                     grouped=cfg.packed_convs)
                 elif pk and name in ("denoiser", "super_resolution"):
                     y = mod.apply_packed(tree[0], tree[1], x)
                 else:

@@ -8,7 +8,10 @@ configs:
   packed_nodec  — + stereo encoder packed, decoders plain
   packed_full   — everything packed, grouped dual decoder (the default)
   dec_ungrouped — everything packed, decoders as two separate stacks
-  (run profile_serve.py for plain / full packed)
+  fast_serve_ungrouped — fast_serve preset with the plain (ungrouped)
+                  stereo fallback at sub windows (the round-2 shipped gate;
+                  compare against profile_serve.py's fast_serve)
+  (run profile_serve.py for plain / full packed / fast_serve)
 """
 from __future__ import annotations
 
@@ -69,9 +72,16 @@ def main(argv=None):
                 lambda p, s, x, q=None: real_packed(p, s, x, q=q,
                                                     grouped=False),
                 real_packed)
+        elif name == "fast_serve_ungrouped":
+            stereo_separator.apply_grouped, saved = (
+                lambda p, s, x: stereo_separator.apply(p, s, x)[0],
+                stereo_separator.apply_grouped)
         try:
+            extra = ({"compute_dtype": "bfloat16",
+                      "stereo_chunk_seconds": 0.25}
+                     if name == "fast_serve_ungrouped" else {})
             cfg = PipelineConfig(chunk_seconds=2.0, overlap_seconds=0.05,
-                                 packed_convs=True)
+                                 packed_convs=True, **extra)
             pipe = RestorationPipeline(**stages, config=cfg)
             out, _ = pipe.restore(audio, sr)
             _sync(out)
@@ -94,6 +104,8 @@ def main(argv=None):
                 stereo_separator.apply_packed = saved
             elif name == "packed_nodec":
                 stereo_separator._decoder_apply_packed = saved
+            elif name == "fast_serve_ungrouped":
+                stereo_separator.apply_grouped = saved
     return 0
 
 
