@@ -32,6 +32,45 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
+def _ensure_backend(max_wait_s: float):
+    """Survive a TPU/relay outage at bench time (the axon backend can raise
+    UNAVAILABLE or hang in init for hours — CLAUDE.md). Probes the backend
+    in a SUBPROCESS (a hung init cannot be interrupted in-process) until it
+    answers or `max_wait_s` elapses; on timeout, forces the CPU backend so
+    the bench still emits its JSON line, clearly labeled. Returns None when
+    the backend is live, else a description of the fallback."""
+    import subprocess
+
+    probe_src = ("import jax, jax.numpy as jnp; x = jnp.ones((500, 500)); "
+                 "print(float((x @ x).sum()))")
+
+    # Per-attempt timeout must clear CONGESTION (documented: trivial matmul
+    # round trips >90 s on bad relay days, plus ~20 s subprocess jax import)
+    # so a slow-but-live relay is never misclassified as an outage — the
+    # bench's device-basis machinery handles slowness; this fallback is for
+    # a backend that never answers at all.
+    def ready(timeout_s=300.0):
+        try:
+            r = subprocess.run([sys.executable, "-c", probe_src],
+                               timeout=timeout_s, capture_output=True)
+            return r.returncode == 0
+        except subprocess.TimeoutExpired:
+            return False
+
+    deadline = time.time() + max_wait_s
+    while True:
+        if ready():
+            return None
+        if time.time() > deadline:
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
+            return (f"cpu (accelerator backend unavailable for "
+                    f"{int(max_wait_s)}s; wall numbers are CPU-host "
+                    f"throughput, NOT the TPU measurement)")
+        time.sleep(min(60.0, max(1.0, deadline - time.time())))
+
+
 def _make_audio(seconds: float, sr: int = 22050):
     rng = np.random.default_rng(0)
     t = np.arange(int(seconds * sr)) / sr
@@ -203,6 +242,9 @@ def _streaming_throughput(stages, batch: int = 16, block_s: float = 1.0,
 
 
 def main():
+    backend_fallback = _ensure_backend(
+        float(os.environ.get("MLAR_BENCH_BACKEND_WAIT_S", "900")))
+
     import jax
 
     from ml_audio_restoration_tpu.utils.cache import (
@@ -239,6 +281,8 @@ def main():
     cfg = PipelineConfig(chunk_seconds=2.0, overlap_seconds=0.05)
 
     extra = {"device": str(jax.devices()[0]), "audio_seconds": seconds}
+    if backend_fallback:
+        extra["backend_fallback"] = backend_fallback
     bases: dict = {}
 
     # relay congestion probe: a trivial matmul round trip is ~1 s on an idle
