@@ -356,8 +356,6 @@ def lax_max_pool_int8(x):
 def packed_amax(params, state, x):
     """Calibration forward: per-quantization-point amax dict for
     apply_packed's int8 mode (ops/quant.py::calibrate)."""
-    from ..ops.quant import QuantCtx
+    from ..ops import quant
 
-    ctx = QuantCtx()
-    apply_packed(params, state, x, q=ctx)
-    return ctx.amax
+    return quant.packed_amax(apply_packed, params, state, x)

@@ -321,8 +321,6 @@ def apply_packed(params, state, x, q=None, grouped: bool = True):
 
 def packed_amax(params, state, x):
     """Calibration forward for apply_packed's int8 mode (ops/quant.py)."""
-    from ..ops.quant import QuantCtx
+    from ..ops import quant
 
-    ctx = QuantCtx()
-    apply_packed(params, state, x, q=ctx)
-    return ctx.amax
+    return quant.packed_amax(apply_packed, params, state, x)

@@ -162,6 +162,12 @@ class QuantCtx:
                            if name in self.amax else m)
 
     def scale_of(self, name: str, tx=None):
+        if name not in self.scales:
+            raise KeyError(
+                f"int8 scales have no entry for quantization point {name!r}"
+                f" — they were calibrated for a different pipeline/stage "
+                f"configuration. Recalibrate (PipelineConfig.quantize_int8 "
+                f"auto-calibrates when no scales file is loaded).")
         s = jnp.asarray(self.scales[name], jnp.float32).reshape(-1)
         return tx(s) if tx is not None else s
 
@@ -302,6 +308,16 @@ def scales_from_amax(amax: dict) -> dict:
     return {k: (np.maximum(np.asarray(v, np.float32).reshape(-1), 1e-8)
                 / 127.0).tolist()
             for k, v in amax.items()}
+
+
+def packed_amax(apply_packed, params, state, x) -> dict:
+    """Calibration forward for any apply_packed-style model entry: run it
+    with a recording QuantCtx and return the per-quantization-point amax
+    dict. The single home of the calibration entry protocol; the model
+    modules wrap it with their own apply_packed."""
+    ctx = QuantCtx()
+    apply_packed(params, state, x, q=ctx)
+    return ctx.amax
 
 
 def calibrate(forward, batches) -> dict:

@@ -341,6 +341,20 @@ class RestorationPipeline:
 
         cfg = self.config
         sample_rate = sample_rate or cfg.sample_rate
+        # Same gates as _build's `packed` (int8 rides the packed forwards):
+        # raise ValueError so restore()'s auto-calibration downgrades to
+        # float serving with a warning instead of crashing mid-trace or
+        # silently burning a calibration pass that can never activate.
+        if not cfg.packed_convs:
+            raise ValueError("int8 serving rides the packed conv paths: "
+                             "config.packed_convs is off")
+        has_dn0, has_sr0, _ = self._stages_key()
+        if has_dn0 and not _denoiser_packable(self.denoiser):
+            raise ValueError("denoiser checkpoint is not packable "
+                             "(non-default layout); int8 unavailable")
+        if has_sr0 and not _sr_packable(self.super_resolution):
+            raise ValueError("super-resolution checkpoint is not packable "
+                             "(non-default layout); int8 unavailable")
         audio = np.asarray(audio, np.float32)
         if audio.ndim == 1:
             audio = audio[None]

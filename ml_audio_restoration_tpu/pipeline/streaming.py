@@ -179,8 +179,13 @@ class StreamingRestorer:
             dec_in = jnp.concatenate([dec_hist, lstm_out, lstm_future],
                                      axis=1)
             # grouped dual decoder (stereo_separator.decode_grouped): one
-            # feature_group_count=2 stack, single HBM read of dec_in
-            stereo = stereo_mod.decode_grouped(st[0], st[1], dec_in)
+            # feature_group_count=2 stack, single HBM read of dec_in.
+            # packed=False keeps the legacy two-stack decode so the exact
+            # pre-grouped computation order stays reachable (mirrors the
+            # batch pipeline's apply_stereo gate).
+            stereo = (stereo_mod.decode_grouped(st[0], st[1], dec_in)
+                      if self.packed else
+                      stereo_mod.decode(st[0], st[1], dec_in)[0])
             if self.source_rate:
                 # side at the source rate over the WHOLE decoded window,
                 # upsampled, then sliced: half-pixel interp of a window

@@ -217,3 +217,38 @@ def test_pipeline_int8_whole_file_odd_length_falls_back(rng_module):
     with pytest.warns(UserWarning, match="int8 serving disabled"):
         outq, _ = pq.restore(audio)
     np.testing.assert_array_equal(np.asarray(plain), np.asarray(outq))
+
+
+def test_pipeline_int8_without_packed_convs_falls_back(rng_module):
+    """quantize_int8 without packed_convs can never activate (int8 rides
+    the packed forwards): restore() must warn and serve the plain float
+    path exactly, without burning a calibration pass."""
+    import dataclasses
+
+    audio = (rng_module.normal(size=(1, 11025)) * 0.1).astype(np.float32)
+    base = PipelineConfig(chunk_seconds=0.4, packed_convs=False)
+    stages = _stages()
+    plain, _ = RestorationPipeline(**stages, config=base).restore(audio)
+    pq = RestorationPipeline(**stages, config=dataclasses.replace(
+        base, quantize_int8=True))
+    with pytest.warns(UserWarning, match="int8 serving disabled"):
+        outq, _ = pq.restore(audio)
+    assert pq._int8_scales is None  # no wasted calibration pass
+    np.testing.assert_array_equal(np.asarray(plain), np.asarray(outq))
+
+
+def test_pipeline_int8_stale_scales_clear_error(tmp_path, rng_module):
+    """A loaded scales file that does not cover this pipeline's
+    quantization points must fail with an actionable message, not a bare
+    KeyError from inside the trace."""
+    import json
+
+    audio = (rng_module.normal(size=(1, 11025)) * 0.1).astype(np.float32)
+    cfg = PipelineConfig(chunk_seconds=0.4, quantize_int8=True)
+    pq = RestorationPipeline(**_stages(), config=cfg)
+    path = tmp_path / "stale.json"
+    path.write_text(json.dumps(
+        {"denoiser": {}, "super_resolution": {}, "stereo": {}}))
+    pq.load_int8_scales(path)
+    with pytest.raises(KeyError, match="quantization point"):
+        pq.restore(audio)

@@ -208,3 +208,20 @@ def test_reset_stream_recycles_one_slot(stages, rng):
                           axis=1)
     assert got0.shape == want0.shape
     assert np.max(np.abs(got0 - want0)) < 1e-6
+
+
+def test_streaming_packed_false_uses_legacy_decoder(stages, audio, monkeypatch):
+    """packed=False must keep the legacy two-stack stereo decode reachable
+    (exact pre-grouped numerics — mirrors the batch pipeline's gate), and
+    packed=True must actually route through the grouped decoder."""
+    def boom(*a, **k):
+        raise AssertionError("grouped decoder used")
+
+    monkeypatch.setattr(st_mod, "decode_grouped", boom)
+    short = audio[:, : SR // 2]
+    s = StreamingRestorer(**stages, packed=False)
+    out = np.concatenate([s.feed(short), s.flush()], axis=1)
+    assert out.shape[0] == 2  # legacy path produced stereo
+    sg = StreamingRestorer(**stages)
+    with pytest.raises(AssertionError, match="grouped decoder used"):
+        sg.feed(short)
