@@ -480,6 +480,28 @@ def test_packed_convs_match_plain_bf16(pipeline_stages):
     assert dev < 2e-4, dev  # bf16 rounding noise, well under the 1e-3 bar
 
 
+def test_grouped_fallback_matches_plain_bf16_subchunked(pipeline_stages):
+    """The fast_serve HEADLINE combination — bf16 + sub-chunked stereo
+    windows, where packed stereo is gated off and the plain fallback runs
+    the GROUPED dual decoder with folded BN — must stay within bf16
+    rounding of the legacy two-stack decode."""
+    import dataclasses
+
+    rng = np.random.default_rng(13)
+    audio = (rng.normal(size=(1, 22050 * 2)) * 0.1).astype(np.float32)
+    cfg = PipelineConfig(chunk_seconds=1.0, overlap_seconds=0.05,
+                         stereo_chunk_seconds=0.25,
+                         compute_dtype="bfloat16")
+    grouped = RestorationPipeline(**pipeline_stages, config=cfg)
+    legacy = RestorationPipeline(
+        **pipeline_stages, config=dataclasses.replace(cfg,
+                                                      packed_convs=False))
+    out_g, _ = grouped.restore(audio, 22050)
+    out_l, _ = legacy.restore(audio, 22050)
+    dev = float(np.abs(np.asarray(out_g) - np.asarray(out_l)).max())
+    assert dev < 2e-4, dev
+
+
 def test_sequence_parallel_whole_file_matches_single(pipeline_stages):
     """whole_file serving with the TIME axis sharded over the 'model' mesh
     axis (sequence parallelism: XLA conv halo exchanges + gather before the
