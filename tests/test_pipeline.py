@@ -521,3 +521,18 @@ def test_sequence_parallel_whole_file_matches_single(pipeline_stages):
     got, rate2 = seq.restore(audio, 22050)
     assert rate == rate2
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_restore_inputs_shorter_than_one_chunk(pipeline_stages):
+    """Files shorter than chunk_seconds (even a single sample) must restore
+    to finite stereo output at 2x length — the tail-padding path with
+    n_chunks == 1."""
+    rng = np.random.default_rng(5)
+    pipe = RestorationPipeline(
+        **pipeline_stages,
+        config=PipelineConfig(chunk_seconds=2.0, overlap_seconds=0.05))
+    for n in (1, 100):
+        audio = (rng.normal(size=(1, n)) * 0.1).astype(np.float32)
+        out, rate = pipe.restore(audio)
+        assert out.shape == (2, 2 * n) and rate == 44100
+        assert np.isfinite(np.asarray(out)).all()
