@@ -101,18 +101,26 @@ def cleanup_old_epochs(checkpoint_dir, keep_path):
             p.unlink()
 
 
-def latest_checkpoint(checkpoint_dir):
-    """Newest epoch checkpoint, else best_model, else None — the reference's
-    auto-resume discovery (train_denoiser.py:130-156)."""
+def all_checkpoints(checkpoint_dir):
+    """Resume candidates, best-first: epoch checkpoints newest-first, then
+    best_model. Empty list if none."""
     d = Path(checkpoint_dir)
     if not d.is_dir():
-        return None
+        return []
     epochs = []
     for p in d.glob("checkpoint_epoch_*.msgpack"):
         m = _EPOCH_RE.search(p.name)
         if m:
             epochs.append((int(m.group(1)), p))
-    if epochs:
-        return max(epochs)[1]
+    out = [p for _, p in sorted(epochs, reverse=True)]
     best = d / "best_model.msgpack"
-    return best if best.exists() else None
+    if best.exists():
+        out.append(best)
+    return out
+
+
+def latest_checkpoint(checkpoint_dir):
+    """Newest epoch checkpoint, else best_model, else None — the reference's
+    auto-resume discovery (train_denoiser.py:130-156)."""
+    cands = all_checkpoints(checkpoint_dir)
+    return cands[0] if cands else None

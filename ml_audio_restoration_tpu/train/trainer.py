@@ -455,10 +455,20 @@ class Trainer:
         print(f"checkpoint loaded: {path} (epoch {self.epoch})")
 
     def maybe_resume(self):
-        latest = ckpt.latest_checkpoint(self.checkpoint_dir)
-        if latest is not None:
-            self.load_checkpoint(latest)
-            return True
+        """Auto-resume from the newest readable checkpoint. Saves are atomic
+        (os.replace), so a crash mid-write cannot tear a file — but a
+        checkpoint corrupted at rest (disk fault, partial copy from a
+        remote sync) must not kill the restart: fall back through older
+        epoch checkpoints, then best_model, warning per skipped file."""
+        candidates = ckpt.all_checkpoints(self.checkpoint_dir)
+        for path in candidates:
+            try:
+                self.load_checkpoint(path)
+                return True
+            except Exception as e:  # corrupt/unreadable — try the next one
+                import warnings
+
+                warnings.warn(f"skipping unreadable checkpoint {path}: {e}")
         return False
 
 

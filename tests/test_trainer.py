@@ -350,3 +350,28 @@ def test_contrastive_path_trains(tmp_path):
                   artifact_config=_quiet_artifacts())
     _, metrics0 = tr0._train_step(tr0.state, batch, jax.random.PRNGKey(1))
     assert "contrastive" not in metrics0
+
+
+def test_resume_falls_back_past_corrupt_checkpoint(tmp_path):
+    """A checkpoint corrupted AT REST (saves themselves are atomic) must
+    not kill the restart: maybe_resume warns and falls back to the newest
+    readable one."""
+    import warnings as _warnings
+
+    tr = _make_trainer("denoiser", denoiser, ToyDataset(n=4))
+    tr.checkpoint_dir = tmp_path
+    tr.epoch = 1
+    tr.save_checkpoint("best_model.msgpack")  # the retention-kept fallback
+    tr.epoch = 2
+    tr.save_checkpoint("checkpoint_epoch_2.msgpack")
+    # corrupt the newest (truncate to half)
+    p2 = tmp_path / "checkpoint_epoch_2.msgpack"
+    p2.write_bytes(p2.read_bytes()[: p2.stat().st_size // 2])
+
+    tr2 = _make_trainer("denoiser", denoiser, ToyDataset(n=4))
+    tr2.checkpoint_dir = tmp_path
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        assert tr2.maybe_resume()
+    assert any("unreadable checkpoint" in str(x.message) for x in w)
+    assert tr2.epoch == 1  # resumed from the readable epoch-1 file
