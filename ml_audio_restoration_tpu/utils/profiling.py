@@ -136,6 +136,42 @@ def xplane_device_times(logdir: str) -> dict:
                 totals.items(), key=lambda kv: -kv[1])}}
 
 
+def xplane_top_ops(logdir: str, n: int = 20) -> list:
+    """Top-N individual device ops by total time from an xplane dump.
+
+    Returns [(op_name, total_ms, count), ...] sorted by total time,
+    aggregated over the serial "XLA Ops" line only (same basis as
+    xplane_device_times). Use after a trace() block to find the specific
+    fusion/copy ops behind a bucket total — e.g. the relayout copies that
+    made packed convs v1 net-slower (docs/PERFORMANCE.md).
+    """
+    from collections import defaultdict
+
+    xplane_pb2 = _load_xplane_pb2()
+
+    files = sorted(Path(logdir).rglob("*.xplane.pb"))
+    if not files:
+        raise RuntimeError(f"no xplane dump under {logdir}")
+    spaces = xplane_pb2.XSpace()
+    spaces.ParseFromString(files[-1].read_bytes())
+
+    totals: dict = defaultdict(float)
+    counts: dict = defaultdict(int)
+    for plane in spaces.planes:
+        if not plane.name.startswith("/device:"):
+            continue
+        meta = {m_id: m.name for m_id, m in plane.event_metadata.items()}
+        for line in plane.lines:
+            if line.name != "XLA Ops":
+                continue
+            for ev in line.events:
+                name = meta.get(ev.metadata_id, "")
+                totals[name] += ev.duration_ps / 1e9
+                counts[name] += 1
+    ranked = sorted(totals.items(), key=lambda kv: -kv[1])[:n]
+    return [(name, round(ms, 3), counts[name]) for name, ms in ranked]
+
+
 class StepTimer:
     """Rolling step-time statistics (window of `keep` steps)."""
 

@@ -292,6 +292,17 @@ def test_profiler_trace_writes_xplane(tmp_path):
     files = list(Path(tmp_path).rglob("*.xplane.pb"))
     assert files, "no xplane trace written"
 
+    # the analysis helpers parse the dump without error; CPU traces carry
+    # no "/device:" plane, so totals/op lists are empty (they are populated
+    # on real TPU traces — used by scripts/profile_serve*.py)
+    from ml_audio_restoration_tpu.utils.profiling import (
+        xplane_device_times, xplane_top_ops)
+    times = xplane_device_times(str(tmp_path))
+    assert times["total_device_ms"] == 0.0 and times["module_step_ms"] == []
+    assert xplane_top_ops(str(tmp_path), 5) == []
+    with pytest.raises(RuntimeError, match="no xplane dump"):
+        xplane_top_ops(str(tmp_path / "nope"))
+
 
 def test_measured_presets_load_and_run(data_dir, tmp_path):
     """The measured-win presets (VERDICT r02 item 6) load and actually run:
