@@ -152,8 +152,13 @@ def decode_grouped(params, state, h):
     group-major tensors. [B, T, H] -> [B, T, 2] (L, R).
 
     The reference runs its decoders as two sequential nn.Sequential stacks
-    (stereo_separator.py:66-88 upstream); on TPU the grouped form keeps the
-    lanes full — measured A/B in docs/PERFORMANCE.md."""
+    (stereo_separator.py:66-88 upstream). MEASURED OUTCOME: this
+    plain-layout grouped form is SLOWER than decode() in every production
+    regime (full 2-s windows -11%, sub-chunked fast_serve -8%, streaming
+    feeds -7% device time — docs/PERFORMANCE.md "Grouped dual decoders"),
+    so no production path calls it; grouping pays only in the r=2-packed
+    layout (_decoders_apply_packed_grouped, the apply_packed default).
+    Kept for ablation and as the exactness baseline for the packed form."""
     (w1l, w1r), (b1l, b1r) = _fold_lr(params, state, "l1")
     h = leaky_relu(conv1d(h, jnp.concatenate([w1l, w1r], axis=2),
                           jnp.concatenate([b1l, b1r]), padding=3))
@@ -169,7 +174,8 @@ def decode_grouped(params, state, h):
 
 def apply_grouped(params, state, x):
     """Eval-mode apply() with the grouped dual decoder (plain layout).
-    x: [B, T, 1] -> [B, T, 2]."""
+    x: [B, T, 1] -> [B, T, 2]. Ablation-only — see decode_grouped's
+    measured-outcome note; production paths use apply()/apply_packed()."""
     h, _ = encode(params, state, x, train=False)
     h = stacked_lstm(h, params["lstm"])
     return decode_grouped(params, state, h)

@@ -84,11 +84,12 @@ def apply_stereo(st, x, sub_cfg, packed: bool = False, q=None,
     the stage window length % 4 == 0, else falls back to plain). `q`: an
     ops/quant.py QuantCtx — int8 serving (or calibration) via the packed
     forward, which hosts the quantized conv stacks; the LSTM stays float.
-    `grouped` upgrades the PLAIN fallback (packed stereo gated off, e.g. at
-    sub-chunked fast_serve windows) to the grouped dual decoder
-    (stereo_separator.apply_grouped) — same optimization family as
-    packed_convs, so callers pass config.packed_convs here and
-    --no-packed-convs keeps the exact legacy computation order."""
+    `grouped` upgrades the PLAIN fallback to the grouped dual decoder
+    (stereo_separator.apply_grouped) — kept for ablation only: the
+    plain-layout grouped decoder measured SLOWER than the two-stack decode
+    in every production regime (full-window / sub-chunked / streaming), so
+    no production caller passes it; grouping pays only inside apply_packed
+    (docs/PERFORMANCE.md "Grouped dual decoders")."""
     stage_len = sub_cfg[0] if sub_cfg is not None else x.shape[1]
     if q is not None and stage_len % 4 == 0:
         run = lambda p, s, v: stereo_mod.apply_packed(p, s, v, q=q)
@@ -227,6 +228,13 @@ class RestorationPipeline:
         # change the computation path.
         packed_stereo = (self.config.packed_convs and has_st
                          and sub_cfg is None)
+        # Grouped dual decoders pay ONLY inside the packed layout (the
+        # apply_packed default: +13% device, 160.7 vs 184.7 ms ungrouped per
+        # 120 s). The PLAIN-layout grouped fallback measured SLOWER in every
+        # regime — sub-chunked fast_serve 118.1 vs 109.3 ms (-8%), streaming
+        # feeds 40.0 vs 37.2 ms (-7%), full 2-s windows 70.2 vs 63.1 ms
+        # stereo-only (-11%) — so it is never selected in production
+        # (docs/PERFORMANCE.md "Grouped dual decoders").
         # int8 serving rides the packed forwards (they host the quantized
         # conv stacks), so it shares the packed gate; it additionally needs
         # calibrated scales (restore() auto-calibrates before compiling)
@@ -289,8 +297,7 @@ class RestorationPipeline:
                     st, v.astype(jnp.float32 if int8_stereo else dtype)
                     if int8 else v, sub_cfg, packed=packed_stereo,
                     q=(QuantCtx(scales["stereo"], scope)
-                       if int8_stereo else None),
-                    grouped=self.config.packed_convs)
+                       if int8_stereo else None))
 
             side = None
             if has_st and src_rate:

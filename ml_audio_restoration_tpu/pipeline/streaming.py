@@ -178,14 +178,13 @@ class StreamingRestorer:
             dec_hist = carries[-1]  # [1, ctx*g, H]
             dec_in = jnp.concatenate([dec_hist, lstm_out, lstm_future],
                                      axis=1)
-            # grouped dual decoder (stereo_separator.decode_grouped): one
-            # feature_group_count=2 stack, single HBM read of dec_in.
-            # packed=False keeps the legacy two-stack decode so the exact
-            # pre-grouped computation order stays reachable (mirrors the
-            # batch pipeline's apply_stereo gate).
-            stereo = (stereo_mod.decode_grouped(st[0], st[1], dec_in)
-                      if self.packed else
-                      stereo_mod.decode(st[0], st[1], dec_in)[0])
+            # Two-stack (legacy) decode: the grouped dual decoder
+            # (stereo_separator.decode_grouped) measured SLOWER here —
+            # 40.0 vs 37.2 ms device per batch-16 1-s feed
+            # (scripts/profile_streaming_ablate.py) — matching the batch
+            # pipeline's finding that plain-layout grouping loses in every
+            # regime (docs/PERFORMANCE.md "Grouped dual decoders").
+            stereo = stereo_mod.decode(st[0], st[1], dec_in)[0]
             if self.source_rate:
                 # side at the source rate over the WHOLE decoded window,
                 # upsampled, then sliced: half-pixel interp of a window

@@ -8,10 +8,17 @@ configs:
   packed_nodec  — + stereo encoder packed, decoders plain
   packed_full   — everything packed, grouped dual decoder (the default)
   dec_ungrouped — everything packed, decoders as two separate stacks
-  fast_serve_ungrouped — fast_serve preset with the plain (ungrouped)
-                  stereo fallback at sub windows (the round-2 shipped gate;
-                  compare against profile_serve.py's fast_serve)
+  fast_serve_grouped — fast_serve preset with the plain-layout GROUPED
+                  stereo fallback at sub windows forced back on (the
+                  round-3 measurement that ungated it: grouped 118.1 vs
+                  ungrouped 109.3 ms device per 120 s — compare against
+                  profile_serve.py's fast_serve, now the ungrouped path)
   (run profile_serve.py for plain / full packed / fast_serve)
+
+Measured 2026-08-18 (TPU v5e, 120 s): packed_full 160.7 ms vs dec_ungrouped
+184.7 ms — grouping WINS 13% inside the packed layout and is the shipped
+default there; every plain-layout grouped regime measured a loss
+(docs/PERFORMANCE.md "Grouped dual decoders").
 """
 from __future__ import annotations
 
@@ -72,14 +79,18 @@ def main(argv=None):
                 lambda p, s, x, q=None: real_packed(p, s, x, q=q,
                                                     grouped=False),
                 real_packed)
-        elif name == "fast_serve_ungrouped":
-            stereo_separator.apply_grouped, saved = (
-                lambda p, s, x: stereo_separator.apply(p, s, x)[0],
-                stereo_separator.apply_grouped)
+        elif name == "fast_serve_grouped":
+            # force the plain-layout grouped decoder through the production
+            # plain-fallback call site (apply_stereo's stereo_mod.apply)
+            real_apply = stereo_separator.apply
+            stereo_separator.apply, saved = (
+                lambda p, s, x, train=False:
+                    (stereo_separator.apply_grouped(p, s, x), s),
+                real_apply)
         try:
             extra = ({"compute_dtype": "bfloat16",
                       "stereo_chunk_seconds": 0.25}
-                     if name == "fast_serve_ungrouped" else {})
+                     if name == "fast_serve_grouped" else {})
             cfg = PipelineConfig(chunk_seconds=2.0, overlap_seconds=0.05,
                                  packed_convs=True, **extra)
             pipe = RestorationPipeline(**stages, config=cfg)
@@ -104,8 +115,8 @@ def main(argv=None):
                 stereo_separator.apply_packed = saved
             elif name == "packed_nodec":
                 stereo_separator._decoder_apply_packed = saved
-            elif name == "fast_serve_ungrouped":
-                stereo_separator.apply_grouped = saved
+            elif name == "fast_serve_grouped":
+                stereo_separator.apply = saved
     return 0
 
 

@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Device-time A/B of the STREAMING step's grouped dual decoder.
+
+Measured 2026-08-18 (TPU v5e, batch 16 x 1-s blocks): grouped 40.0 ms vs
+ungrouped 37.24 ms device per feed — the plain-layout grouped decoder LOSES
+~7% in the streaming regime too, which is why streaming.py ships the legacy
+two-stack decode (docs/PERFORMANCE.md "Grouped dual decoders"). Configs:
+
+  stream_ungrouped — StreamingRestorer(packed=True), the production path:
+                     legacy two-stack decode
+  stream_grouped   — same, with the decode monkeypatched to
+                     stereo_separator.decode_grouped (denoiser/SR stay
+                     packed, so decoder grouping is the ONLY difference)
+
+Usage: python scripts/profile_streaming_ablate.py [batch] [block_seconds]
+Prints one JSON line per config with per-feed device ms (xplane module
+span) and streams-at-realtime, the bench.py streaming metric.
+"""
+import json
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    batch = int(argv[0]) if argv else 16
+    block_s = float(argv[1]) if len(argv) > 1 else 1.0
+
+    import numpy as np
+    import jax
+
+    from bench import _sync
+    from ml_audio_restoration_tpu.models import (
+        denoiser, super_resolution, stereo_separator)
+    from ml_audio_restoration_tpu.pipeline.streaming import StreamingRestorer
+    from ml_audio_restoration_tpu.utils.cache import (
+        enable_persistent_compile_cache)
+    from ml_audio_restoration_tpu.utils.profiling import (
+        trace, xplane_device_times)
+
+    enable_persistent_compile_cache()
+    sr = 22050
+    n = (int(block_s * sr) // 8) * 8  # bench.py's pooling-grid rounding
+    block_s = n / sr
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    stages = {"denoiser": denoiser.init(k1),
+              "super_resolution": super_resolution.init(k2),
+              "stereo": stereo_separator.init(k3)}
+    rng = np.random.default_rng(0)
+    blocks = [(rng.normal(size=(batch, n)) * 0.1).astype(np.float32)
+              for _ in range(4)]
+
+    grouped_decode = stereo_separator.decode_grouped
+
+    for name in ("stream_ungrouped", "stream_grouped"):
+        saved = None
+        if name == "stream_grouped":
+            # force the grouped decoder through the production call site
+            stereo_separator.decode, saved = (
+                lambda p, s, h: (grouped_decode(p, s, h), s),
+                stereo_separator.decode)
+        try:
+            s = StreamingRestorer(**stages, batch=batch)
+            for b in blocks[:3]:          # compile + warm steady state
+                _sync(s.feed(b))
+            logdir = tempfile.mkdtemp(prefix=f"{name}_")
+            with trace(logdir):
+                _sync(s.feed(blocks[3]))
+            times = xplane_device_times(logdir)
+            spans = times["module_step_ms"]
+            dev_ms = max(spans) if spans else times["total_device_ms"]
+            print(json.dumps({
+                "config": name,
+                "batch": batch,
+                "block_seconds": round(block_s, 4),
+                "device_ms_per_feed": round(dev_ms, 2),
+                "streams_at_realtime": int(batch * block_s
+                                           / (dev_ms / 1e3)),
+                "breakdown": {k: v for k, v in times.items()
+                              if k != "module_step_ms"},
+            }), flush=True)
+        finally:
+            if saved is not None:
+                stereo_separator.decode = saved
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -480,25 +480,35 @@ def test_packed_convs_match_plain_bf16(pipeline_stages):
     assert dev < 2e-4, dev  # bf16 rounding noise, well under the 1e-3 bar
 
 
-def test_grouped_fallback_matches_plain_bf16_subchunked(pipeline_stages):
+def test_subchunked_fast_serve_uses_legacy_decoder(pipeline_stages,
+                                                   monkeypatch):
     """The fast_serve HEADLINE combination — bf16 + sub-chunked stereo
-    windows, where packed stereo is gated off and the plain fallback runs
-    the GROUPED dual decoder with folded BN — must stay within bf16
-    rounding of the legacy two-stack decode."""
+    windows, packed stereo gated off — must run the legacy two-stack
+    decode, NOT the plain-layout grouped decoder (measured 8% slower
+    there: profile_serve_ablate.py fast_serve 118.1 vs fast_serve_ungrouped
+    109.3 ms — docs/PERFORMANCE.md "Grouped dual decoders"), and must stay
+    within bf16 rounding of the packed_convs=False path."""
     import dataclasses
 
+    from ml_audio_restoration_tpu.models import stereo_separator as st_mod
+
+    def boom(*a, **k):
+        raise AssertionError("plain-layout grouped decoder used")
+
+    monkeypatch.setattr(st_mod, "decode_grouped", boom)
+    monkeypatch.setattr(st_mod, "apply_grouped", boom)
     rng = np.random.default_rng(13)
     audio = (rng.normal(size=(1, 22050 * 2)) * 0.1).astype(np.float32)
     cfg = PipelineConfig(chunk_seconds=1.0, overlap_seconds=0.05,
                          stereo_chunk_seconds=0.25,
                          compute_dtype="bfloat16")
-    grouped = RestorationPipeline(**pipeline_stages, config=cfg)
+    fast = RestorationPipeline(**pipeline_stages, config=cfg)
     legacy = RestorationPipeline(
         **pipeline_stages, config=dataclasses.replace(cfg,
                                                       packed_convs=False))
-    out_g, _ = grouped.restore(audio, 22050)
+    out_f, _ = fast.restore(audio, 22050)
     out_l, _ = legacy.restore(audio, 22050)
-    dev = float(np.abs(np.asarray(out_g) - np.asarray(out_l)).max())
+    dev = float(np.abs(np.asarray(out_f) - np.asarray(out_l)).max())
     assert dev < 2e-4, dev
 
 

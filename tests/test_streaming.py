@@ -210,18 +210,17 @@ def test_reset_stream_recycles_one_slot(stages, rng):
     assert np.max(np.abs(got0 - want0)) < 1e-6
 
 
-def test_streaming_packed_false_uses_legacy_decoder(stages, audio, monkeypatch):
-    """packed=False must keep the legacy two-stack stereo decode reachable
-    (exact pre-grouped numerics — mirrors the batch pipeline's gate), and
-    packed=True must actually route through the grouped decoder."""
+def test_streaming_never_uses_grouped_decoder(stages, audio, monkeypatch):
+    """The streaming step must use the legacy two-stack stereo decode under
+    BOTH packed settings: the plain-layout grouped decoder measured slower
+    per feed (scripts/profile_streaming_ablate.py: 40.0 vs 37.2 ms device,
+    batch 16), so it was ungated from the streaming path entirely."""
     def boom(*a, **k):
         raise AssertionError("grouped decoder used")
 
     monkeypatch.setattr(st_mod, "decode_grouped", boom)
     short = audio[:, : SR // 2]
-    s = StreamingRestorer(**stages, packed=False)
-    out = np.concatenate([s.feed(short), s.flush()], axis=1)
-    assert out.shape[0] == 2  # legacy path produced stereo
-    sg = StreamingRestorer(**stages)
-    with pytest.raises(AssertionError, match="grouped decoder used"):
-        sg.feed(short)
+    for packed in (False, True):
+        s = StreamingRestorer(**stages, packed=packed)
+        out = np.concatenate([s.feed(short), s.flush()], axis=1)
+        assert out.shape[0] == 2
