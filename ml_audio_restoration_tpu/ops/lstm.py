@@ -119,7 +119,12 @@ def lstm(x, params, *, unroll: int = 8, impl: str = "auto", carry=None,
     bias = params["b_ih"] + params["b_hh"]
     # Input projection for the whole sequence: one MXU-sized matmul, emitted
     # TIME-MAJOR so the scan consumes it directly (the batch-major form
-    # forced a materialized transpose — see lstm_recurrence_scan).
+    # forced a materialized transpose — see lstm_recurrence_scan). The
+    # lowering looks alarming in traces (a degenerate window-T convolution
+    # at the fast_serve shape) but is at HBM roofline: the explicit
+    # matmul+transpose form was measured bit-identical AND equal end-to-end
+    # (fast_serve 109.6 vs 109.3 ms; 2026-08-18 — docs/PERFORMANCE.md
+    # "negative results"), so the simpler fused einsum stays.
     gates_tm = jnp.einsum(
         "btc,ch->tbh", x, params["w_ih"], preferred_element_type=x.dtype
     ) + bias
