@@ -181,22 +181,37 @@ def apply_grouped(params, state, x):
     return decode_grouped(params, state, h)
 
 
-def _decoders_apply_packed_grouped(params, state, h, t):
+def _decoders_apply_packed_grouped(params, state, h, t, q=None):
     """Grouped dual decoder in r=2-packed layout (see decode_grouped):
     l1 raises the shared LSTM output into group-major packed space in one
     conv, l2/l3 run as feature_group_count=2 packed convs, and the final
     convs exit fused to plain [B, T, 2] — the group-major output channels
-    ARE the (L, R) pair, so even the output concat disappears."""
+    ARE the (L, R) pair, so even the output concat disappears.
+
+    `q`: ops/quant.py QuantCtx — int8 serving/calibration. Quantization
+    points use TUPLE names (left.*, right.*): per output channel the
+    grouped conv folds/quantizes identically to the two independent
+    decoders (quant.py::int8_exec grouped fold), so calibration through
+    either path yields the SAME scales file and grouped int8 serving
+    consumes scales calibrated on the ungrouped names (and vice versa)."""
+    from ..ops.quant import ctx_or_null, make_qops
+
+    q = ctx_or_null(q)
+    qconv, _ = make_qops(q)
+    hq = q.quantize_in("lstm_out", h.astype(jnp.float32) if q.quantized
+                       else h)
     (w1l, w1r), (b1l, b1r) = _fold_lr(params, state, "l1")
-    hp = leaky_relu(packed_conv_r(h, (w1l, w1r), (b1l, b1r),
-                                  shared_input=True, r_in=1, r_out=2,
-                                  padding=3, t_in=t))
+    hp = qconv(("left.l1", "right.l1"), hq, (w1l, w1r), (b1l, b1r),
+               op=packed_conv_r, act=leaky_relu, shared_input=True,
+               r_in=1, r_out=2, padding=3, t_in=t)
     for layer in ("l2", "l3"):
         (wl, wr), (bl, br) = _fold_lr(params, state, layer)
-        hp = leaky_relu(packed_conv(hp, (wl, wr), (bl, br), r=2, padding=3))
+        hp = qconv((f"left.{layer}", f"right.{layer}"), hp, (wl, wr),
+                   (bl, br), op=packed_conv, act=leaky_relu, r=2, padding=3)
     (wfl, wfr), (bfl, bfr) = _fold_lr(params, state, "final")
-    return packed_conv_r(hp, (wfl, wfr), (bfl, bfr), r_in=2, r_out=1,
-                         padding=3, t_in=t)
+    return qconv(("left.final", "right.final"), hp, (wfl, wfr), (bfl, bfr),
+                 op=packed_conv_r, requant=False, r_in=2, r_out=1,
+                 padding=3, t_in=t)
 
 
 # ----------------------------------------------------- packed serving path
@@ -304,8 +319,10 @@ def apply_packed(params, state, x, q=None, grouped: bool = True):
     docs/PERFORMANCE.md) and runs in the parameter dtype even under int8
     serving. Requires T % 4 == 0 (callers fall back to apply() otherwise).
     The dual decoders run grouped (one feature_group_count=2 stack —
-    decode_grouped docstring) except under int8 serving/calibration, whose
-    per-point scales are calibrated on the ungrouped names.
+    decode_grouped docstring) including under int8 serving/calibration:
+    the grouped quantization points are tuple names over the ungrouped
+    scale entries, so scales files are interchangeable between the grouped
+    and ungrouped (`grouped=False`, kept for ablation) decoders.
     x: [B, T, 1] -> [B, T, 2]."""
     from ..ops.quant import ctx_or_null
 
@@ -314,8 +331,8 @@ def apply_packed(params, state, x, q=None, grouped: bool = True):
     h = encode_packed(params, state, x, q=q)
     h = h.astype(params["lstm"][0]["w_hh"].dtype)
     h = stacked_lstm(h, params["lstm"])
-    if grouped and not q.active:
-        return _decoders_apply_packed_grouped(params, state, h, t)
+    if grouped:
+        return _decoders_apply_packed_grouped(params, state, h, t, q=q)
     hq = q.quantize_in("lstm_out", h.astype(jnp.float32) if q.quantized
                        else h)
     left = _decoder_apply_packed(params["left"], state["left"], hq, t, q,

@@ -84,13 +84,22 @@ def int8_exec(x_scale):
 
     def _exec(xq, wp, bias, *, window_strides, padding, lhs_dilation=None,
               groups: int = 1):
-        if groups > 1:
-            # per-group input-scale folding is unimplemented; the int8
-            # serving path runs ungrouped decoders on purpose
-            # (models/stereo_separator.py gates grouped on `not q.active`)
-            raise NotImplementedError("int8_exec with feature groups")
         xs = jnp.asarray(x_scale, jnp.float32).reshape(-1)
-        wq, ws = quantize_weight(wp * xs[None, :, None])
+        if groups > 1:
+            # feature_group_count=G conv: the kernel's input axis spans ONE
+            # group's channels while the input scale vector spans all G
+            # groups (group-major, matching ops/packed.py's grouped layout).
+            # Fold each group's input scales into its own group-major output
+            # columns — per output channel this reproduces the ungrouped
+            # fold exactly, so grouped int8 decoders quantize identically
+            # to two independent ones (models/stereo_separator.py).
+            k, ci, co = wp.shape
+            xs_g = xs.reshape(groups, ci)
+            w4 = (wp.reshape(k, ci, groups, co // groups)
+                  * xs_g.T[None, :, :, None])
+            wq, ws = quantize_weight(w4.reshape(k, ci, co))
+        else:
+            wq, ws = quantize_weight(wp * xs[None, :, None])
         acc = lax.conv_general_dilated(
             xq, wq, window_strides, padding,
             lhs_dilation=lhs_dilation, dimension_numbers=_DIMNUMS,
@@ -154,14 +163,25 @@ class QuantCtx:
     def quantized(self) -> bool:
         return self.scales is not None
 
-    def record(self, name: str, y):
-        # per-channel amax over the batch/time axes ([C] vector)
+    def record(self, name, y):
+        # per-channel amax over the batch/time axes ([C] vector). A TUPLE
+        # name marks a group-major grouped tensor (e.g. the grouped dual
+        # decoders' (left.*, right.*)): its amax splits into equal per-group
+        # slices recorded under the individual names, so grouped and
+        # ungrouped forwards produce the SAME calibration (and one scales
+        # file serves both paths).
         m = jnp.max(jnp.abs(y.astype(jnp.float32)),
                     axis=tuple(range(y.ndim - 1)))
-        self.amax[name] = (jnp.maximum(self.amax[name], m)
-                           if name in self.amax else m)
+        names = name if isinstance(name, tuple) else (name,)
+        for n, part in zip(names, jnp.split(m, len(names))):
+            self.amax[n] = (jnp.maximum(self.amax[n], part)
+                            if n in self.amax else part)
 
-    def scale_of(self, name: str, tx=None):
+    def scale_of(self, name, tx=None):
+        if isinstance(name, tuple):
+            # group-major grouped point: concatenate the per-group scales
+            s = jnp.concatenate([self.scale_of(n) for n in name])
+            return tx(s) if tx is not None else s
         if name not in self.scales:
             raise KeyError(
                 f"int8 scales have no entry for quantization point {name!r}"
@@ -249,18 +269,21 @@ def make_qops(q):
 
     def qconv(name, h, w, bias, *, op, act=None, requant=True, add=None,
               scale_tx=None, **kw):
+        # `w` may be a tuple of per-group kernels (grouped packed convs —
+        # ops/packed.py::_group_kernels); dtype bookkeeping uses group 0
+        w0 = w[0] if isinstance(w, (list, tuple)) else w
         hr, ex = q.exec_for(h)
         if q.quantized and ex is None:
             # float input in quantized mode (a skipped/exited section):
             # run the conv in the parameter dtype, not the f32 the dequant
             # epilogue produced
-            hr = hr.astype(w.dtype)
+            hr = hr.astype(w0.dtype)
         y = op(hr, w, bias, _exec=ex, **kw)
         if add is not None:
             y = y + q.deq(add)
         out = q.out(name, y, act=act, requant=requant, scale_tx=scale_tx)
         if q.quantized and not isinstance(out, QT):
-            out = out.astype(w.dtype)  # float exits land in compute dtype
+            out = out.astype(w0.dtype)  # float exits land in compute dtype
         return out
 
     def qconv2(name, h1, w1, h2, w2, bias, *, act=None, **kw):

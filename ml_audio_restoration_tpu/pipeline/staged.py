@@ -130,11 +130,15 @@ class StagedRestorationPipeline:
                            or _sr_packable(sp["super_resolution"])))
                 if name == "stereo":
                     # packed stereo only at (effective) full windows,
-                    # matching the plain pipeline's measured gate
+                    # matching the plain pipeline's measured gate; the
+                    # PLAIN fallback (sub-chunked or off-grid windows)
+                    # stays the two-stack decode like restore.py's — the
+                    # plain-layout grouped decoder measured slower
+                    # everywhere (docs/PERFORMANCE.md) and would break
+                    # the bit-identical-to-plain contract
                     sub = stereo_sub_cfg(cfg, t, f)
                     y = apply_stereo(tree, x, sub,
-                                     packed=cfg.packed_convs and sub is None,
-                                     grouped=cfg.packed_convs)
+                                     packed=cfg.packed_convs and sub is None)
                 elif pk and name in ("denoiser", "super_resolution"):
                     y = mod.apply_packed(tree[0], tree[1], x)
                 else:

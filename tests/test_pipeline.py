@@ -512,6 +512,34 @@ def test_subchunked_fast_serve_uses_legacy_decoder(pipeline_stages,
     assert dev < 2e-4, dev
 
 
+def test_staged_subchunked_never_uses_plain_grouped_decoder(pipeline_stages,
+                                                            monkeypatch):
+    """Staged serving at sub-chunked stereo windows must run the same
+    two-stack plain decode as the fused pipeline — the plain-layout grouped
+    decoder measured slower everywhere (docs/PERFORMANCE.md) and would also
+    break staged's bit-identical-to-plain contract. Regression guard for
+    the gate that f65412e applied to restore.py/streaming.py."""
+    import dataclasses
+
+    from ml_audio_restoration_tpu.models import stereo_separator as st_mod
+    from ml_audio_restoration_tpu.pipeline import StagedRestorationPipeline
+
+    def boom(*a, **k):
+        raise AssertionError("plain-layout grouped decoder used")
+
+    monkeypatch.setattr(st_mod, "decode_grouped", boom)
+    monkeypatch.setattr(st_mod, "apply_grouped", boom)
+    rng = np.random.default_rng(17)
+    audio = (rng.normal(size=(1, 22050)) * 0.1).astype(np.float32)
+    cfg = PipelineConfig(chunk_seconds=0.25, overlap_seconds=0.02,
+                         stereo_chunk_seconds=0.1, max_chunks_per_program=8)
+    want, _ = RestorationPipeline(**pipeline_stages, config=cfg).restore(
+        audio, 22050)
+    got, _ = StagedRestorationPipeline(**pipeline_stages, config=cfg).restore(
+        audio, 22050)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-6)
+
+
 def test_sequence_parallel_whole_file_matches_single(pipeline_stages):
     """whole_file serving with the TIME axis sharded over the 'model' mesh
     axis (sequence parallelism: XLA conv halo exchanges + gather before the

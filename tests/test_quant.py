@@ -94,6 +94,49 @@ def test_int8_packed_scope_close_to_f32(model, x_mono):
     assert float(jnp.abs(yp - yf).max()) > 0
 
 
+def test_stereo_int8_grouped_bitexact_vs_ungrouped(x_mono):
+    """int8 serving through the grouped dual decoder (the apply_packed
+    default) is BIT-IDENTICAL to the two independent decoders under the
+    same scales: the s8 conv accumulation is exact integer arithmetic and
+    int8_exec's grouped fold reproduces the ungrouped per-output-channel
+    quantization exactly (ops/quant.py::int8_exec)."""
+    p, s = stereo_separator.init(jax.random.PRNGKey(9))
+    scales = calibrate(lambda x: stereo_separator.packed_amax(p, s, x),
+                       [x_mono])
+    yg = jax.jit(lambda p, s, x: stereo_separator.apply_packed(
+        p, s, x, q=QuantCtx(scales)))(p, s, x_mono)
+    yu = jax.jit(lambda p, s, x: stereo_separator.apply_packed(
+        p, s, x, q=QuantCtx(scales), grouped=False))(p, s, x_mono)
+    np.testing.assert_array_equal(np.asarray(yg), np.asarray(yu))
+
+
+def test_stereo_int8_scales_interchangeable_across_decoder_layouts(x_mono):
+    """Calibration through the grouped decoder records the SAME quantization
+    points as the ungrouped one (tuple names split into the per-side
+    entries — QuantCtx.record), so one scales file serves both decoder
+    layouts in either direction."""
+    import functools
+
+    from ml_audio_restoration_tpu.ops import quant
+
+    p, s = stereo_separator.init(jax.random.PRNGKey(10))
+    sc_g = calibrate(lambda x: stereo_separator.packed_amax(p, s, x),
+                     [x_mono])
+    ung = functools.partial(stereo_separator.apply_packed, grouped=False)
+    sc_u = calibrate(lambda x: quant.packed_amax(ung, p, s, x), [x_mono])
+    assert set(sc_g) == set(sc_u)
+    for k in sc_g:
+        np.testing.assert_allclose(sc_g[k], sc_u[k], rtol=1e-5, atol=1e-8,
+                                    err_msg=k)
+    # ungrouped-calibrated scales serve the grouped decoder (the exact
+    # "stale scales file from the pre-grouped era" compatibility case)
+    y32 = jax.jit(lambda p, s, x: stereo_separator.apply_packed(p, s, x))(
+        p, s, x_mono)
+    yq = jax.jit(lambda p, s, x: stereo_separator.apply_packed(
+        p, s, x, q=QuantCtx(sc_u)))(p, s, x_mono)
+    assert float(jnp.abs(yq - y32).max()) < 5e-3
+
+
 def test_calibration_keys_match_quantized_consumption(x_mono):
     """Every scale the int8 forward reads exists in the calibration dict
     (a missing key would KeyError at trace time — this guards renames)."""
