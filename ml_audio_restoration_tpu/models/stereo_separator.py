@@ -313,20 +313,25 @@ def _decoder_apply_packed(p, s, h, t, q=None, name: str = "dec"):
                  padding=3, t_in=t)
 
 
-def apply_packed(params, state, x, q=None, grouped: bool = True):
+def apply_packed(params, state, x, q=None, grouped: bool | None = None):
     """Eval-mode apply() with the packed encoder/decoder stages; the LSTM
     recurrence itself is untouched (it is latency-bound, not traffic-bound —
     docs/PERFORMANCE.md) and runs in the parameter dtype even under int8
     serving. Requires T % 4 == 0 (callers fall back to apply() otherwise).
-    The dual decoders run grouped (one feature_group_count=2 stack —
-    decode_grouped docstring) including under int8 serving/calibration:
-    the grouped quantization points are tuple names over the ungrouped
-    scale entries, so scales files are interchangeable between the grouped
-    and ungrouped (`grouped=False`, kept for ablation) decoders.
+    `grouped=None` (default) routes by measurement: the dual decoders run
+    grouped (one feature_group_count=2 stack — decode_grouped docstring) in
+    FLOAT mode, where grouping wins +13% device; under int8 the grouped
+    lowering measured 7% SLOWER (179.3 vs 167.8 ms/120 s, scripts/
+    profile_serve_ablate.py int8_grouped/int8_ungrouped), so int8 defaults
+    to the two-stack decode. Explicit True/False forces a layout; grouped
+    int8 remains bit-identical to ungrouped and the two layouts' scales
+    files are interchangeable (tuple quantization points — test_quant.py).
     x: [B, T, 1] -> [B, T, 2]."""
     from ..ops.quant import ctx_or_null
 
     q = ctx_or_null(q)
+    if grouped is None:
+        grouped = not q.active
     t = x.shape[1]
     h = encode_packed(params, state, x, q=q)
     h = h.astype(params["lstm"][0]["w_hh"].dtype)

@@ -13,6 +13,12 @@ configs:
                   round-3 measurement that ungated it: grouped 118.1 vs
                   ungrouped 109.3 ms device per 120 s — compare against
                   profile_serve.py's fast_serve, now the ungrouped path)
+  int8_grouped / int8_ungrouped — full-window packed int8 serving with
+                  the grouped vs two-stack dual decoders, both forced
+                  explicitly (the A/B behind the int8 grouped gate:
+                  measured 179.3 vs 167.8 ms/120 s on 2026-08-18 — int8
+                  grouping LOSES 7%, so apply_packed's grouped=None auto
+                  routes int8 through the two-stack decode)
   (run profile_serve.py for plain / full packed / fast_serve)
 
 Measured 2026-08-18 (TPU v5e, 120 s): packed_full 160.7 ms vs dec_ungrouped
@@ -73,11 +79,12 @@ def main(argv=None):
         elif name == "packed_nodec":
             stereo_separator._decoder_apply_packed, saved = (
                 decoder_plain, plain_decode)
-        elif name == "dec_ungrouped":
+        elif name in ("dec_ungrouped", "int8_ungrouped", "int8_grouped"):
             real_packed = stereo_separator.apply_packed
+            forced = name == "int8_grouped"
             stereo_separator.apply_packed, saved = (
                 lambda p, s, x, q=None: real_packed(p, s, x, q=q,
-                                                    grouped=False),
+                                                    grouped=forced),
                 real_packed)
         elif name == "fast_serve_grouped":
             # force the plain-layout grouped decoder through the production
@@ -91,6 +98,8 @@ def main(argv=None):
             extra = ({"compute_dtype": "bfloat16",
                       "stereo_chunk_seconds": 0.25}
                      if name == "fast_serve_grouped" else {})
+            if name in ("int8_grouped", "int8_ungrouped"):
+                extra = {"quantize_int8": True}
             cfg = PipelineConfig(chunk_seconds=2.0, overlap_seconds=0.05,
                                  packed_convs=True, **extra)
             pipe = RestorationPipeline(**stages, config=cfg)
@@ -111,7 +120,8 @@ def main(argv=None):
                               if k != "module_step_ms"},
             }), flush=True)
         finally:
-            if name in ("packed_dnsr", "dec_ungrouped"):
+            if name in ("packed_dnsr", "dec_ungrouped", "int8_ungrouped",
+                        "int8_grouped"):
                 stereo_separator.apply_packed = saved
             elif name == "packed_nodec":
                 stereo_separator._decoder_apply_packed = saved

@@ -95,16 +95,16 @@ def test_int8_packed_scope_close_to_f32(model, x_mono):
 
 
 def test_stereo_int8_grouped_bitexact_vs_ungrouped(x_mono):
-    """int8 serving through the grouped dual decoder (the apply_packed
-    default) is BIT-IDENTICAL to the two independent decoders under the
-    same scales: the s8 conv accumulation is exact integer arithmetic and
-    int8_exec's grouped fold reproduces the ungrouped per-output-channel
-    quantization exactly (ops/quant.py::int8_exec)."""
+    """int8 serving FORCED through the grouped dual decoder (the default
+    routes int8 ungrouped — measured 7% faster) is BIT-IDENTICAL to the two
+    independent decoders under the same scales: the s8 conv accumulation is
+    exact integer arithmetic and int8_exec's grouped fold reproduces the
+    ungrouped per-output-channel quantization exactly (ops/quant.py)."""
     p, s = stereo_separator.init(jax.random.PRNGKey(9))
     scales = calibrate(lambda x: stereo_separator.packed_amax(p, s, x),
                        [x_mono])
     yg = jax.jit(lambda p, s, x: stereo_separator.apply_packed(
-        p, s, x, q=QuantCtx(scales)))(p, s, x_mono)
+        p, s, x, q=QuantCtx(scales), grouped=True))(p, s, x_mono)
     yu = jax.jit(lambda p, s, x: stereo_separator.apply_packed(
         p, s, x, q=QuantCtx(scales), grouped=False))(p, s, x_mono)
     np.testing.assert_array_equal(np.asarray(yg), np.asarray(yu))
@@ -120,8 +120,8 @@ def test_stereo_int8_scales_interchangeable_across_decoder_layouts(x_mono):
     from ml_audio_restoration_tpu.ops import quant
 
     p, s = stereo_separator.init(jax.random.PRNGKey(10))
-    sc_g = calibrate(lambda x: stereo_separator.packed_amax(p, s, x),
-                     [x_mono])
+    grp = functools.partial(stereo_separator.apply_packed, grouped=True)
+    sc_g = calibrate(lambda x: quant.packed_amax(grp, p, s, x), [x_mono])
     ung = functools.partial(stereo_separator.apply_packed, grouped=False)
     sc_u = calibrate(lambda x: quant.packed_amax(ung, p, s, x), [x_mono])
     assert set(sc_g) == set(sc_u)
