@@ -31,6 +31,14 @@ Streams advance in lockstep (same block length per feed, the natural shape
 for a block-clocked serving frontend); outputs are [B, ch, n*f]. Each
 stream's output bit-matches a single-stream restorer fed the same samples
 (tests/test_streaming.py).
+
+Scale-out and throughput knobs:
+- `mesh=` shards the stream batch over the 'data' axis of a device mesh —
+  streams are independent, so the step is pure SPMD (no collectives) and
+  sharded output bit-matches unsharded (streams-per-chip × chips).
+- `quantize_int8=` runs the packed denoiser/SR stages int8 (the
+  window-independent part of the pipeline's measured int8 win); scales
+  files are interchangeable with RestorationPipeline's.
 """
 from __future__ import annotations
 
@@ -58,7 +66,10 @@ class StreamingRestorer:
                  batch: int = 1,
                  mid_exact: bool = False,
                  packed: bool = True,
-                 source_rate: bool = False):
+                 source_rate: bool = False,
+                 quantize_int8: bool = False,
+                 int8_scales=None,
+                 mesh=None):
         """context/lookahead in input-rate samples; both must exceed the conv
         receptive field (~400 samples for the default models). batch = number
         of concurrent lockstep streams. mid_exact mirrors
@@ -72,7 +83,23 @@ class StreamingRestorer:
         half-pixel (align_corners=False) interpolation of a windowed side
         slice matches the single-shot interpolation in the interior, so
         block-fed output still matches the whole-recording forward.
-        Implies mid-exact semantics."""
+        Implies mid-exact semantics.
+        quantize_int8 mirrors PipelineConfig.quantize_int8 for the packed
+        denoiser/SR stages only (the window-independent int8 win — the
+        streaming stereo stage is never packed, matching the batch
+        pipeline's sub-chunked-window gate, docs/PERFORMANCE.md "int8").
+        Scales auto-calibrate from the first drained window, or pass
+        `int8_scales` (a dict or a path written by
+        RestorationPipeline.save_int8_scales — the two serving modes share
+        one scales-file format since they run the same packed forwards).
+        Like the pipeline, misconfigurations downgrade to float serving
+        with a warning. Quantized output trades the exact-continuity bars
+        for throughput (quantization noise ~1e-3-1e-2 waveform-scale).
+        mesh: a jax.sharding.Mesh with a 'data' axis — shards the stream
+        batch across devices (batch must divide evenly); each feed then
+        runs one SPMD step over all chips, outputs gathered to host. Per
+        stream the computation is unchanged (streams are independent), so
+        sharded output bit-matches unsharded."""
         self.denoiser = denoiser
         self.super_resolution = super_resolution
         self.stereo = stereo
@@ -80,6 +107,21 @@ class StreamingRestorer:
         self.mid_exact = bool(mid_exact)
         self.packed = bool(packed)
         self.source_rate = bool(source_rate)
+        self.quantize_int8 = bool(quantize_int8)
+        self._int8_scales = None
+        self._int8_version = 0
+        if int8_scales is not None:
+            if isinstance(int8_scales, dict):
+                self._int8_scales = int8_scales
+            else:
+                self.load_int8_scales(int8_scales)
+        self.mesh = mesh
+        if mesh is not None:
+            ndev = mesh.shape["data"]
+            if self.batch % ndev:
+                raise ValueError(
+                    f"batch {self.batch} must divide evenly over the "
+                    f"'data' mesh axis ({ndev} devices)")
         # the U-Net pools by 8, so window starts must stay on the pooling
         # grid (the model is shift-variant modulo 8): context and emission
         # lengths are kept multiples of the alignment
@@ -128,7 +170,7 @@ class StreamingRestorer:
 
     # ------------------------------------------------------------ compiled
     def _get_step(self, ctx: int, n: int, la: int):
-        key = (ctx, n, la)
+        key = (ctx, n, la, self._int8_version)
         if key in self._compiled:
             return self._compiled[key]
 
@@ -142,6 +184,10 @@ class StreamingRestorer:
                     and (sr is None or _sr_packable(sr)))
 
         g = self._g
+        # int8 rides the packed denoiser/SR forwards (same gate + scales
+        # format as RestorationPipeline; scope "packed" per measurement)
+        int8 = self.quantize_int8 and self._int8_scales is not None
+        scales = self._int8_scales if int8 else {}
 
         def step(carries, window):
             # window: [B, >= ctx + n + la, 1] raw input; emit the middle n.
@@ -149,13 +195,26 @@ class StreamingRestorer:
             # the drain loop can pass longer windows than ctx+n+la.
             x = window
             pk = packable and window.shape[1] % 4 == 0
+            if int8 and pk:
+                from ..ops.quant import QuantCtx
             if dn is not None:
-                x = (denoiser_mod.apply_packed(dn[0], dn[1], x) if pk
-                     else denoiser_mod.apply(dn[0], dn[1], x)[0])
+                if int8 and pk:
+                    x = denoiser_mod.apply_packed(
+                        dn[0], dn[1], x,
+                        q=QuantCtx(scales["denoiser"], "packed",
+                                   skip=denoiser_mod.INT8_FLOAT_LAYERS))
+                else:
+                    x = (denoiser_mod.apply_packed(dn[0], dn[1], x) if pk
+                         else denoiser_mod.apply(dn[0], dn[1], x)[0])
             x_src = x  # pre-SR signal (source_rate stereo input)
             if sr is not None:
-                x = (sr_mod.apply_packed(sr[0], sr[1], x) if pk
-                     else sr_mod.apply(sr[0], sr[1], x)[0])
+                if int8 and pk:
+                    x = sr_mod.apply_packed(
+                        sr[0], sr[1], x,
+                        q=QuantCtx(scales["super_resolution"], "packed"))
+                else:
+                    x = (sr_mod.apply_packed(sr[0], sr[1], x) if pk
+                         else sr_mod.apply(sr[0], sr[1], x)[0])
             if st is None:
                 return carries, x[:, ctx * f:(ctx + n) * f, :]
             feats, _ = stereo_mod.encode(
@@ -211,9 +270,82 @@ class StreamingRestorer:
                 [dec_hist, lstm_out], axis=1)[:, -ctx * g:, :]
             return new_carries[:len(st[0]["lstm"])] + [new_dec_hist], out
 
-        jitted = jax.jit(step)
+        if self.mesh is not None:
+            # shard every argument/result leaf's leading (stream-batch)
+            # axis over 'data': streams are independent, so this is pure
+            # SPMD — no collectives in the step at all; outputs come back
+            # addressable per-shard and np.asarray gathers them.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            shard = NamedSharding(self.mesh, P("data"))
+            jitted = jax.jit(step, in_shardings=shard, out_shardings=shard)
+        else:
+            jitted = jax.jit(step)
         self._compiled[key] = jitted
         return jitted
+
+    # ------------------------------------------------------- int8 serving
+    def _calibrate_int8(self, window: np.ndarray):
+        """Collect denoiser/SR activation scales from one f32 pass over the
+        first drained window (mirrors RestorationPipeline.calibrate_int8,
+        restore.py; gates raise ValueError so _drain downgrades to float
+        with a warning)."""
+        from .restore import _denoiser_packable, _sr_packable
+        from ..ops.quant import QuantCtx, scales_from_amax
+
+        dn, sr = self.denoiser, self.super_resolution
+        if not self.packed:
+            raise ValueError("int8 streaming rides the packed conv paths: "
+                             "packed=False")
+        if dn is not None and not _denoiser_packable(dn):
+            raise ValueError("denoiser checkpoint is not packable "
+                             "(non-default layout); int8 unavailable")
+        if sr is not None and not _sr_packable(sr):
+            raise ValueError("super-resolution checkpoint is not packable "
+                             "(non-default layout); int8 unavailable")
+        if window.shape[1] % 4 != 0:
+            raise ValueError(
+                f"int8 streaming rides the packed path: window length "
+                f"{window.shape[1]} must be a multiple of 4 (choose "
+                f"context/lookahead/block sizes accordingly)")
+
+        def calib(dn, sr, w):
+            amax, x = {}, w
+            if dn is not None:
+                q = QuantCtx()
+                x = denoiser_mod.apply_packed(dn[0], dn[1], x, q=q)
+                amax["denoiser"] = q.amax
+            if sr is not None:
+                q = QuantCtx()
+                x = sr_mod.apply_packed(sr[0], sr[1], x, q=q)
+                amax["super_resolution"] = q.amax
+            return amax
+
+        amax = jax.jit(calib)(dn, sr, window[:, :, None])
+        self._int8_scales = {
+            stage: scales_from_amax({k: np.asarray(v, np.float32)
+                                     for k, v in d.items()})
+            for stage, d in amax.items()}
+        self._int8_version += 1
+        return self._int8_scales
+
+    def save_int8_scales(self, path):
+        """Persist calibration (same file format as
+        RestorationPipeline.save_int8_scales — interchangeable)."""
+        import json
+
+        assert self._int8_scales is not None, "no scales calibrated yet"
+        with open(path, "w") as fh:
+            json.dump(self._int8_scales, fh, indent=1, sort_keys=True)
+        return path
+
+    def load_int8_scales(self, path):
+        import json
+
+        with open(path) as fh:
+            self._int8_scales = json.load(fh)
+        self._int8_version += 1
+        return self._int8_scales
 
     # ---------------------------------------------------------------- api
     def feed(self, block) -> np.ndarray:
@@ -263,10 +395,46 @@ class StreamingRestorer:
                 window = np.concatenate(
                     [np.zeros((self.batch, deficit), np.float32), window],
                     axis=1)
+            # Right-pad the window to a multiple of 8 so the packed (and
+            # int8) denoiser/SR paths engage on EVERY window — raw drained
+            # lengths are ctx + buffered and usually miss the %4 packing
+            # grid, which silently routed most feeds to the plain convs.
+            # The zeros land beyond the emitted region's lookahead (>= the
+            # conv receptive field), so no emitted sample can see them:
+            # the emitted slice [ctx, ctx+n) and the committed LSTM frames
+            # are unchanged (exactness tests hold under the pad).
+            pad = -window.shape[1] % 8
+            if pad:
+                window = np.concatenate(
+                    [window, np.zeros((self.batch, pad), np.float32)],
+                    axis=1)
+            if self.quantize_int8 and self._int8_scales is None:
+                # auto-calibrate on the first drained window (mirrors
+                # restore()'s first-recording auto-calibration; gate
+                # violations downgrade to float serving, not a crash)
+                try:
+                    self._calibrate_int8(window)
+                except ValueError as e:
+                    import warnings
+
+                    warnings.warn(f"int8 streaming unavailable — serving "
+                                  f"float instead: {e}")
+                    self.quantize_int8 = False
             step = self._get_step(ctx, n, la)
             carries = (self._lstm_carry + [self._dec_hist()]
                        if self.stereo is not None else None)
-            carries, out = step(carries, window[:, :, None])
+            window = window[:, :, None]
+            if self.mesh is not None:
+                # place inputs on the mesh explicitly: reset()/reset_stream()
+                # create carries on the default device, which would otherwise
+                # conflict with the step's committed shardings
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                shard = NamedSharding(self.mesh, P("data"))
+                window = jax.device_put(window, shard)
+                if carries is not None:
+                    carries = jax.device_put(carries, shard)
+            carries, out = step(carries, window)
             if self.stereo is not None:
                 self._lstm_carry = carries[:-1]
                 self._dec_hist_buf = carries[-1]

@@ -224,3 +224,106 @@ def test_streaming_never_uses_grouped_decoder(stages, audio, monkeypatch):
         s = StreamingRestorer(**stages, packed=packed)
         out = np.concatenate([s.feed(short), s.flush()], axis=1)
         assert out.shape[0] == 2
+
+
+def test_sharded_multistream_matches_unsharded(stages, rng):
+    """Stream batch sharded over the 'data' mesh axis (one SPMD step, no
+    collectives — streams are independent) matches the unsharded batched
+    restorer to float-reassociation noise (the partitioner fuses slightly
+    differently per shard): multi-chip streaming is streams-per-chip x
+    chips."""
+    from ml_audio_restoration_tpu.parallel import make_mesh
+
+    B, block = 8, 4096
+    blocks = (rng.normal(size=(3, B, block)) * 0.1).astype(np.float32)
+    plain = StreamingRestorer(**stages, batch=B)
+    sharded = StreamingRestorer(**stages, batch=B,
+                                mesh=make_mesh(data_parallel=8))
+    for b in blocks:
+        want, got = plain.feed(b), sharded.feed(b)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sharded.flush()),
+                               np.asarray(plain.flush()), atol=1e-6)
+
+
+def test_sharded_streaming_batch_must_divide_mesh(stages):
+    from ml_audio_restoration_tpu.parallel import make_mesh
+
+    with pytest.raises(ValueError, match="divide evenly"):
+        StreamingRestorer(**stages, batch=3, mesh=make_mesh(data_parallel=8))
+
+
+def test_streaming_int8_close_to_float(stages, audio):
+    """int8 streaming (packed denoiser/SR stages quantized, auto-calibrated
+    on the first window) stays within quantization tolerance of the float
+    stream and keeps the output shape/chain semantics."""
+    want = _single_shot(stages, audio)
+    s = StreamingRestorer(**stages, quantize_int8=True)
+    outs = [s.feed(b) for b in np.array_split(audio, 4, axis=1)]
+    outs.append(s.flush())
+    got = np.concatenate(outs, axis=1)
+    assert got.shape == want.shape
+    assert s.quantize_int8, "auto-calibration should not have downgraded"
+    assert s._int8_scales is not None
+    core = slice(8000, -1200)
+    ref = np.max(np.abs(want[:, core]))
+    dev = np.max(np.abs(got[:, core] - want[:, core]))
+    assert dev < 0.15 * ref, (dev, ref)
+    # and it actually quantized: output differs from the float stream
+    sf = StreamingRestorer(**stages)
+    fouts = [sf.feed(b) for b in np.array_split(audio, 4, axis=1)]
+    fouts.append(sf.flush())
+    gotf = np.concatenate(fouts, axis=1)
+    assert np.max(np.abs(got - gotf)) > 0
+
+
+def test_streaming_int8_scales_interchange_with_pipeline(stages, audio,
+                                                         tmp_path):
+    """The streaming and batch pipelines run the SAME packed forwards, so
+    one scales file serves both: pipeline-calibrated scales load into the
+    streaming restorer (and streaming-calibrated scales into the pipeline)
+    with every quantization point resolved."""
+    from ml_audio_restoration_tpu.config import PipelineConfig
+    from ml_audio_restoration_tpu.pipeline import RestorationPipeline
+
+    # 0.8 s @ 22050 Hz = 17640 samples, a multiple of 4 as the int8
+    # packed path requires (1.0 s would be 22050 and trip the gate)
+    cfg = PipelineConfig(chunk_seconds=0.8, overlap_seconds=0.05,
+                         quantize_int8=True)
+    pipe = RestorationPipeline(**stages, config=cfg)
+    pipe.calibrate_int8(audio, SR)
+    path = str(tmp_path / "scales.json")
+    pipe.save_int8_scales(path)
+
+    s = StreamingRestorer(**stages, quantize_int8=True, int8_scales=path)
+    out = np.concatenate([s.feed(audio), s.flush()], axis=1)
+    assert out.shape[0] == 2 and np.isfinite(out).all()
+    assert s._int8_version == 1  # loaded, not recalibrated
+
+    # reverse direction: streaming-calibrated scales serve the pipeline.
+    # Streaming never quantizes stereo, so its file carries only the
+    # denoiser/SR stages — pair it with a sub-chunked-stereo config (the
+    # fast_serve shape), where the pipeline's stereo stage is float too.
+    s2 = StreamingRestorer(**stages, quantize_int8=True)
+    np.concatenate([s2.feed(audio), s2.flush()], axis=1)
+    path2 = str(tmp_path / "scales2.json")
+    s2.save_int8_scales(path2)
+    import dataclasses
+
+    cfg2 = dataclasses.replace(cfg, stereo_chunk_seconds=0.25)
+    pipe2 = RestorationPipeline(**stages, config=cfg2)
+    loaded = pipe2.load_int8_scales(path2)
+    assert set(loaded) == {"denoiser", "super_resolution"}
+    y, rate = pipe2.restore(audio, SR)
+    assert rate == 2 * SR and np.isfinite(np.asarray(y)).all()
+
+
+def test_streaming_int8_downgrades_unpackable(stages, audio):
+    """Gate violations downgrade to float serving with a warning (mirrors
+    restore()'s auto-calibration behavior), never a crash."""
+    s = StreamingRestorer(**stages, packed=False, quantize_int8=True)
+    with pytest.warns(UserWarning, match="int8 streaming unavailable"):
+        out = np.concatenate([s.feed(audio[:, :SR]), s.flush()], axis=1)
+    assert not s.quantize_int8
+    assert out.shape[0] == 2
