@@ -1,6 +1,7 @@
 """Command-line interface.
 
     python -m ml_audio_restoration_tpu.cli restore in.wav out.wav [...]
+    python -m ml_audio_restoration_tpu.cli stream in1.wav in2.wav [...]
     python -m ml_audio_restoration_tpu.cli train denoiser --data-dir ... [...]
     python -m ml_audio_restoration_tpu.cli analyze recording.wav
     python -m ml_audio_restoration_tpu.cli bench [...]
@@ -128,6 +129,107 @@ def _cmd_restore(args):
     return 0
 
 
+def _add_stream(sub):
+    p = sub.add_parser(
+        "stream",
+        help="block-fed (streaming) restore of one or more recordings")
+    p.add_argument("inputs", nargs="+",
+                   help="input recordings — each becomes one concurrent "
+                        "lockstep stream of the batched restorer")
+    p.add_argument("--output-dir", default="restored_stream")
+    p.add_argument("--denoiser", default="models/checkpoints/best_model.pth")
+    p.add_argument("--super-res",
+                   default="models/checkpoints/super_resolution/best_model.pth")
+    p.add_argument("--stereo",
+                   default="models/checkpoints/stereo/best_model.pth")
+    p.add_argument("--no-super-res", action="store_true")
+    p.add_argument("--no-stereo", action="store_true")
+    p.add_argument("--no-denoise", action="store_true")
+    p.add_argument("--sample-rate", type=int, default=22050,
+                   help="input rate the models expect (files are resampled)")
+    p.add_argument("--block-seconds", type=float, default=0.5,
+                   help="samples fed per step — the serving frontend's "
+                        "block clock (output latency ~ block + lookahead)")
+    p.add_argument("--context", type=int, default=1024,
+                   help="history samples re-fed per block (must exceed the "
+                        "conv receptive field, ~400)")
+    p.add_argument("--lookahead", type=int, default=512,
+                   help="future samples required before emitting (ditto)")
+    p.add_argument("--stereo-mid-exact", action="store_true",
+                   help="rebuild L/R around the true mid (see restore)")
+    p.add_argument("--stereo-source-rate", action="store_true",
+                   help="stereo stage at the pre-super-res rate; implies "
+                        "mid-exact semantics (see restore)")
+    p.add_argument("--int8", action="store_true",
+                   help="int8 streaming (packed denoiser/SR stages; "
+                        "auto-calibrates on the first window)")
+    p.add_argument("--int8-scales", default=None,
+                   help="calibration JSON, interchangeable with `restore "
+                        "--int8-scales`: loaded if it exists, else written "
+                        "after auto-calibration")
+    p.add_argument("--data-parallel", type=int, default=None,
+                   help="shard the stream batch over this many devices "
+                        "(stream count must divide evenly)")
+    return p
+
+
+def _cmd_stream(args):
+    import os
+
+    import numpy as np
+
+    from .audio import load_audio, save_audio
+    from .pipeline.streaming import StreamingRestorer
+
+    mesh = None
+    if args.data_parallel:
+        from .parallel import make_mesh
+
+        mesh = make_mesh(data_parallel=args.data_parallel)
+    restorer = StreamingRestorer.from_checkpoints(
+        denoiser_path=None if args.no_denoise else args.denoiser,
+        super_res_path=None if args.no_super_res else args.super_res,
+        stereo_path=None if args.no_stereo else args.stereo,
+        context=args.context, lookahead=args.lookahead,
+        batch=len(args.inputs),
+        mid_exact=args.stereo_mid_exact,
+        source_rate=args.stereo_source_rate,
+        quantize_int8=args.int8,
+        int8_scales=(args.int8_scales
+                     if args.int8_scales and os.path.exists(args.int8_scales)
+                     else None),
+        mesh=mesh)
+
+    # one lockstep stream per input: shorter recordings ride along
+    # zero-padded and are trimmed back to length on save
+    streams = [load_audio(p, sample_rate=args.sample_rate)[0][0]
+               for p in args.inputs]
+    lengths = [s.shape[0] for s in streams]
+    t = max(lengths)
+    batch = np.zeros((len(streams), t), np.float32)
+    for i, s in enumerate(streams):
+        batch[i, :s.shape[0]] = s
+
+    block = max(1, int(round(args.block_seconds * args.sample_rate)))
+    outs = [restorer.feed(batch[:, o:o + block])
+            for o in range(0, t, block)]
+    outs.append(restorer.flush())
+    out = np.concatenate([o if o.ndim == 3 else o[None] for o in outs],
+                         axis=2)
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    out_rate = args.sample_rate * restorer.f
+    for i, path in enumerate(args.inputs):
+        base = os.path.splitext(os.path.basename(path))[0]
+        dest = os.path.join(args.output_dir, f"{base}_restored.wav")
+        save_audio(dest, out[i, :, :lengths[i] * restorer.f], out_rate)
+        print(f"streamed -> {dest} @ {out_rate} Hz")
+    if (args.int8_scales and restorer._int8_scales is not None
+            and not os.path.exists(args.int8_scales)):
+        restorer.save_int8_scales(args.int8_scales)
+    return 0
+
+
 def _add_train(sub):
     p = sub.add_parser("train", help="train a model")
     p.add_argument("model", choices=["denoiser", "super_resolution",
@@ -242,6 +344,7 @@ def main(argv=None):
         description="TPU-native 78rpm audio restoration")
     sub = parser.add_subparsers(dest="command", required=True)
     _add_restore(sub)
+    _add_stream(sub)
     _add_train(sub)
     _add_analyze(sub)
     _add_acquire(sub)
@@ -253,6 +356,8 @@ def main(argv=None):
 
     if args.command == "restore":
         return _cmd_restore(args)
+    if args.command == "stream":
+        return _cmd_stream(args)
     if args.command == "train":
         return _cmd_train(args)
     if args.command == "analyze":

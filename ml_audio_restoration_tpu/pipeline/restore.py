@@ -33,6 +33,29 @@ from ..ops.interp import upsample_linear
 from ..audio import load_audio, save_audio, normalize_audio
 
 
+def load_stage(path, name):
+    """Load one stage's (params, state) from a reference .pth or a native
+    .msgpack checkpoint (dispatch on extension); None passes through.
+    Shared by RestorationPipeline / StreamingRestorer `.from_checkpoints`."""
+    if path is None:
+        return None
+    p = str(path)
+    import os
+
+    if not os.path.exists(p):
+        raise FileNotFoundError(
+            f"{name} checkpoint not found: {p!r} — pass a reference "
+            f".pth or a native .msgpack checkpoint, or disable the "
+            f"stage (--no-denoise/--no-super-res/--no-stereo)")
+    if p.endswith(".pth"):
+        from ..compat import load_model
+
+        return load_model(p, name)
+    from ..train.checkpoints import load_native
+
+    return load_native(p, name)
+
+
 def _denoiser_packable(dn) -> bool:
     p = dn[0]
     return (len(p["encoder"]) == 3
@@ -148,28 +171,10 @@ class RestorationPipeline:
                          stereo_path=None, config=None):
         """Load stages from reference .pth or our native checkpoints
         (dispatch on extension)."""
-        from ..compat import load_model
-        from ..train.checkpoints import load_native
-
-        def _load(path, name):
-            if path is None:
-                return None
-            p = str(path)
-            import os
-
-            if not os.path.exists(p):
-                raise FileNotFoundError(
-                    f"{name} checkpoint not found: {p!r} — pass a reference "
-                    f".pth or a native .msgpack checkpoint, or disable the "
-                    f"stage (--no-denoise/--no-super-res/--no-stereo)")
-            if p.endswith(".pth"):
-                return load_model(p, name)
-            return load_native(p, name)
-
         return cls(
-            denoiser=_load(denoiser_path, "denoiser"),
-            super_resolution=_load(super_res_path, "super_resolution"),
-            stereo=_load(stereo_path, "stereo_separator"),
+            denoiser=load_stage(denoiser_path, "denoiser"),
+            super_resolution=load_stage(super_res_path, "super_resolution"),
+            stereo=load_stage(stereo_path, "stereo_separator"),
             config=config,
         )
 

@@ -168,6 +168,21 @@ class StreamingRestorer:
             if self._dec_hist_buf is not None:
                 self._dec_hist_buf = self._dec_hist_buf * mask[:, :, None]
 
+    # ---------------------------------------------------------------- setup
+    @classmethod
+    def from_checkpoints(cls, denoiser_path=None, super_res_path=None,
+                         stereo_path=None, **kwargs):
+        """Load stages from reference .pth or native .msgpack checkpoints
+        (same dispatch as RestorationPipeline.from_checkpoints); other
+        kwargs go to the constructor."""
+        from .restore import load_stage
+
+        return cls(
+            denoiser=load_stage(denoiser_path, "denoiser"),
+            super_resolution=load_stage(super_res_path, "super_resolution"),
+            stereo=load_stage(stereo_path, "stereo_separator"),
+            **kwargs)
+
     # ------------------------------------------------------------ compiled
     def _get_step(self, ctx: int, n: int, la: int):
         key = (ctx, n, la, self._int8_version)

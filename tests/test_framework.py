@@ -59,6 +59,39 @@ def test_cli_restore_smoke(data_dir, tmp_path):
     assert data.shape[0] == 2 * SR
 
 
+def test_cli_stream_smoke(data_dir, tmp_path, capsys):
+    """`cli stream`: two recordings of different lengths ride as lockstep
+    streams (the shorter zero-padded, trimmed back on save); int8 scales
+    auto-calibrate and persist via --int8-scales."""
+    from ml_audio_restoration_tpu.cli import main
+    from ml_audio_restoration_tpu.compat import save_pth
+    from ml_audio_restoration_tpu.models import denoiser
+
+    params, state = denoiser.init(jax.random.PRNGKey(0))
+    ckpt = tmp_path / "dn.pth"
+    save_pth(ckpt, "denoiser", params, state)
+
+    t = np.arange(int(1.3 * SR)) / SR
+    short = tmp_path / "short.wav"
+    save_audio(short, (0.3 * np.sin(2 * np.pi * 330 * t))[None]
+               .astype(np.float32), SR)
+
+    out_dir = tmp_path / "streamed"
+    scales = tmp_path / "scales.json"
+    rc = main(["stream", str(data_dir / "f0.wav"), str(short),
+               "--output-dir", str(out_dir),
+               "--denoiser", str(ckpt), "--no-super-res", "--no-stereo",
+               "--block-seconds", "0.3",
+               "--int8", "--int8-scales", str(scales)])
+    assert rc == 0
+    assert "streamed ->" in capsys.readouterr().out
+    d0, sr0 = read_wav(out_dir / "f0_restored.wav")
+    d1, sr1 = read_wav(out_dir / "short_restored.wav")
+    assert sr0 == sr1 == SR
+    assert d0.shape[0] == 2 * SR and d1.shape[0] == int(1.3 * SR)
+    assert set(json.load(open(scales))) == {"denoiser"}
+
+
 def test_cli_analyze_smoke(data_dir, capsys):
     from ml_audio_restoration_tpu.cli import main
 
