@@ -170,7 +170,72 @@ def _add_stream(sub):
     p.add_argument("--data-parallel", type=int, default=None,
                    help="shard the stream batch over this many devices "
                         "(stream count must divide evenly)")
+    p.add_argument("--pcm", choices=["f32le", "s16le"], default=None,
+                   help="live pipe mode (single '-' input): read raw mono "
+                        "PCM in this format from stdin, write restored "
+                        "interleaved PCM to stdout (headerless, at "
+                        "sample-rate x upscale); status goes to stderr")
     return p
+
+
+def _stream_pipe(args, restorer):
+    """Live pipe serving: raw mono PCM on stdin -> restored interleaved PCM
+    on stdout, emitted block-by-block at the restorer's bounded latency.
+    Headerless by design — compose with ffmpeg/sox for container formats:
+        ffmpeg -i live.flac -f f32le -ac 1 - | cli stream - --pcm f32le |
+        ffmpeg -f f32le -ac 2 -ar 44100 -i - restored.flac
+    """
+    import sys
+
+    import numpy as np
+
+    fmt = args.pcm or "f32le"
+    dtype = np.dtype(np.float32 if fmt == "f32le" else np.int16)
+    block = max(1, int(round(args.block_seconds * args.sample_rate)))
+    want = block * dtype.itemsize
+    stdin, stdout = sys.stdin.buffer, sys.stdout.buffer
+
+    def emit(out):
+        o = np.asarray(out)
+        if o.ndim == 3:
+            o = o[0]
+        if o.shape[-1] == 0:
+            return
+        inter = np.ascontiguousarray(o.T)  # [t, ch] interleaved
+        if fmt == "s16le":
+            inter = np.clip(np.rint(inter * 32767.0),
+                            -32768, 32767).astype(np.int16)
+        else:
+            inter = inter.astype(np.float32)
+        stdout.write(inter.tobytes())
+        stdout.flush()
+
+    print(f"streaming stdin ({fmt} @ {args.sample_rate} Hz) -> stdout "
+          f"({fmt}, {2 if restorer.stereo is not None else 1} ch @ "
+          f"{args.sample_rate * restorer.f} Hz), "
+          f"block {block} samples", file=sys.stderr)
+    pending = b""
+    while True:
+        # a pipe read may return short — accumulate one full block (or EOF)
+        # so every feed is block-sized and hits one compiled step
+        buf = stdin.read(want - len(pending))
+        if buf:
+            pending += buf
+        if not pending or (buf and len(pending) < want):
+            if not buf:
+                break
+            continue
+        whole = len(pending) // dtype.itemsize * dtype.itemsize
+        if whole:
+            x = np.frombuffer(pending[:whole], dtype).astype(np.float32)
+            if fmt == "s16le":
+                x /= 32768.0
+            emit(restorer.feed(x))
+        pending = pending[whole:]
+        if not buf:
+            break
+    emit(restorer.flush())
+    return 0
 
 
 def _cmd_stream(args):
@@ -181,6 +246,12 @@ def _cmd_stream(args):
     from .audio import load_audio, save_audio
     from .pipeline.streaming import StreamingRestorer
 
+    pipe = args.inputs == ["-"]
+    if "-" in args.inputs and not pipe:
+        raise SystemExit("stream: '-' (pipe mode) must be the only input")
+    if pipe and args.data_parallel:
+        raise SystemExit("stream: pipe mode is single-stream; "
+                         "--data-parallel needs file inputs")
     mesh = None
     if args.data_parallel:
         from .parallel import make_mesh
@@ -199,6 +270,12 @@ def _cmd_stream(args):
                      if args.int8_scales and os.path.exists(args.int8_scales)
                      else None),
         mesh=mesh)
+    if pipe:
+        rc = _stream_pipe(args, restorer)
+        if (args.int8_scales and restorer._int8_scales is not None
+                and not os.path.exists(args.int8_scales)):
+            restorer.save_int8_scales(args.int8_scales)
+        return rc
 
     # one lockstep stream per input: shorter recordings ride along
     # zero-padded and are trimmed back to length on save

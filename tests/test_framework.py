@@ -92,6 +92,50 @@ def test_cli_stream_smoke(data_dir, tmp_path, capsys):
     assert set(json.load(open(scales))) == {"denoiser"}
 
 
+def test_cli_stream_pipe_bitmatches_direct(tmp_path, monkeypatch):
+    """`cli stream -` (live pipe mode): raw f32 PCM through stdin/stdout
+    bit-matches driving StreamingRestorer directly, including across short
+    (mid-block) pipe reads."""
+    import io
+    import sys
+    import types
+
+    from ml_audio_restoration_tpu.cli import main
+    from ml_audio_restoration_tpu.compat import save_pth
+    from ml_audio_restoration_tpu.models import denoiser
+    from ml_audio_restoration_tpu.pipeline.streaming import StreamingRestorer
+
+    params, state = denoiser.init(jax.random.PRNGKey(0))
+    ckpt = tmp_path / "dn.pth"
+    save_pth(ckpt, "denoiser", params, state)
+
+    rng = np.random.default_rng(7)
+    x = (0.3 * rng.normal(size=int(1.1 * SR))).astype(np.float32)
+
+    class ShortReads(io.BytesIO):
+        # a real pipe returns short reads; cap each read to force the
+        # accumulate-a-full-block path
+        def read(self, n=-1):
+            return super().read(min(n, 1000) if n and n > 0 else n)
+
+    fake_in = types.SimpleNamespace(buffer=ShortReads(x.tobytes()))
+    fake_out = types.SimpleNamespace(buffer=io.BytesIO())
+    monkeypatch.setattr(sys, "stdin", fake_in)
+    monkeypatch.setattr(sys, "stdout", fake_out)
+    rc = main(["stream", "-", "--denoiser", str(ckpt),
+               "--no-super-res", "--no-stereo", "--block-seconds", "0.3"])
+    monkeypatch.undo()
+    assert rc == 0
+    got = np.frombuffer(fake_out.buffer.getvalue(), np.float32)
+
+    s = StreamingRestorer(denoiser=(params, state))
+    block = int(round(0.3 * SR))
+    outs = [s.feed(x[o:o + block]) for o in range(0, x.shape[0], block)]
+    outs.append(s.flush())
+    want = np.concatenate([o for o in outs], axis=-1)[0]
+    np.testing.assert_array_equal(got, want)
+
+
 def test_cli_analyze_smoke(data_dir, capsys):
     from ml_audio_restoration_tpu.cli import main
 
