@@ -92,6 +92,32 @@ def test_cli_stream_smoke(data_dir, tmp_path, capsys):
     assert set(json.load(open(scales))) == {"denoiser"}
 
 
+def test_cli_stream_data_parallel_matches_unsharded(data_dir, tmp_path):
+    """`cli stream --data-parallel 2`: the stream batch sharded over a
+    2-device mesh produces byte-identical WAVs to the unsharded run."""
+    from ml_audio_restoration_tpu.cli import main
+    from ml_audio_restoration_tpu.compat import save_pth
+    from ml_audio_restoration_tpu.models import denoiser
+
+    params, state = denoiser.init(jax.random.PRNGKey(0))
+    ckpt = tmp_path / "dn.pth"
+    save_pth(ckpt, "denoiser", params, state)
+
+    outs = {}
+    for name, extra in (("plain", []), ("dp", ["--data-parallel", "2"])):
+        out_dir = tmp_path / name
+        rc = main(["stream", str(data_dir / "f0.wav"),
+                   str(data_dir / "f1.wav"),
+                   "--output-dir", str(out_dir),
+                   "--denoiser", str(ckpt),
+                   "--no-super-res", "--no-stereo",
+                   "--block-seconds", "0.4"] + extra)
+        assert rc == 0
+        outs[name] = [(out_dir / f"f{i}_restored.wav").read_bytes()
+                      for i in (0, 1)]
+    assert outs["plain"] == outs["dp"]
+
+
 def test_cli_stream_pipe_bitmatches_direct(tmp_path, monkeypatch):
     """`cli stream -` (live pipe mode): raw f32 PCM through stdin/stdout
     bit-matches driving StreamingRestorer directly, including across short
