@@ -123,9 +123,7 @@ def _cmd_restore(args):
     else:
         out, rate = pipe.restore_file(args.input, args.output)
         print(f"restored -> {out} @ {rate} Hz")
-    if (args.int8_scales and pipe._int8_scales is not None
-            and not os.path.exists(args.int8_scales)):
-        pipe.save_int8_scales(args.int8_scales)
+    _persist_int8_scales(args.int8_scales, pipe)
     return 0
 
 
@@ -165,8 +163,9 @@ def _add_stream(sub):
                         "auto-calibrates on the first window)")
     p.add_argument("--int8-scales", default=None,
                    help="calibration JSON, interchangeable with `restore "
-                        "--int8-scales`: loaded if it exists, else written "
-                        "after auto-calibration")
+                        "--int8-scales`: loaded if it exists, written "
+                        "after auto-calibration (and rewritten if its "
+                        "stages no longer cover the enabled ones)")
     p.add_argument("--data-parallel", type=int, default=None,
                    help="shard the stream batch over this many devices "
                         "(stream count must divide evenly)")
@@ -178,11 +177,35 @@ def _add_stream(sub):
     return p
 
 
-def _stream_pipe(args, restorer):
+def _persist_int8_scales(path, restorer):
+    """Write auto-/re-calibrated int8 scales to `path` so later processes
+    skip the f32 calibration pass. An existing file is rewritten only when
+    its stages no longer cover the current calibration (i.e. it was
+    calibrated with a stage disabled and the serving object recalibrated)."""
+    import json
+    import os
+
+    if not path or restorer._int8_scales is None:
+        return
+    if os.path.exists(path):
+        try:
+            with open(path) as fh:
+                have = set(json.load(fh))
+        except (OSError, ValueError):
+            have = set()
+        if set(restorer._int8_scales) <= have:
+            return
+    restorer.save_int8_scales(path)
+
+
+def _stream_pipe(args, restorer, block):
     """Live pipe serving: raw mono PCM on stdin -> restored interleaved PCM
     on stdout, emitted block-by-block at the restorer's bounded latency.
-    Headerless by design — compose with ffmpeg/sox for container formats:
-        ffmpeg -i live.flac -f f32le -ac 1 - | cli stream - --pcm f32le |
+    Headerless by design — compose with ffmpeg/sox for container formats
+    (note -ar: stdin has no header, so the producer must resample to the
+    models' rate):
+        ffmpeg -i live.flac -f f32le -ac 1 -ar 22050 - |
+        cli stream - --pcm f32le |
         ffmpeg -f f32le -ac 2 -ar 44100 -i - restored.flac
     """
     import sys
@@ -191,7 +214,6 @@ def _stream_pipe(args, restorer):
 
     fmt = args.pcm or "f32le"
     dtype = np.dtype(np.float32 if fmt == "f32le" else np.int16)
-    block = max(1, int(round(args.block_seconds * args.sample_rate)))
     want = block * dtype.itemsize
     stdin, stdout = sys.stdin.buffer, sys.stdout.buffer
 
@@ -252,6 +274,9 @@ def _cmd_stream(args):
     if pipe and args.data_parallel:
         raise SystemExit("stream: pipe mode is single-stream; "
                          "--data-parallel needs file inputs")
+    if args.pcm and not pipe:
+        raise SystemExit("stream: --pcm is pipe mode's input format; "
+                         "it requires the single '-' input")
     mesh = None
     if args.data_parallel:
         from .parallel import make_mesh
@@ -270,11 +295,10 @@ def _cmd_stream(args):
                      if args.int8_scales and os.path.exists(args.int8_scales)
                      else None),
         mesh=mesh)
+    block = max(1, int(round(args.block_seconds * args.sample_rate)))
     if pipe:
-        rc = _stream_pipe(args, restorer)
-        if (args.int8_scales and restorer._int8_scales is not None
-                and not os.path.exists(args.int8_scales)):
-            restorer.save_int8_scales(args.int8_scales)
+        rc = _stream_pipe(args, restorer, block)
+        _persist_int8_scales(args.int8_scales, restorer)
         return rc
 
     # one lockstep stream per input: shorter recordings ride along
@@ -287,7 +311,6 @@ def _cmd_stream(args):
     for i, s in enumerate(streams):
         batch[i, :s.shape[0]] = s
 
-    block = max(1, int(round(args.block_seconds * args.sample_rate)))
     outs = [restorer.feed(batch[:, o:o + block])
             for o in range(0, t, block)]
     outs.append(restorer.flush())
@@ -296,14 +319,19 @@ def _cmd_stream(args):
 
     os.makedirs(args.output_dir, exist_ok=True)
     out_rate = args.sample_rate * restorer.f
+    used = set()
     for i, path in enumerate(args.inputs):
         base = os.path.splitext(os.path.basename(path))[0]
-        dest = os.path.join(args.output_dir, f"{base}_restored.wav")
+        # two inputs sharing a basename (takeA/rec.wav takeB/rec.wav) must
+        # not silently overwrite each other
+        name, k = base, 2
+        while name in used:
+            name, k = f"{base}_{k}", k + 1
+        used.add(name)
+        dest = os.path.join(args.output_dir, f"{name}_restored.wav")
         save_audio(dest, out[i, :, :lengths[i] * restorer.f], out_rate)
         print(f"streamed -> {dest} @ {out_rate} Hz")
-    if (args.int8_scales and restorer._int8_scales is not None
-            and not os.path.exists(args.int8_scales)):
-        restorer.save_int8_scales(args.int8_scales)
+    _persist_int8_scales(args.int8_scales, restorer)
     return 0
 
 

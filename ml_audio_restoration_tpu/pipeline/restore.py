@@ -464,6 +464,24 @@ class RestorationPipeline:
 
         t = audio.shape[1]
         f = self.upscale_factor
+        if cfg.quantize_int8 and self._int8_scales is not None:
+            # a loaded scales file calibrated with a stage disabled (e.g. a
+            # StreamingRestorer-written file has no 'stereo') must not
+            # KeyError the step trace — discard and recalibrate below
+            need = [name for name, m in
+                    (("denoiser", self.denoiser),
+                     ("super_resolution", self.super_resolution),
+                     ("stereo", self.stereo)) if m is not None]
+            missing = [k for k in need if k not in self._int8_scales]
+            if missing:
+                import warnings
+
+                warnings.warn(
+                    f"int8 scales lack stage(s) {missing} — calibrated "
+                    f"with those stages disabled? Recalibrating on this "
+                    f"recording")
+                self._int8_scales = None
+                self._int8_version += 1
         if cfg.quantize_int8 and self._int8_scales is None:
             # seed the static activation scales with one f32 pass over (a
             # slice of) this recording; later recordings reuse them

@@ -110,6 +110,7 @@ class StreamingRestorer:
         self.quantize_int8 = bool(quantize_int8)
         self._int8_scales = None
         self._int8_version = 0
+        self._int8_ready = False  # gates not yet run on a drained window
         if int8_scales is not None:
             if isinstance(int8_scales, dict):
                 self._int8_scales = int8_scales
@@ -300,13 +301,13 @@ class StreamingRestorer:
         return jitted
 
     # ------------------------------------------------------- int8 serving
-    def _calibrate_int8(self, window: np.ndarray):
-        """Collect denoiser/SR activation scales from one f32 pass over the
-        first drained window (mirrors RestorationPipeline.calibrate_int8,
-        restore.py; gates raise ValueError so _drain downgrades to float
-        with a warning)."""
+    def _int8_gates(self, window_len: int):
+        """Raise ValueError on any int8 misconfiguration so _drain can
+        downgrade to float serving with a warning — both for
+        auto-calibration and for pre-loaded scales files (a scales file
+        calibrated with a stage disabled must not crash the step trace
+        with a KeyError when that stage is enabled)."""
         from .restore import _denoiser_packable, _sr_packable
-        from ..ops.quant import QuantCtx, scales_from_amax
 
         dn, sr = self.denoiser, self.super_resolution
         if not self.packed:
@@ -318,11 +319,21 @@ class StreamingRestorer:
         if sr is not None and not _sr_packable(sr):
             raise ValueError("super-resolution checkpoint is not packable "
                              "(non-default layout); int8 unavailable")
-        if window.shape[1] % 4 != 0:
+        if window_len % 4 != 0:
             raise ValueError(
                 f"int8 streaming rides the packed path: window length "
-                f"{window.shape[1]} must be a multiple of 4 (choose "
+                f"{window_len} must be a multiple of 4 (choose "
                 f"context/lookahead/block sizes accordingly)")
+
+    def _calibrate_int8(self, window: np.ndarray):
+        """Collect denoiser/SR activation scales from one f32 pass over the
+        first drained window (mirrors RestorationPipeline.calibrate_int8,
+        restore.py; gates raise ValueError so _drain downgrades to float
+        with a warning)."""
+        from ..ops.quant import QuantCtx, scales_from_amax
+
+        dn, sr = self.denoiser, self.super_resolution
+        self._int8_gates(window.shape[1])
 
         def calib(dn, sr, w):
             amax, x = {}, w
@@ -360,6 +371,7 @@ class StreamingRestorer:
         with open(path) as fh:
             self._int8_scales = json.load(fh)
         self._int8_version += 1
+        self._int8_ready = False  # re-gate the new scales on next drain
         return self._int8_scales
 
     # ---------------------------------------------------------------- api
@@ -423,15 +435,36 @@ class StreamingRestorer:
                 window = np.concatenate(
                     [window, np.zeros((self.batch, pad), np.float32)],
                     axis=1)
-            if self.quantize_int8 and self._int8_scales is None:
-                # auto-calibrate on the first drained window (mirrors
-                # restore()'s first-recording auto-calibration; gate
-                # violations downgrade to float serving, not a crash)
-                try:
-                    self._calibrate_int8(window)
-                except ValueError as e:
-                    import warnings
+            if self.quantize_int8 and not self._int8_ready:
+                # first drained window: auto-calibrate (mirrors restore()'s
+                # first-recording auto-calibration) or, with pre-loaded
+                # scales, run the same gates; violations downgrade to float
+                # serving, not a crash. A scales file lacking an enabled
+                # stage (calibrated with it disabled) is discarded and
+                # recalibrated rather than KeyError-ing the step trace.
+                import warnings
 
+                if self._int8_scales is not None:
+                    need = [k for k, m in
+                            (("denoiser", self.denoiser),
+                             ("super_resolution", self.super_resolution))
+                            if m is not None]
+                    missing = [k for k in need
+                               if k not in self._int8_scales]
+                    if missing:
+                        warnings.warn(
+                            f"int8 scales lack stage(s) {missing} — "
+                            f"calibrated with those stages disabled? "
+                            f"Recalibrating on the first window")
+                        self._int8_scales = None
+                        self._int8_version += 1
+                try:
+                    if self._int8_scales is None:
+                        self._calibrate_int8(window)
+                    else:
+                        self._int8_gates(window.shape[1])
+                    self._int8_ready = True
+                except ValueError as e:
                     warnings.warn(f"int8 streaming unavailable — serving "
                                   f"float instead: {e}")
                     self.quantize_int8 = False

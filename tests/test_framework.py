@@ -92,6 +92,38 @@ def test_cli_stream_smoke(data_dir, tmp_path, capsys):
     assert set(json.load(open(scales))) == {"denoiser"}
 
 
+def test_cli_stream_rewrites_undercovering_scales(data_dir, tmp_path,
+                                                  recwarn):
+    """An --int8-scales file calibrated with a stage disabled is
+    recalibrated (warning, not a KeyError crash) when that stage is
+    enabled, and the file is rewritten to cover the enabled stages."""
+    from ml_audio_restoration_tpu.cli import main
+    from ml_audio_restoration_tpu.compat import save_pth
+    from ml_audio_restoration_tpu.models import denoiser, super_resolution
+
+    dn_p, dn_s = denoiser.init(jax.random.PRNGKey(0))
+    sr_p, sr_s = super_resolution.init(jax.random.PRNGKey(1))
+    dn_ckpt, sr_ckpt = tmp_path / "dn.pth", tmp_path / "sr.pth"
+    save_pth(dn_ckpt, "denoiser", dn_p, dn_s)
+    save_pth(sr_ckpt, "super_resolution", sr_p, sr_s)
+
+    scales = tmp_path / "scales.json"
+    common = ["--denoiser", str(dn_ckpt), "--super-res", str(sr_ckpt),
+              "--no-stereo", "--block-seconds", "0.3",
+              "--int8", "--int8-scales", str(scales)]
+    rc = main(["stream", str(data_dir / "f0.wav"),
+               "--output-dir", str(tmp_path / "o1"),
+               "--no-super-res"] + common)
+    assert rc == 0
+    assert set(json.load(open(scales))) == {"denoiser"}
+
+    rc = main(["stream", str(data_dir / "f0.wav"),
+               "--output-dir", str(tmp_path / "o2")] + common)
+    assert rc == 0
+    assert any("lack stage" in str(w.message) for w in recwarn.list)
+    assert set(json.load(open(scales))) == {"denoiser", "super_resolution"}
+
+
 def test_cli_stream_data_parallel_matches_unsharded(data_dir, tmp_path):
     """`cli stream --data-parallel 2`: the stream batch sharded over a
     2-device mesh produces byte-identical WAVs to the unsharded run."""

@@ -295,3 +295,53 @@ def test_pipeline_int8_stale_scales_clear_error(tmp_path, rng_module):
     pq.load_int8_scales(path)
     with pytest.raises(KeyError, match="quantization point"):
         pq.restore(audio)
+
+
+def test_pipeline_int8_missing_stage_scales_recalibrate(tmp_path,
+                                                        rng_module):
+    """A loaded scales file calibrated with a stage disabled (e.g. a
+    StreamingRestorer-written file has no 'stereo') must warn and
+    recalibrate, not KeyError the step trace."""
+    audio = (rng_module.normal(size=(1, 11025)) * 0.15).astype(np.float32)
+    cfg = PipelineConfig(chunk_seconds=0.4, quantize_int8=True)
+    stages = _stages()
+    ref = RestorationPipeline(**stages, config=cfg)
+    out_ref, _ = ref.restore(audio)  # auto-calibrates all three stages
+
+    partial = {k: v for k, v in ref._int8_scales.items() if k != "stereo"}
+    pq = RestorationPipeline(**stages, config=cfg)
+    pq._int8_scales = partial
+    pq._int8_version += 1
+    with pytest.warns(UserWarning, match="lack stage"):
+        outq, _ = pq.restore(audio)
+    assert set(pq._int8_scales) == {"denoiser", "super_resolution", "stereo"}
+    np.testing.assert_allclose(np.asarray(out_ref), np.asarray(outq))
+
+
+def test_streaming_int8_missing_stage_scales_recalibrate(rng_module):
+    """Same contract for streaming: scales lacking an enabled stage are
+    discarded and recalibrated on the first drained window."""
+    from ml_audio_restoration_tpu.pipeline.streaming import StreamingRestorer
+
+    stages = _stages()
+    x = (rng_module.normal(size=8192) * 0.1).astype(np.float32)
+
+    def run(s):
+        outs = [s.feed(x[o:o + 2048]) for o in range(0, x.size, 2048)]
+        outs.append(s.flush())
+        return np.concatenate([np.asarray(o) for o in outs], axis=-1)
+
+    ref = StreamingRestorer(denoiser=stages["denoiser"],
+                            super_resolution=stages["super_resolution"],
+                            quantize_int8=True)
+    out_ref = run(ref)  # auto-calibrates denoiser + super_resolution
+
+    partial = {"denoiser": ref._int8_scales["denoiser"]}
+    s = StreamingRestorer(denoiser=stages["denoiser"],
+                          super_resolution=stages["super_resolution"],
+                          quantize_int8=True, int8_scales=partial)
+    with pytest.warns(UserWarning, match="lack stage"):
+        out = run(s)
+    assert s.quantize_int8  # recalibrated, not downgraded to float
+    assert set(s._int8_scales) == {"denoiser", "super_resolution"}
+    np.testing.assert_allclose(out_ref, out)
