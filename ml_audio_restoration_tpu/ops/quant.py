@@ -357,3 +357,21 @@ def calibrate(forward, batches) -> dict:
                                       for k in am}
     assert acc is not None, "calibration needs at least one batch"
     return scales_from_amax(acc)
+
+
+def save_scales_file(path, scales: dict):
+    """THE scales-file format (stage -> point -> per-channel scales), shared
+    by RestorationPipeline and StreamingRestorer — one writer so the
+    documented interchangeability of their files can't drift."""
+    import json
+
+    with open(path, "w") as fh:
+        json.dump(scales, fh, indent=1, sort_keys=True)
+    return path
+
+
+def load_scales_file(path) -> dict:
+    import json
+
+    with open(path) as fh:
+        return json.load(fh)

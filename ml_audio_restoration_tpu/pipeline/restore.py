@@ -164,6 +164,7 @@ class RestorationPipeline:
         # int8 serving state: per-stage {point: scale} from calibrate_int8
         self._int8_scales = None
         self._int8_version = 0
+        self._int8_failed = False  # gate failure: don't retry per recording
 
     # ---------------------------------------------------------------- setup
     @classmethod
@@ -427,20 +428,19 @@ class RestorationPipeline:
         return self._int8_scales
 
     def save_int8_scales(self, path):
-        """Persist calibration so later processes skip the f32 pass."""
-        import json
+        """Persist calibration so later processes skip the f32 pass
+        (ops/quant.py::save_scales_file — the one shared file format)."""
+        from ..ops.quant import save_scales_file
 
         assert self._int8_scales is not None, "calibrate_int8 first"
-        with open(path, "w") as fh:
-            json.dump(self._int8_scales, fh, indent=1, sort_keys=True)
-        return path
+        return save_scales_file(path, self._int8_scales)
 
     def load_int8_scales(self, path):
-        import json
+        from ..ops.quant import load_scales_file
 
-        with open(path) as fh:
-            self._int8_scales = json.load(fh)
+        self._int8_scales = load_scales_file(path)
         self._int8_version += 1
+        self._int8_failed = False  # new scales: give int8 another shot
         return self._int8_scales
 
     # ---------------------------------------------------------------- run
@@ -482,7 +482,8 @@ class RestorationPipeline:
                     f"recording")
                 self._int8_scales = None
                 self._int8_version += 1
-        if cfg.quantize_int8 and self._int8_scales is None:
+        if (cfg.quantize_int8 and self._int8_scales is None
+                and not self._int8_failed):
             # seed the static activation scales with one f32 pass over (a
             # slice of) this recording; later recordings reuse them
             try:
@@ -491,6 +492,12 @@ class RestorationPipeline:
                 import warnings
 
                 warnings.warn(f"int8 serving disabled: {e}")
+                # config/checkpoint-shaped gate failures can never succeed —
+                # don't re-run and re-warn on every restore_directory file.
+                # Only whole_file's length gate is per-recording: a later
+                # packing-grid-aligned recording may still calibrate.
+                self._int8_failed = not (cfg.whole_file
+                                         and "multiple of 4" in str(e))
         if cfg.whole_file:
             chunk_size, hop, overlap = t, t, 0
             n = n_real = 1
@@ -613,16 +620,16 @@ class RestorationPipeline:
                         fut = ex.submit(load, files[i + 1])
                     restored, rate = self.restore(audio, sr_in)  # async
                     if pending is not None:
-                        write(*pending[:3])
-                        results.append(pending[3])
+                        write(*pending)
+                        results.append((pending[0], pending[2]))
                     out = out_dir / f"{f.stem}{suffix}.wav"
-                    pending = (out, restored, rate, (out, rate))
+                    pending = (out, restored, rate)
             finally:
                 # a failure on file i must not lose file i-1's computed
                 # output (sequential restore_file would have written it)
                 if pending is not None:
-                    write(*pending[:3])
-                    results.append(pending[3])
+                    write(*pending)
+                    results.append((pending[0], pending[2]))
         return results
 
 

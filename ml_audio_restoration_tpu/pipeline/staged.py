@@ -95,8 +95,11 @@ class StagedRestorationPipeline:
 
     def _stage_fn(self, name):
         mid_exact = name == "stereo" and self.config.stereo_mid_exact
+        # every config field the trace closes over must key the cache:
+        # overlap_seconds/sample_rate feed stereo_sub_cfg's sub-window plan
         key = ("stage", name, mid_exact, self.config.compute_dtype,
-               self.config.stereo_chunk_seconds, self.config.packed_convs)
+               self.config.stereo_chunk_seconds, self.config.packed_convs,
+               self.config.overlap_seconds, self.config.sample_rate)
         if key not in self._compiled:
             mod = {"denoiser": denoiser_mod, "super_resolution": sr_mod,
                    "stereo": stereo_mod}[name]

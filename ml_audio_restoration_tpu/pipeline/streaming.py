@@ -356,20 +356,17 @@ class StreamingRestorer:
         return self._int8_scales
 
     def save_int8_scales(self, path):
-        """Persist calibration (same file format as
-        RestorationPipeline.save_int8_scales — interchangeable)."""
-        import json
+        """Persist calibration (ops/quant.py::save_scales_file — the same
+        writer RestorationPipeline uses, so the files stay interchangeable)."""
+        from ..ops.quant import save_scales_file
 
         assert self._int8_scales is not None, "no scales calibrated yet"
-        with open(path, "w") as fh:
-            json.dump(self._int8_scales, fh, indent=1, sort_keys=True)
-        return path
+        return save_scales_file(path, self._int8_scales)
 
     def load_int8_scales(self, path):
-        import json
+        from ..ops.quant import load_scales_file
 
-        with open(path) as fh:
-            self._int8_scales = json.load(fh)
+        self._int8_scales = load_scales_file(path)
         self._int8_version += 1
         self._int8_ready = False  # re-gate the new scales on next drain
         return self._int8_scales

@@ -345,3 +345,22 @@ def test_streaming_int8_missing_stage_scales_recalibrate(rng_module):
     assert s.quantize_int8  # recalibrated, not downgraded to float
     assert set(s._int8_scales) == {"denoiser", "super_resolution"}
     np.testing.assert_allclose(out_ref, out)
+
+
+def test_pipeline_int8_gate_failure_does_not_retry_per_recording(rng_module):
+    """A config-shaped gate failure (packed_convs off) must warn once, then
+    serve float silently — not re-run calibration and re-warn on every
+    file of a directory run."""
+    import dataclasses
+    import warnings
+
+    audio = (rng_module.normal(size=(1, 11025)) * 0.1).astype(np.float32)
+    cfg = PipelineConfig(chunk_seconds=0.4, packed_convs=False,
+                         quantize_int8=True)
+    pq = RestorationPipeline(**_stages(), config=cfg)
+    with pytest.warns(UserWarning, match="int8 serving disabled"):
+        pq.restore(audio)
+    assert pq._int8_failed
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        pq.restore(audio)  # second recording: no retry, no warning
