@@ -56,6 +56,13 @@ def load_stage(path, name):
     return load_native(p, name)
 
 
+class Int8LengthGateError(ValueError):
+    """Per-recording int8 calibration gate: a whole_file length off the
+    packing grid. Unlike the config/checkpoint-shaped gates this is
+    retryable — the next recording may align — so restore() keys its
+    don't-retry flag on the exception type, not the message."""
+
+
 def _denoiser_packable(dn) -> bool:
     p = dn[0]
     return (len(p["encoder"]) == 3
@@ -378,7 +385,7 @@ class RestorationPipeline:
         if cfg.whole_file:
             chunk_size = t
         if chunk_size % 4 != 0:
-            raise ValueError(
+            raise Int8LengthGateError(
                 f"int8 serving rides the packed path: chunk length "
                 f"{chunk_size} must be a multiple of 4")
         overlap = int(round(cfg.overlap_seconds * sample_rate))
@@ -496,8 +503,8 @@ class RestorationPipeline:
                 # don't re-run and re-warn on every restore_directory file.
                 # Only whole_file's length gate is per-recording: a later
                 # packing-grid-aligned recording may still calibrate.
-                self._int8_failed = not (cfg.whole_file
-                                         and "multiple of 4" in str(e))
+                self._int8_failed = not (
+                    cfg.whole_file and isinstance(e, Int8LengthGateError))
         if cfg.whole_file:
             chunk_size, hop, overlap = t, t, 0
             n = n_real = 1
@@ -603,11 +610,11 @@ class RestorationPipeline:
             return audio
 
         def write(path, restored, rate):
-            # D2H + host normalize + encode — off the device critical path
-            restored = np.asarray(restored)
-            if normalize:
-                restored = normalize_audio(restored)
-            save_audio(path, restored, rate)
+            # D2H + host normalize + encode — off the device critical path.
+            # Output peak-normalization is unconditional, exactly like
+            # restore_file (the `normalize` flag gates INPUT normalization
+            # only), keeping the per-file-identical contract honest.
+            save_audio(path, normalize_audio(np.asarray(restored)), rate)
 
         results = []
         pending = None  # (path, device array, rate) awaiting write

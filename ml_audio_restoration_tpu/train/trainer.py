@@ -438,20 +438,31 @@ class Trainer:
         if not path.exists():
             path = self.checkpoint_dir / filename_or_path
         payload = ckpt.load_checkpoint(path)
+        # read EVERY payload key before mutating the trainer: a checkpoint
+        # that parses but lacks a key (older/foreign writer) must raise
+        # while self.* is still untouched, so maybe_resume's fallback walk
+        # can't leave a half-loaded trainer that then "starts fresh" from
+        # the rejected checkpoint's params
         opt_state = _tree_to_opt_state(
             payload["opt_state"],
             self.tx.init(payload["params"]))
-        self.state = replicate(self.mesh, {
+        state = {
             "params": payload["params"],
             "model_state": payload["model_state"],
             "opt_state": opt_state,
-        })
-        self.epoch = int(payload["epoch"])
-        self.global_step = int(payload["global_step"])
-        self.best_val_loss = float(payload["best_val_loss"])
-        self.lr = float(payload["lr"])
-        self.history = {k: list(np.asarray(v))
-                        for k, v in payload["history"].items()}
+        }
+        epoch = int(payload["epoch"])
+        global_step = int(payload["global_step"])
+        best_val_loss = float(payload["best_val_loss"])
+        lr = float(payload["lr"])
+        history = {k: list(np.asarray(v))
+                   for k, v in payload["history"].items()}
+        self.state = replicate(self.mesh, state)
+        self.epoch = epoch
+        self.global_step = global_step
+        self.best_val_loss = best_val_loss
+        self.lr = lr
+        self.history = history
         print(f"checkpoint loaded: {path} (epoch {self.epoch})")
 
     def maybe_resume(self):

@@ -108,13 +108,18 @@ def xplane_device_times(logdir: str) -> dict:
             return "matmul"
         return "other"
 
-    totals: dict = defaultdict(float)
-    total = 0.0
-    async_overlap = 0.0
-    module_spans: list = []
+    # Aggregate PER DEVICE PLANE, then report the busiest plane: concurrent
+    # per-device spans from a mesh-sharded/staged trace would otherwise be
+    # summed as if serial, overcounting device time by ~N_devices. On a
+    # single-device trace (bench.py's case) this is identical to summing.
+    per_plane: list = []
     for plane in spaces.planes:
         if not plane.name.startswith("/device:"):
             continue
+        totals: dict = defaultdict(float)
+        total = 0.0
+        async_overlap = 0.0
+        module_spans: list = []
         meta = {m_id: m.name for m_id, m in plane.event_metadata.items()}
         for line in plane.lines:
             if line.name == "XLA Ops":
@@ -128,10 +133,17 @@ def xplane_device_times(logdir: str) -> dict:
             elif line.name == "XLA Modules":
                 module_spans.extend(
                     ev.duration_ps / 1e9 for ev in line.events)
+        if total or module_spans:
+            per_plane.append((total, totals, async_overlap, module_spans))
+    if not per_plane:
+        per_plane = [(0.0, defaultdict(float), 0.0, [])]
+    total, totals, async_overlap, module_spans = max(per_plane,
+                                                     key=lambda p: p[0])
     steps = [ms for ms in module_spans if ms > 1.0]
     return {"total_device_ms": round(total, 2),
             "module_step_ms": [round(m, 2) for m in steps],
             "async_copy_overlap_ms": round(async_overlap, 2),
+            "device_planes": len(per_plane),
             **{k: round(v, 2) for k, v in sorted(
                 totals.items(), key=lambda kv: -kv[1])}}
 

@@ -375,3 +375,34 @@ def test_resume_falls_back_past_corrupt_checkpoint(tmp_path):
         assert tr2.maybe_resume()
     assert any("unreadable checkpoint" in str(x.message) for x in w)
     assert tr2.epoch == 1  # resumed from the readable epoch-1 file
+
+
+def test_rejected_checkpoint_leaves_trainer_untouched(tmp_path):
+    """A checkpoint that PARSES but lacks a payload key (older/foreign
+    writer) must not half-load the trainer: load_checkpoint reads every
+    key before mutating self, so a failed maybe_resume really does start
+    fresh instead of silently training from the rejected params."""
+    import warnings as _warnings
+
+    from ml_audio_restoration_tpu.train import checkpoints as ckpt
+
+    tr = _make_trainer("denoiser", denoiser, ToyDataset(n=4))
+    tr.checkpoint_dir = tmp_path
+    tr.epoch = 7
+    tr.save_checkpoint("best_model.msgpack")
+    # strip a trailing payload key, as an older writer would
+    path = tmp_path / "best_model.msgpack"
+    payload = ckpt.load_checkpoint(path)
+    del payload["history"]
+    ckpt.save_checkpoint(path, payload)
+
+    tr2 = _make_trainer("denoiser", denoiser, ToyDataset(n=4))
+    tr2.checkpoint_dir = tmp_path
+    before = jax.tree_util.tree_leaves(tr2.state["params"])[0].copy()
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        assert not tr2.maybe_resume()
+    assert any("unreadable checkpoint" in str(x.message) for x in w)
+    assert tr2.epoch == 0  # untouched — not the rejected file's 7
+    after = jax.tree_util.tree_leaves(tr2.state["params"])[0]
+    np.testing.assert_array_equal(np.asarray(before), np.asarray(after))
