@@ -364,3 +364,32 @@ def test_pipeline_int8_gate_failure_does_not_retry_per_recording(rng_module):
     with warnings.catch_warnings():
         warnings.simplefilter("error")
         pq.restore(audio)  # second recording: no retry, no warning
+
+
+def test_streaming_int8_preloaded_scales_respect_packed_gate(rng_module):
+    """Pre-loaded scales used to bypass the calibration-time gates
+    entirely; the gates now run for them too, so packed=False downgrades
+    to float serving (bit-matching the float restorer) instead of
+    attempting int8 off the packed paths."""
+    from ml_audio_restoration_tpu.pipeline.streaming import StreamingRestorer
+
+    stages = _stages()
+    x = (rng_module.normal(size=4096) * 0.1).astype(np.float32)
+
+    def run(s):
+        outs = [s.feed(x[o:o + 2048]) for o in range(0, x.size, 2048)]
+        outs.append(s.flush())
+        return np.concatenate([np.asarray(o) for o in outs], axis=-1)
+
+    calib = StreamingRestorer(denoiser=stages["denoiser"],
+                              quantize_int8=True)
+    run(calib)  # valid scales to preload
+
+    want = run(StreamingRestorer(denoiser=stages["denoiser"], packed=False))
+    s = StreamingRestorer(denoiser=stages["denoiser"], packed=False,
+                          quantize_int8=True,
+                          int8_scales=calib._int8_scales)
+    with pytest.warns(UserWarning, match="int8 streaming unavailable"):
+        out = run(s)
+    assert not s.quantize_int8
+    np.testing.assert_array_equal(want, out)
