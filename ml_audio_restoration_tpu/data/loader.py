@@ -72,6 +72,19 @@ class DataLoader:
 
         getitems = getattr(self.dataset, "getitems", None)
 
+        def put(item) -> bool:
+            # an abandoned iterator (break mid-epoch, next(iter(...), None))
+            # stops draining the bounded queue; a plain q.put would then
+            # block this worker thread FOREVER, leaking it plus ~prefetch
+            # collated batches per abandoned iterator — poll the stop flag
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def worker():
             try:
                 for batch_idx in batches:
@@ -81,10 +94,11 @@ class DataLoader:
                         items = getitems([int(j) for j in batch_idx])
                     else:
                         items = [self.dataset[int(j)] for j in batch_idx]
-                    q.put(collate(items))
-                q.put(None)
+                    if not put(collate(items)):
+                        return
+                put(None)
             except BaseException as e:  # surfaced on the consumer side
-                q.put(e)
+                put(e)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()

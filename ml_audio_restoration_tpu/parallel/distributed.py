@@ -112,3 +112,37 @@ def local_batch_size(global_batch_size: int,
             f"global batch size {global_batch_size} not divisible by "
             f"process count {count}")
     return global_batch_size // count
+
+
+def agree_flag(flag: bool) -> bool:
+    """Cross-rank OR of a host-side flag (e.g. "was SIGINT delivered to
+    THIS host?"). Rank-local control flow that changes the number of
+    collective-bearing steps deadlocks every other rank mid-all-reduce, so
+    any loop-breaking decision must be agreed. Single-process: identity
+    (no collective). Must be called the same number of times on every
+    rank."""
+    if process_count() <= 1:
+        return bool(flag)
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    votes = multihost_utils.process_allgather(
+        np.asarray([1 if flag else 0], np.int32))
+    return bool(np.sum(votes) > 0)
+
+
+def broadcast_from_primary(s: str, maxlen: int = 256) -> str:
+    """Broadcast a short string decided by rank 0 to every rank (non-primary
+    ranks' argument is ignored). Used to agree on WHICH checkpoint to
+    resume from — per-rank independent choices silently desynchronize the
+    replicated training state. Single-process: identity."""
+    if process_count() <= 1:
+        return s
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    buf = np.zeros(maxlen, np.uint8)
+    b = s.encode("utf-8")[:maxlen]
+    buf[:len(b)] = np.frombuffer(b, np.uint8)
+    out = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+    return bytes(out).rstrip(b"\x00").decode("utf-8")

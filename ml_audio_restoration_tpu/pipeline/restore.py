@@ -627,16 +627,21 @@ class RestorationPipeline:
                         fut = ex.submit(load, files[i + 1])
                     restored, rate = self.restore(audio, sr_in)  # async
                     if pending is not None:
-                        write(*pending)
-                        results.append((pending[0], pending[2]))
+                        # clear BEFORE writing: if this write raises, the
+                        # finally must not retry the same failed write (the
+                        # retry's error would mask the original)
+                        todo, pending = pending, None
+                        write(*todo)
+                        results.append((todo[0], todo[2]))
                     out = out_dir / f"{f.stem}{suffix}.wav"
                     pending = (out, restored, rate)
             finally:
                 # a failure on file i must not lose file i-1's computed
                 # output (sequential restore_file would have written it)
                 if pending is not None:
-                    write(*pending)
-                    results.append((pending[0], pending[2]))
+                    todo, pending = pending, None
+                    write(*todo)
+                    results.append((todo[0], todo[2]))
         return results
 
 

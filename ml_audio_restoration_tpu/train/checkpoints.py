@@ -49,14 +49,23 @@ def load_checkpoint(path) -> dict:
 class AsyncCheckpointer:
     """Async checkpoint writes: snapshot to host, serialize on a background
     thread so the train loop never blocks on disk (the orbax-style pattern;
-    the reference's torch.save is fully synchronous, trainer.py:727)."""
+    the reference's torch.save is fully synchronous, trainer.py:727).
+
+    Failure contract: a background write error is re-raised to the caller
+    at the NEXT save()/wait() — never swallowed (training must not run for
+    hours believing checkpoints exist when the disk is full). `on_done`
+    runs on the worker thread only after the atomic rename lands, so
+    retention cleanup can't delete old checkpoints while the new one is
+    still in flight. Callers must wait() before process exit (the thread
+    is daemonic so a hung disk can't block interpreter shutdown forever)."""
 
     def __init__(self):
         import threading
 
         self._thread: threading.Thread | None = None
+        self._error: BaseException | None = None
 
-    def save(self, path, payload: dict):
+    def save(self, path, payload: dict, on_done=None):
         import threading
 
         # device->host snapshot happens HERE (before params can be donated
@@ -65,8 +74,16 @@ class AsyncCheckpointer:
             lambda x: x if isinstance(x, (str, bytes, int, float))
             else np.asarray(x), payload)
         self.wait()
-        self._thread = threading.Thread(
-            target=save_checkpoint, args=(path, snapshot), daemon=True)
+
+        def run():
+            try:
+                save_checkpoint(path, snapshot)
+                if on_done is not None:
+                    on_done()
+            except BaseException as e:
+                self._error = e
+
+        self._thread = threading.Thread(target=run, daemon=True)
         self._thread.start()
         return path
 
@@ -74,6 +91,11 @@ class AsyncCheckpointer:
         if self._thread is not None:
             self._thread.join()
             self._thread = None
+        if self._error is not None:
+            e, self._error = self._error, None
+            raise RuntimeError(
+                "async checkpoint write failed (the checkpoint it reported "
+                "saving does NOT exist on disk)") from e
 
 
 def load_native(path, model: str | None = None):

@@ -116,11 +116,10 @@ class Trainer:
         self._eval_step = jax.jit(partial(self._step, train=False))
         self._render_step = jax.jit(self._render)
 
+        # SIGINT -> checkpoint + clean exit; the handler is installed only
+        # for the duration of train() (and restored after), so Ctrl-C
+        # outside the train loop keeps its normal KeyboardInterrupt meaning
         self.interrupted = False
-        try:
-            signal.signal(signal.SIGINT, self._on_sigint)
-        except ValueError:  # not in main thread (tests)
-            pass
 
     # ------------------------------------------------------------ stepping
     def _on_sigint(self, sig, frame):
@@ -270,8 +269,21 @@ class Trainer:
         # so the host runs ahead and steps pipeline back-to-back on device.
         total = jnp.zeros((), jnp.float32)
         n = 0
+        # multi-host: a rank-local break (SIGINT delivered to one host)
+        # would strand the other ranks in the step's cross-host all-reduce
+        # forever — the break decision is AGREED at the 50-step host-sync
+        # cadence (one tiny DCN collective, bounded staleness). Single-host
+        # keeps the immediate per-step check.
+        multi = dist.process_count() > 1
+        agreed_stop = False
         for i, batch in enumerate(self.train_loader):
-            if self.interrupted:
+            if multi:
+                if i % 50 == 0:
+                    agreed_stop = dist.agree_flag(self.interrupted)
+                if agreed_stop:
+                    self.interrupted = True  # converge the local flag
+                    break
+            elif self.interrupted:
                 break
             batch = shard_batch(self.mesh, batch)
             step_key = jax.random.fold_in(key, i)
@@ -331,11 +343,34 @@ class Trainer:
         print(f"training {self.model_name} on mesh {self.mesh.shape} — "
               f"{count_params(self.state['params']):,} params")
 
+        prev_sigint = None
+        try:
+            prev_sigint = signal.signal(signal.SIGINT, self._on_sigint)
+        except ValueError:  # not in main thread (tests)
+            pass
+        try:
+            return self._train_loop(num_epochs, save_every, base_key,
+                                    test_audio_fn)
+        finally:
+            # surface any background checkpoint-write failure and make sure
+            # the last async write landed before the process can exit
+            if hasattr(self, "_async_ckpt"):
+                self._async_ckpt.wait()
+            if prev_sigint is not None:
+                signal.signal(signal.SIGINT, prev_sigint)
+
+    def _train_loop(self, num_epochs, save_every, base_key, test_audio_fn):
         for epoch in range(self.epoch, num_epochs):
             self.epoch = epoch + 1
             start = time.time()
             train_loss = self.train_epoch(
                 jax.random.fold_in(base_key, 2 * self.epoch))
+            if self._interrupted_all():
+                # checkpoint the partial epoch IMMEDIATELY — a failure in
+                # validation/logging/rendering must not lose the progress
+                # the interrupt handler promised to persist
+                self.save_checkpoint(ckpt.epoch_checkpoint_name(self.epoch))
+                break
             val_loss = self.validate(
                 jax.random.fold_in(base_key, 2 * self.epoch + 1))
             self._plateau_step(val_loss)
@@ -374,10 +409,18 @@ class Trainer:
                 self.save_checkpoint("best_model.msgpack")
                 if test_audio_fn:
                     test_audio_fn(self, "best")
-            if self.interrupted:
+            if self._interrupted_all():  # SIGINT during validate/logging
                 self.save_checkpoint(ckpt.epoch_checkpoint_name(self.epoch))
                 break
         return self.history
+
+    def _interrupted_all(self) -> bool:
+        """Rank-agreed interrupt state (identity single-host). Call sites
+        must be reached the same number of times on every rank — the
+        agreement is a collective."""
+        if dist.process_count() > 1:
+            self.interrupted = dist.agree_flag(self.interrupted)
+        return self.interrupted
 
     def _render(self, state, batch, key):
         """(inputs, targets, restored) for audio logging — jit-compiled."""
@@ -423,15 +466,23 @@ class Trainer:
                         for k, v in self.history.items()},
             "model_name": self.model_name,
         }
+        def retain():
+            # retention must run only AFTER the new checkpoint's atomic
+            # rename lands: deleting the older epoch checkpoints while the
+            # write is still in flight leaves zero epoch checkpoints if the
+            # process dies (or the write fails) before it completes
+            if filename.startswith("checkpoint_epoch_"):
+                ckpt.cleanup_old_epochs(self.checkpoint_dir, path)
+
         if async_:
             if not hasattr(self, "_async_ckpt"):
                 self._async_ckpt = ckpt.AsyncCheckpointer()
-            self._async_ckpt.save(path, payload)
+            self._async_ckpt.save(path, payload, on_done=retain)
+            print(f"checkpoint saving (async): {path}")
         else:
             ckpt.save_checkpoint(path, payload)
-        if filename.startswith("checkpoint_epoch_"):
-            ckpt.cleanup_old_epochs(self.checkpoint_dir, path)
-        print(f"checkpoint saved: {path}")
+            retain()
+            print(f"checkpoint saved: {path}")
 
     def load_checkpoint(self, filename_or_path):
         path = Path(filename_or_path)
@@ -470,17 +521,38 @@ class Trainer:
         (os.replace), so a crash mid-write cannot tear a file — but a
         checkpoint corrupted at rest (disk fault, partial copy from a
         remote sync) must not kill the restart: fall back through older
-        epoch checkpoints, then best_model, warning per skipped file."""
-        candidates = ckpt.all_checkpoints(self.checkpoint_dir)
-        for path in candidates:
+        epoch checkpoints, then best_model, warning per skipped file.
+
+        Multi-host: rank 0 walks the fallback list and every other rank
+        loads exactly the file rank 0 chose — per-rank independent
+        fallback (one rank hits a transient read error, loads an older
+        epoch or starts fresh) would silently desynchronize the replicated
+        params/epoch/step and hang or corrupt the collectives. A
+        non-primary rank that cannot read the agreed file raises instead
+        of diverging."""
+        if dist.process_count() > 1:
+            chosen = ""
+            if dist.is_primary():
+                chosen = self._resume_from_first_readable() or ""
+            chosen = dist.broadcast_from_primary(chosen)
+            if not chosen:
+                return False
+            if not dist.is_primary():
+                self.load_checkpoint(self.checkpoint_dir / chosen)
+            return True
+        return self._resume_from_first_readable() is not None
+
+    def _resume_from_first_readable(self):
+        """Walk the retention list; return the loaded filename or None."""
+        for path in ckpt.all_checkpoints(self.checkpoint_dir):
             try:
                 self.load_checkpoint(path)
-                return True
+                return path.name
             except Exception as e:  # corrupt/unreadable — try the next one
                 import warnings
 
                 warnings.warn(f"skipping unreadable checkpoint {path}: {e}")
-        return False
+        return None
 
 
 def _opt_state_to_tree(opt_state):

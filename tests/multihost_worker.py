@@ -51,6 +51,14 @@ def main():
     ds = RestorationDataset(data_dir, 22050, 0.05)
     shard = dist.shard_indices_by_process(list(range(len(ds))))
 
+    # cross-rank agreement primitives (the interrupt/resume safety layer):
+    # OR over rank-local flags, and rank-0 string broadcast
+    assert dist.agree_flag(rank == 1) is True     # one rank raises the flag
+    assert dist.agree_flag(False) is False
+    assert dist.broadcast_from_primary(
+        "checkpoint_epoch_9.msgpack" if rank == 0 else "WRONG"
+    ) == "checkpoint_epoch_9.msgpack"
+
     history = train_from_config(cfg)
 
     with open(os.path.join(out_dir, f"rank{rank}.json"), "w") as f:

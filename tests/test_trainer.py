@@ -406,3 +406,92 @@ def test_rejected_checkpoint_leaves_trainer_untouched(tmp_path):
     assert tr2.epoch == 0  # untouched — not the rejected file's 7
     after = jax.tree_util.tree_leaves(tr2.state["params"])[0]
     np.testing.assert_array_equal(np.asarray(before), np.asarray(after))
+
+
+def test_async_checkpoint_failure_surfaces_and_retention_waits(tmp_path):
+    """A background checkpoint-write failure must be re-raised at the next
+    wait()/save(), and retention cleanup must only run after the new file's
+    atomic rename lands (never deleting old checkpoints while the write is
+    in flight / failed)."""
+    from ml_audio_restoration_tpu.train.checkpoints import (
+        AsyncCheckpointer, all_checkpoints)
+
+    tr = _make_trainer("denoiser", denoiser, ToyDataset(n=4))
+    tr.checkpoint_dir = tmp_path
+    tr.epoch = 1
+    tr.save_checkpoint("checkpoint_epoch_1.msgpack")
+    tr.epoch = 2
+    tr.save_checkpoint("checkpoint_epoch_2.msgpack", async_=True)
+    tr._async_ckpt.wait()
+    names = [p.name for p in all_checkpoints(tmp_path)]
+    assert "checkpoint_epoch_2.msgpack" in names  # async write landed
+    assert "checkpoint_epoch_1.msgpack" not in names  # then retention ran
+
+    ac = AsyncCheckpointer()
+    blocker = tmp_path / "not_a_dir"
+    blocker.write_text("")  # parent 'directory' is a file -> write fails
+    ac.save(blocker / "x" / "ckpt.msgpack", {"a": np.zeros(3)})
+    with pytest.raises(RuntimeError, match="async checkpoint write failed"):
+        ac.wait()
+    ac.wait()  # error is consumed, not re-raised forever
+
+
+def test_abandoned_loader_iterator_releases_worker(tmp_path):
+    """Breaking out of a DataLoader mid-epoch (SIGINT path) or taking one
+    batch via next(iter(...)) must not leak the prefetch worker blocked in
+    q.put forever."""
+    import gc
+    import threading
+    import time as _time
+
+    from ml_audio_restoration_tpu.data.loader import DataLoader
+
+    before = threading.active_count()
+    for _ in range(3):
+        it = iter(DataLoader(ToyDataset(n=64), 2, num_workers=1,
+                             prefetch=1, shuffle=False))
+        next(it)
+        del it  # abandoned: generator finally sets stop on GC
+    gc.collect()
+    deadline = _time.time() + 5.0
+    while threading.active_count() > before and _time.time() < deadline:
+        _time.sleep(0.05)
+    assert threading.active_count() <= before
+
+
+def test_maybe_resume_multi_host_agreement(tmp_path, monkeypatch):
+    """Multi-host resume: non-primary ranks load exactly the checkpoint
+    rank 0 broadcast — and raise (no silent divergence) when they can't."""
+    from ml_audio_restoration_tpu.parallel import distributed as dist
+
+    tr = _make_trainer("denoiser", denoiser, ToyDataset(n=4))
+    tr.checkpoint_dir = tmp_path
+    tr.epoch = 5
+    tr.save_checkpoint("checkpoint_epoch_5.msgpack")
+
+    sent = {}
+    monkeypatch.setattr(dist, "process_count", lambda: 2)
+    # primary: walks the list, broadcasts its choice
+    monkeypatch.setattr(dist, "is_primary", lambda: True)
+    monkeypatch.setattr(dist, "broadcast_from_primary",
+                        lambda s: sent.setdefault("name", s))
+    tr2 = _make_trainer("denoiser", denoiser, ToyDataset(n=4))
+    tr2.checkpoint_dir = tmp_path
+    assert tr2.maybe_resume() and tr2.epoch == 5
+    assert sent["name"] == "checkpoint_epoch_5.msgpack"
+
+    # non-primary: loads the broadcast name, ignoring its own walk
+    monkeypatch.setattr(dist, "is_primary", lambda: False)
+    monkeypatch.setattr(dist, "broadcast_from_primary",
+                        lambda s: "checkpoint_epoch_5.msgpack")
+    tr3 = _make_trainer("denoiser", denoiser, ToyDataset(n=4))
+    tr3.checkpoint_dir = tmp_path
+    assert tr3.maybe_resume() and tr3.epoch == 5
+
+    # non-primary that cannot read the agreed file must raise, not diverge
+    monkeypatch.setattr(dist, "broadcast_from_primary",
+                        lambda s: "checkpoint_epoch_99.msgpack")
+    tr4 = _make_trainer("denoiser", denoiser, ToyDataset(n=4))
+    tr4.checkpoint_dir = tmp_path
+    with pytest.raises(Exception):
+        tr4.maybe_resume()
