@@ -1,6 +1,7 @@
 """Audio I/O, normalization, resampling and analytics."""
 
-from .wav import read_wav, write_wav, wav_info, WavInfo
+from .wav import (read_wav, write_wav, decode_wav, encode_wav, wav_info,
+                  WavInfo)
 from .flac import read_flac, write_flac, flac_info, FlacInfo
 from .io import (
     load_audio,
@@ -17,6 +18,8 @@ from .io import (
 __all__ = [
     "read_wav",
     "write_wav",
+    "decode_wav",
+    "encode_wav",
     "wav_info",
     "WavInfo",
     "read_flac",

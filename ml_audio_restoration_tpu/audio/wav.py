@@ -125,9 +125,26 @@ def read_wav(path, start: int = 0, frames: int = -1,
     return data, info.sample_rate
 
 
-def write_wav(path, data: np.ndarray, sample_rate: int,
-              subtype: str = "PCM_16"):
-    """Write [T, C] or [T] float data. subtype: PCM_16 | PCM_24 | FLOAT."""
+def decode_wav(buf: bytes, always_2d: bool = True):
+    """Decode an in-memory WAV (e.g. an HTTP request body) ->
+    (float32 [T, C], sr) — same semantics as read_wav without a file."""
+    import io
+
+    f = io.BytesIO(buf)
+    info = _parse_header(f)
+    f.seek(info.data_offset)
+    raw = f.read(min(info.data_size,
+                     info.frames * info.channels * info.bits // 8))
+    data = _decode(raw, info)
+    if not always_2d and info.channels == 1:
+        data = data[:, 0]
+    return data, info.sample_rate
+
+
+def encode_wav(data: np.ndarray, sample_rate: int,
+               subtype: str = "PCM_16") -> bytes:
+    """Encode [T, C] or [T] float data to in-memory WAV bytes (the
+    serving-response path; write_wav is this plus a file write)."""
     data = np.asarray(data)
     if data.ndim == 1:
         data = data[:, None]
@@ -151,12 +168,19 @@ def write_wav(path, data: np.ndarray, sample_rate: int,
         bits, fmt = 16, _PCM
 
     bpf = ch * bits // 8
+    parts = [struct.pack("<4sI4s", b"RIFF", 36 + len(payload), b"WAVE"),
+             struct.pack("<4sIHHIIHH", b"fmt ", 16, fmt, ch, sample_rate,
+                         sample_rate * bpf, bpf, bits),
+             struct.pack("<4sI", b"data", len(payload)),
+             payload]
+    if len(payload) & 1:
+        parts.append(b"\x00")
+    return b"".join(parts)
+
+
+def write_wav(path, data: np.ndarray, sample_rate: int,
+              subtype: str = "PCM_16"):
+    """Write [T, C] or [T] float data. subtype: PCM_16 | PCM_24 | FLOAT."""
     Path(path).parent.mkdir(parents=True, exist_ok=True)
     with open(path, "wb") as f:
-        f.write(struct.pack("<4sI4s", b"RIFF", 36 + len(payload), b"WAVE"))
-        f.write(struct.pack("<4sIHHIIHH", b"fmt ", 16, fmt, ch, sample_rate,
-                            sample_rate * bpf, bpf, bits))
-        f.write(struct.pack("<4sI", b"data", len(payload)))
-        f.write(payload)
-        if len(payload) & 1:
-            f.write(b"\x00")
+        f.write(encode_wav(data, sample_rate, subtype=subtype))

@@ -2,6 +2,7 @@
 
     python -m ml_audio_restoration_tpu.cli restore in.wav out.wav [...]
     python -m ml_audio_restoration_tpu.cli stream in1.wav in2.wav [...]
+    python -m ml_audio_restoration_tpu.cli serve --port 8000 [...]
     python -m ml_audio_restoration_tpu.cli train denoiser --data-dir ... [...]
     python -m ml_audio_restoration_tpu.cli analyze recording.wav
     python -m ml_audio_restoration_tpu.cli bench [...]
@@ -335,6 +336,135 @@ def _cmd_stream(args):
     return 0
 
 
+def _add_serve(sub):
+    p = sub.add_parser(
+        "serve",
+        help="serving daemon: HTTP restore endpoint + TCP PCM streaming")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000,
+                   help="HTTP port (POST /v1/restore, GET /healthz, "
+                        "GET /v1/stats); 0 picks a free port")
+    p.add_argument("--stream-port", type=int, default=None,
+                   help="also serve live PCM streams on this TCP port "
+                        "(one lockstep stream slot per connection; 0 "
+                        "picks a free port)")
+    p.add_argument("--stream-slots", type=int, default=16,
+                   help="concurrent stream connections (the batched "
+                        "restorer's lockstep batch size)")
+    p.add_argument("--block-seconds", type=float, default=0.5,
+                   help="stream block clock (output latency ~ block + "
+                        "lookahead)")
+    p.add_argument("--tick-seconds", type=float, default=None,
+                   help="max wait for a full block before a starved live "
+                        "stream gets silence (default: wait indefinitely "
+                        "— offline/backpressure mode)")
+    p.add_argument("--pcm", choices=["f32le", "s16le"], default="f32le",
+                   help="stream sample format, both directions")
+    p.add_argument("--denoiser", default="models/checkpoints/best_model.pth")
+    p.add_argument("--super-res",
+                   default="models/checkpoints/super_resolution/best_model.pth")
+    p.add_argument("--stereo",
+                   default="models/checkpoints/stereo/best_model.pth")
+    p.add_argument("--no-super-res", action="store_true")
+    p.add_argument("--no-stereo", action="store_true")
+    p.add_argument("--no-denoise", action="store_true")
+    p.add_argument("--config", default=None,
+                   help="YAML overlay whose `pipeline:` section seeds the "
+                        "serving config (e.g. config/fast_serve.yaml)")
+    p.add_argument("--dtype", choices=["float32", "bfloat16"], default=None)
+    p.add_argument("--stereo-chunk-seconds", type=float, default=None)
+    p.add_argument("--stereo-mid-exact", action="store_true")
+    p.add_argument("--stereo-source-rate", action="store_true")
+    p.add_argument("--int8", action="store_true")
+    p.add_argument("--int8-scales", default=None)
+    p.add_argument("--max-queue", type=int, default=8,
+                   help="pending HTTP restores before 503 backpressure")
+    p.add_argument("--data-parallel", type=int, default=None,
+                   help="shard the HTTP pipeline's chunk batch (and the "
+                        "stream batch) over this many devices")
+    return p
+
+
+def _cmd_serve(args):
+    import os
+    import signal
+    import threading
+
+    from .config import load_config
+    from .pipeline import RestorationPipeline, RestorationServer
+    from .pipeline.server import StreamServer
+    from .pipeline.streaming import StreamingRestorer
+
+    config = load_config(args.config).pipeline
+    if args.dtype is not None:
+        config.compute_dtype = args.dtype
+    if args.stereo_chunk_seconds is not None:
+        config.stereo_chunk_seconds = args.stereo_chunk_seconds
+    if args.no_super_res:
+        config.enable_super_resolution = False
+    if args.stereo_mid_exact:
+        config.stereo_mid_exact = True
+    if args.stereo_source_rate:
+        config.stereo_source_rate = True
+    if args.int8:
+        config.quantize_int8 = True
+    mesh = None
+    if args.data_parallel:
+        from .parallel import make_mesh
+
+        mesh = make_mesh(data_parallel=args.data_parallel)
+
+    dn = None if args.no_denoise else args.denoiser
+    sr_ck = None if args.no_super_res else args.super_res
+    st = None if args.no_stereo else args.stereo
+    pipe = RestorationPipeline.from_checkpoints(
+        denoiser_path=dn, super_res_path=sr_ck, stereo_path=st,
+        config=config)
+    pipe.mesh = mesh
+    if args.int8_scales and os.path.exists(args.int8_scales):
+        pipe.load_int8_scales(args.int8_scales)
+
+    http_srv = RestorationServer(pipe, host=args.host, port=args.port,
+                                 max_queue=args.max_queue, quiet=False)
+    http_srv.start()
+    print(f"HTTP serving on http://{http_srv.host}:{http_srv.port} "
+          f"(POST /v1/restore, GET /healthz, GET /v1/stats)")
+
+    stream_srv = None
+    if args.stream_port is not None:
+        restorer = StreamingRestorer.from_checkpoints(
+            denoiser_path=dn, super_res_path=sr_ck, stereo_path=st,
+            batch=args.stream_slots,
+            mid_exact=args.stereo_mid_exact,
+            source_rate=args.stereo_source_rate,
+            quantize_int8=args.int8,
+            int8_scales=(args.int8_scales if args.int8_scales
+                         and os.path.exists(args.int8_scales) else None),
+            mesh=mesh)
+        block = max(1, int(round(args.block_seconds * config.sample_rate)))
+        stream_srv = StreamServer(restorer, host=args.host,
+                                  port=args.stream_port, block=block,
+                                  fmt=args.pcm,
+                                  tick_seconds=args.tick_seconds)
+        stream_srv.start()
+        print(f"PCM streaming on tcp://{stream_srv.host}:{stream_srv.port} "
+              f"({args.stream_slots} slots, {args.pcm} @ "
+              f"{config.sample_rate} Hz in, block {block})")
+
+    stop = threading.Event()
+    signal.signal(signal.SIGINT, lambda *_: stop.set())
+    signal.signal(signal.SIGTERM, lambda *_: stop.set())
+    try:
+        stop.wait()
+    finally:
+        print("shutting down")
+        if stream_srv is not None:
+            stream_srv.shutdown()
+        http_srv.shutdown()
+        _persist_int8_scales(args.int8_scales, pipe)
+    return 0
+
+
 def _add_train(sub):
     p = sub.add_parser("train", help="train a model")
     p.add_argument("model", choices=["denoiser", "super_resolution",
@@ -450,6 +580,7 @@ def main(argv=None):
     sub = parser.add_subparsers(dest="command", required=True)
     _add_restore(sub)
     _add_stream(sub)
+    _add_serve(sub)
     _add_train(sub)
     _add_analyze(sub)
     _add_acquire(sub)
@@ -463,6 +594,8 @@ def main(argv=None):
         return _cmd_restore(args)
     if args.command == "stream":
         return _cmd_stream(args)
+    if args.command == "serve":
+        return _cmd_serve(args)
     if args.command == "train":
         return _cmd_train(args)
     if args.command == "analyze":

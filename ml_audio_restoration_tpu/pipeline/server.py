@@ -1,0 +1,633 @@
+"""Network serving daemon: HTTP batch restore + TCP PCM streaming.
+
+The reference has no serving story at all — its only entry point is a
+per-invocation CLI that reloads checkpoints and recompiles every run
+(/root/reference/src/inference.py:111-143). This module is the production
+frontend over the two serving engines:
+
+- `RestorationServer` — an HTTP service (stdlib http.server, zero new
+  dependencies) exposing `POST /v1/restore` (WAV in -> restored WAV out),
+  `GET /healthz` and `GET /v1/stats`. One device-worker thread serializes
+  jit dispatch while handler threads do decode / D2H / encode, so host work
+  for request i+1 overlaps the device program of request i — the same
+  overlap discipline as `RestorationPipeline.restore_directory`
+  (restore.py). Bounded queue -> 503 backpressure instead of unbounded
+  memory growth.
+
+- `StreamServer` — a raw-TCP streaming frontend over the batched
+  `StreamingRestorer` (streaming.py): each connection is one lockstep
+  stream slot; a block clock feeds all active slots through ONE compiled
+  step per tick, which is how the per-step dispatch latency (the
+  single-stream wall, docs/PERFORMANCE.md "Streaming mode") is amortized
+  across hundreds of concurrent live streams. Protocol = the pipe mode's
+  (cli.py::_stream_pipe) over a socket: the client writes raw mono PCM at
+  the model rate, half-closes when done, and reads restored interleaved
+  PCM (channels x rate x upscale) until the server closes.
+
+Both are exposed as `cli serve` and covered by tests/test_server.py
+(responses bit-match the offline pipeline / streaming outputs).
+"""
+from __future__ import annotations
+
+import json
+import queue
+import socket
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import urlparse, parse_qs
+
+import numpy as np
+
+
+# --------------------------------------------------------------------- HTTP
+
+class _Job:
+    __slots__ = ("audio", "sample_rate", "event", "out", "rate", "error")
+
+    def __init__(self, audio, sample_rate):
+        self.audio = audio
+        self.sample_rate = sample_rate
+        self.event = threading.Event()
+        self.out = None
+        self.rate = None
+        self.error = None
+
+
+class RestorationServer:
+    """HTTP serving over one `RestorationPipeline`.
+
+    POST /v1/restore          body: a WAV file -> 200 body: restored WAV
+        query params: normalize=0   skip input RMS normalization
+                      subtype=FLOAT|PCM_16|PCM_24   output encoding
+    GET  /healthz             liveness + loaded stages
+    GET  /v1/stats            request counters / throughput / queue depth
+
+    The handler threads (one per in-flight request, stdlib threading
+    server) decode + resample + normalize on host, then enqueue the job
+    for the single device worker. The worker only *dispatches*
+    `pipeline.restore` (jax dispatch is async) and immediately picks up
+    the next job; the D2H transfer — which blocks until the device
+    program finishes — happens back on the handler thread, so the worker
+    is already dispatching request i+1 while request i's output
+    transfers and encodes.
+    """
+
+    def __init__(self, pipeline, host: str = "127.0.0.1", port: int = 0,
+                 max_queue: int = 8, max_body_bytes: int = 512 << 20,
+                 request_timeout: float = 600.0, quiet: bool = True):
+        self.pipeline = pipeline
+        self._queue: "queue.Queue[_Job]" = queue.Queue(maxsize=max_queue)
+        self._stats_lock = threading.Lock()
+        self._stats = {"requests": 0, "errors": 0, "rejected": 0,
+                       "audio_seconds_in": 0.0, "busy_seconds": 0.0}
+        self._max_body = max_body_bytes
+        self._timeout = request_timeout
+        self._started = time.monotonic()
+        self._stopping = False
+
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, fmt, *args):  # noqa: N802
+                if not quiet:
+                    BaseHTTPRequestHandler.log_message(self, fmt, *args)
+
+            def do_GET(self):  # noqa: N802
+                server._handle_get(self)
+
+            def do_POST(self):  # noqa: N802
+                server._handle_post(self)
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self._httpd.daemon_threads = True
+        self.host, self.port = self._httpd.server_address[:2]
+        self._worker = threading.Thread(target=self._worker_loop,
+                                        daemon=True, name="restore-worker")
+        self._http_thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True, name="http-accept")
+
+    # ------------------------------------------------------------ lifecycle
+    def start(self):
+        self._worker.start()
+        self._http_thread.start()
+        return self
+
+    def shutdown(self):
+        self._stopping = True
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        self._queue.put(None)  # wake the worker so it can exit
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.shutdown()
+
+    # --------------------------------------------------------------- worker
+    def _worker_loop(self):
+        while True:
+            job = self._queue.get()
+            if job is None:
+                if self._stopping:
+                    return
+                continue
+            t0 = time.monotonic()
+            try:
+                # async dispatch: returns a device array future; the
+                # handler thread pays the blocking D2H
+                job.out, job.rate = self.pipeline.restore(
+                    job.audio, job.sample_rate)
+            except Exception as e:  # surfaced as a 500 on the handler
+                job.error = e
+            with self._stats_lock:
+                self._stats["busy_seconds"] += time.monotonic() - t0
+            job.event.set()
+
+    # ------------------------------------------------------------- handlers
+    def _json(self, h, code: int, payload: dict):
+        body = json.dumps(payload).encode()
+        h.send_response(code)
+        h.send_header("Content-Type", "application/json")
+        h.send_header("Content-Length", str(len(body)))
+        h.end_headers()
+        h.wfile.write(body)
+
+    def _handle_get(self, h):
+        path = urlparse(h.path).path
+        if path == "/healthz":
+            import jax
+
+            stages = [n for n, m in
+                      (("denoiser", self.pipeline.denoiser),
+                       ("super_resolution", self.pipeline.super_resolution),
+                       ("stereo", self.pipeline.stereo)) if m is not None]
+            self._json(h, 200, {
+                "status": "ok",
+                "stages": stages,
+                "devices": [str(d) for d in jax.devices()],
+                "sample_rate": self.pipeline.config.sample_rate,
+                "output_rate": (self.pipeline.config.sample_rate
+                                * self.pipeline.upscale_factor),
+            })
+        elif path == "/v1/stats":
+            with self._stats_lock:
+                stats = dict(self._stats)
+            stats["queue_depth"] = self._queue.qsize()
+            stats["uptime_seconds"] = time.monotonic() - self._started
+            self._json(h, 200, stats)
+        else:
+            self._json(h, 404, {"error": f"no such path: {path}"})
+
+    def _handle_post(self, h):
+        path = urlparse(h.path).path
+        if path != "/v1/restore":
+            self._json(h, 404, {"error": f"no such path: {path}"})
+            return
+        q = parse_qs(urlparse(h.path).query)
+        try:
+            length = int(h.headers.get("Content-Length", "0"))
+        except ValueError:
+            length = 0
+        if length <= 0:
+            self._json(h, 400, {"error": "empty body (send a WAV file)"})
+            return
+        if length > self._max_body:
+            self._json(h, 413, {"error": f"body {length} bytes exceeds "
+                                         f"limit {self._max_body}"})
+            return
+        body = h.rfile.read(length)
+
+        from ..audio import decode_wav, encode_wav, normalize_audio, resample
+
+        try:
+            data, sr_in = decode_wav(body)
+        except Exception as e:  # malformed bodies raise ValueError or
+            # struct.error — either way the client sent a bad WAV
+            self._json(h, 400, {"error": f"cannot decode WAV body: {e}"})
+            with self._stats_lock:
+                self._stats["errors"] += 1
+            return
+
+        audio = data.T.astype(np.float32)  # [C, T]
+        if audio.shape[0] > 1:
+            audio = audio.mean(axis=0, keepdims=True)
+        target_sr = self.pipeline.config.sample_rate
+        if sr_in != target_sr:
+            audio = resample(audio, sr_in, target_sr)
+        if q.get("normalize", ["1"])[0] not in ("0", "false"):
+            audio = np.asarray(normalize_audio(audio))
+
+        job = _Job(audio, target_sr)
+        try:
+            self._queue.put(job, timeout=0.05)
+        except queue.Full:
+            with self._stats_lock:
+                self._stats["rejected"] += 1
+            self._json(h, 503, {"error": "server at capacity, retry later",
+                                "queue_depth": self._queue.qsize()})
+            return
+        if not job.event.wait(self._timeout):
+            with self._stats_lock:
+                self._stats["errors"] += 1
+            self._json(h, 504, {"error": "restore timed out"})
+            return
+        if job.error is not None:
+            with self._stats_lock:
+                self._stats["errors"] += 1
+            self._json(h, 500, {"error": f"{type(job.error).__name__}: "
+                                         f"{job.error}"})
+            return
+
+        # blocking D2H on the handler thread (the worker is already on the
+        # next request), then output normalization exactly like restore_file
+        restored = normalize_audio(np.asarray(job.out))
+        subtype = q.get("subtype", ["PCM_16"])[0]
+        wav = encode_wav(restored.T, job.rate, subtype=subtype)
+        with self._stats_lock:
+            self._stats["requests"] += 1
+            self._stats["audio_seconds_in"] += audio.shape[1] / target_sr
+        h.send_response(200)
+        h.send_header("Content-Type", "audio/wav")
+        h.send_header("Content-Length", str(len(wav)))
+        h.send_header("X-Sample-Rate", str(job.rate))
+        h.send_header("X-Channels", str(restored.shape[0]))
+        h.end_headers()
+        h.wfile.write(wav)
+
+
+# ---------------------------------------------------------------- streaming
+
+class _Slot:
+    """One lockstep stream slot: connection state + sample accounting."""
+
+    __slots__ = ("sock", "inbuf", "eof", "fed", "sent", "owed",
+                 "underruns", "active", "needs_reset", "started", "skip")
+
+    def __init__(self):
+        self.active = False
+        self.sock = None
+        self.inbuf = bytearray()
+        self.eof = False
+        self.fed = 0       # timeline samples consumed into the restorer
+        #                    (client samples + any underrun silence; the
+        #                    silence occupies real output positions)
+        self.sent = 0      # output samples forwarded to the client
+        self.owed = None   # total output samples due (set at EOF)
+        self.underruns = 0
+        self.needs_reset = False
+        self.started = False
+        self.skip = 0      # emitted samples to drop before forwarding: a
+        #                    slot joining mid-clock sees the batch's global
+        #                    emission timeline, whose first (fed - emitted)
+        #                    x f samples predate this stream's first sample
+
+
+class StreamServer:
+    """TCP streaming frontend over a batched StreamingRestorer.
+
+    Each accepted connection takes one of the restorer's `batch` slots
+    (a full house refuses further connections until a slot frees). A
+    block-clock thread assembles a [batch, block] feed every tick —
+    slots advance in lockstep through ONE compiled step, the amortization
+    that makes multi-hundred-stream serving realtime
+    (docs/PERFORMANCE.md "Streaming mode").
+
+    Tick policy: a tick fires as soon as every active, still-sending
+    connection has a full block buffered (offline clients are therefore
+    served as fast as the device allows), or when `tick_seconds` elapses
+    — then a starved live client's missing samples are filled with
+    silence and counted as an underrun, exactly how a realtime audio
+    interface treats a dropout. `tick_seconds=None` waits indefinitely
+    (deterministic; the test-suite mode). After a client half-closes,
+    its slot keeps riding the clock on zero-fill until the final
+    `lookahead` worth of output drains (the flush contract), then the
+    server closes the connection.
+
+    Sample format `fmt`: "f32le" | "s16le", both directions (input mono
+    at the model rate; output interleaved channels at rate x upscale).
+    """
+
+    def __init__(self, restorer, host: str = "127.0.0.1", port: int = 0,
+                 block: int = 11025, fmt: str = "f32le",
+                 tick_seconds: float | None = None, quiet: bool = True):
+        if fmt not in ("f32le", "s16le"):
+            raise ValueError(f"fmt must be f32le|s16le, got {fmt!r}")
+        self.restorer = restorer
+        # round the block up to the restorer's alignment (the U-Net pooling
+        # grid): a multiple-of-align block keeps every late-joining slot's
+        # local timeline on the same grid phase as a fresh restorer, which
+        # is what makes per-stream output bit-match an independent restorer
+        self.block = -(-int(block) // restorer._align) * restorer._align
+        self.fmt = fmt
+        self.dtype = np.dtype(np.float32 if fmt == "f32le" else np.int16)
+        self.tick_seconds = tick_seconds
+        self.quiet = quiet
+        self._slots = [_Slot() for _ in range(restorer.batch)]
+        self._cv = threading.Condition()
+        self._stopping = False
+        self._stats = {"connections": 0, "refused": 0, "underruns": 0,
+                       "ticks": 0, "samples_in": 0}
+
+        self._listener = socket.create_server((host, port))
+        self.host, self.port = self._listener.getsockname()[:2]
+        self._accept_thread = threading.Thread(
+            target=self._accept_loop, daemon=True, name="stream-accept")
+        self._clock_thread = threading.Thread(
+            target=self._clock_loop, daemon=True, name="stream-clock")
+
+    # ------------------------------------------------------------ lifecycle
+    def start(self):
+        self._accept_thread.start()
+        self._clock_thread.start()
+        return self
+
+    def shutdown(self):
+        with self._cv:
+            self._stopping = True
+            self._cv.notify_all()
+        try:
+            self._listener.close()
+        except OSError:
+            pass
+        for s in self._slots:
+            if s.sock is not None:
+                try:
+                    s.sock.close()
+                except OSError:
+                    pass
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.shutdown()
+
+    def stats(self) -> dict:
+        with self._cv:
+            d = dict(self._stats)
+            d["active_streams"] = sum(s.active for s in self._slots)
+        return d
+
+    # --------------------------------------------------------------- accept
+    def _accept_loop(self):
+        while not self._stopping:
+            try:
+                sock, addr = self._listener.accept()
+            except OSError:
+                return
+            with self._cv:
+                idx = next((i for i, s in enumerate(self._slots)
+                            if not s.active), None)
+                if idx is None:
+                    self._stats["refused"] += 1
+                    try:
+                        sock.close()
+                    except OSError:
+                        pass
+                    continue
+                slot = self._slots[idx]
+                slot.__init__()  # reset accounting
+                slot.active = True
+                slot.sock = sock
+                # the restorer's per-slot recurrent/conv state is zeroed by
+                # the CLOCK thread right before this slot's first feed
+                # (reset_stream must not race the in-flight device step —
+                # only the clock thread touches the restorer)
+                slot.needs_reset = True
+                self._stats["connections"] += 1
+                self._cv.notify_all()
+            threading.Thread(target=self._read_loop, args=(idx, sock),
+                             daemon=True, name=f"stream-read-{idx}").start()
+
+    def _read_loop(self, idx: int, sock: socket.socket):
+        slot = self._slots[idx]
+        while True:
+            try:
+                buf = sock.recv(1 << 16)
+            except OSError:
+                buf = b""
+            with self._cv:
+                if not slot.active or slot.sock is not sock:
+                    return
+                if buf:
+                    slot.inbuf.extend(buf)
+                else:
+                    slot.eof = True
+                    # total output due: every real input sample yields
+                    # upscale_factor output samples
+                    whole = len(slot.inbuf) // self.dtype.itemsize
+                    slot.owed = (slot.fed + whole) * self.restorer.f
+                self._cv.notify_all()
+                if not buf:
+                    return
+
+    # ---------------------------------------------------------------- clock
+    def _ready(self):
+        """A tick may fire when some slot is active AND every active,
+        still-sending slot has a full block (or has hit EOF)."""
+        active = [s for s in self._slots if s.active]
+        if not active:
+            return False
+        want = self.block * self.dtype.itemsize
+        return all(s.eof or len(s.inbuf) >= want for s in active)
+
+    def _clock_loop(self):
+        while True:
+            with self._cv:
+                deadline = (None if self.tick_seconds is None
+                            else time.monotonic() + self.tick_seconds)
+                while not self._stopping and not self._ready():
+                    if not any(s.active for s in self._slots):
+                        # fully idle: sleep until a connection arrives,
+                        # then restart the tick timer
+                        self._cv.wait()
+                        deadline = (None if self.tick_seconds is None else
+                                    time.monotonic() + self.tick_seconds)
+                        continue
+                    if deadline is None:
+                        self._cv.wait()
+                    else:
+                        left = deadline - time.monotonic()
+                        if left <= 0:
+                            break  # timed tick: starved slots get silence
+                        self._cv.wait(timeout=left)
+                if self._stopping:
+                    return
+                for i, s in enumerate(self._slots):
+                    if s.needs_reset:
+                        self.restorer.reset_stream(i)
+                        s.needs_reset = False
+                feed, outputs = self._assemble_feed()
+            # the device step runs OUTSIDE the lock so reads keep landing
+            out = self.restorer.feed(feed)
+            if out.ndim == 2:
+                out = out[None]
+            self._dispatch_output(out, outputs)
+
+    def _assemble_feed(self):
+        """Under the lock: consume up to one block per active slot
+        (zero-filling shortfalls), return the [B, block] feed and the
+        list of slots that expect output."""
+        want_bytes = self.block * self.dtype.itemsize
+        feed = np.zeros((len(self._slots), self.block), np.float32)
+        receivers = []
+        for i, s in enumerate(self._slots):
+            if not s.active:
+                continue
+            if not s.started:
+                # the restorer's emission lags its feeds by the lookahead
+                # holdback; everything already in flight belongs to the
+                # OTHER streams' timeline — this slot's samples begin at
+                # the current global feed position
+                s.skip = ((self.restorer._fed - self.restorer._emitted)
+                          * self.restorer.f)
+                s.started = True
+            take = min(len(s.inbuf) // self.dtype.itemsize, self.block)
+            if take:
+                raw = bytes(s.inbuf[:take * self.dtype.itemsize])
+                del s.inbuf[:take * self.dtype.itemsize]
+                x = np.frombuffer(raw, self.dtype).astype(np.float32)
+                if self.fmt == "s16le":
+                    x /= 32768.0
+                feed[i, :take] = x
+            if take < self.block and not s.eof:
+                s.underruns += 1
+                self._stats["underruns"] += 1
+            # pre-EOF, the whole block enters the stream's timeline (any
+            # shortfall was filled with silence — a rendered dropout the
+            # client is owed); post-EOF zero-fill is flush padding, not owed
+            s.fed += take if s.eof else self.block
+            self._stats["samples_in"] += take
+            receivers.append(i)
+        self._stats["ticks"] += 1
+        return feed, receivers
+
+    def _dispatch_output(self, out: np.ndarray, receivers):
+        """Forward each receiving slot's new output samples; close slots
+        whose post-EOF drain is complete."""
+        for i in receivers:
+            s = self._slots[i]
+            with self._cv:
+                if not s.active:
+                    continue
+                sock = s.sock
+                seg = out[i]  # [ch, m*f]
+                # drop any pre-join samples, then cap at what the client
+                # is owed (the EOF drain overshoots)
+                drop = min(s.skip, seg.shape[1])
+                s.skip -= drop
+                seg = seg[:, drop:]
+                total = seg.shape[1]
+                limit = (s.owed - s.sent if s.owed is not None else total)
+                n = max(0, min(total, limit))
+                s.sent += total
+                done = s.eof and s.owed is not None and s.sent >= s.owed
+            if n > 0:
+                inter = np.ascontiguousarray(seg[:, :n].T)  # [n, ch]
+                if self.fmt == "s16le":
+                    payload = np.clip(np.rint(inter * 32767.0), -32768,
+                                      32767).astype("<i2").tobytes()
+                else:
+                    payload = inter.astype("<f4").tobytes()
+                try:
+                    sock.sendall(payload)
+                except OSError:
+                    done = True  # client went away: free the slot
+            if done:
+                self._close_slot(i)
+
+    def _close_slot(self, idx: int):
+        with self._cv:
+            s = self._slots[idx]
+            if not s.active:
+                return
+            sock, s.sock, s.active = s.sock, None, False
+            s.inbuf.clear()
+            self._cv.notify_all()
+        try:
+            sock.shutdown(socket.SHUT_RDWR)
+        except OSError:
+            pass
+        try:
+            sock.close()
+        except OSError:
+            pass
+
+
+# --------------------------------------------------------------- client lib
+
+def restore_over_http(url_host: str, port: int, wav_bytes: bytes,
+                      normalize: bool = True, subtype: str = "PCM_16",
+                      timeout: float = 600.0):
+    """Minimal client for RestorationServer (stdlib http.client): send WAV
+    bytes, return (restored [C, T] float32, rate). Raises RuntimeError with
+    the server's error message on non-200."""
+    import http.client
+
+    from ..audio import decode_wav
+
+    conn = http.client.HTTPConnection(url_host, port, timeout=timeout)
+    try:
+        path = f"/v1/restore?subtype={subtype}"
+        if not normalize:
+            path += "&normalize=0"
+        conn.request("POST", path, body=wav_bytes,
+                     headers={"Content-Type": "audio/wav"})
+        resp = conn.getresponse()
+        body = resp.read()
+        if resp.status != 200:
+            raise RuntimeError(f"server returned {resp.status}: "
+                               f"{body[:500].decode(errors='replace')}")
+        data, rate = decode_wav(body)
+        return data.T.astype(np.float32), rate
+    finally:
+        conn.close()
+
+
+def stream_over_tcp(host: str, port: int, samples: np.ndarray,
+                    fmt: str = "f32le", block: int = 4096,
+                    channels: int = 1, timeout: float = 600.0):
+    """Minimal client for StreamServer: stream mono `samples` (float32 at
+    the model rate), half-close, collect the restored interleaved PCM ->
+    [channels, T_out] float32. A writer thread feeds while the main thread
+    reads, so large streams can't deadlock on TCP buffers."""
+    dtype = np.dtype(np.float32 if fmt == "f32le" else np.int16)
+    x = np.asarray(samples, np.float32).reshape(-1)
+    if fmt == "s16le":
+        payload = np.clip(np.rint(x * 32767.0), -32768,
+                          32767).astype("<i2").tobytes()
+    else:
+        payload = x.astype("<f4").tobytes()
+
+    sock = socket.create_connection((host, port), timeout=timeout)
+
+    def write():
+        try:
+            for off in range(0, len(payload), block * dtype.itemsize):
+                sock.sendall(payload[off:off + block * dtype.itemsize])
+            sock.shutdown(socket.SHUT_WR)
+        except OSError:
+            pass
+
+    w = threading.Thread(target=write, daemon=True)
+    w.start()
+    chunks = []
+    while True:
+        try:
+            buf = sock.recv(1 << 16)
+        except OSError:
+            break
+        if not buf:
+            break
+        chunks.append(buf)
+    w.join(timeout=timeout)
+    sock.close()
+    raw = b"".join(chunks)
+    y = np.frombuffer(raw, dtype).astype(np.float32)
+    if fmt == "s16le":
+        y /= 32768.0
+    return y.reshape(-1, channels).T  # de-interleave -> [ch, T_out]

@@ -1,0 +1,376 @@
+"""Serving daemon tests: the HTTP restore endpoint and the TCP PCM stream
+server must reproduce the offline pipeline / streaming outputs exactly
+(pipeline/server.py). All sockets bind 127.0.0.1 on ephemeral ports."""
+import json
+import socket
+import threading
+import time
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+import jax
+
+from ml_audio_restoration_tpu.audio import (decode_wav, encode_wav,
+                                            normalize_audio)
+from ml_audio_restoration_tpu.config import PipelineConfig
+from ml_audio_restoration_tpu.models import denoiser
+from ml_audio_restoration_tpu.pipeline import (RestorationPipeline,
+                                               RestorationServer,
+                                               StreamingRestorer,
+                                               StreamServer)
+from ml_audio_restoration_tpu.pipeline.server import (restore_over_http,
+                                                      stream_over_tcp)
+
+SR = 22050
+
+
+@pytest.fixture(scope="module")
+def dn_stage():
+    params, state = denoiser.init(jax.random.PRNGKey(0))
+    return params, state
+
+
+@pytest.fixture(scope="module")
+def sine():
+    t = np.arange(int(1.5 * SR)) / SR
+    return (0.4 * np.sin(2 * np.pi * 220 * t)
+            + 0.1 * np.sin(2 * np.pi * 1450 * t)).astype(np.float32)
+
+
+def _pipe(dn_stage, **cfg):
+    config = PipelineConfig(chunk_seconds=0.25, overlap_seconds=0.02, **cfg)
+    return RestorationPipeline(denoiser=dn_stage, config=config)
+
+
+# ------------------------------------------------------------------- codec
+
+def test_wav_bytes_roundtrip(sine):
+    buf = encode_wav(np.stack([sine, 0.5 * sine], axis=1), SR,
+                     subtype="FLOAT")
+    data, rate = decode_wav(buf)
+    assert rate == SR
+    np.testing.assert_array_equal(data[:, 0], sine)
+    np.testing.assert_array_equal(data[:, 1], (0.5 * sine).astype(np.float32))
+
+
+# -------------------------------------------------------------------- HTTP
+
+def test_http_restore_matches_pipeline(dn_stage, sine):
+    """POST /v1/restore == restore() + output normalization, bit-exact
+    (FLOAT response subtype so the comparison isn't PCM-quantized)."""
+    pipe = _pipe(dn_stage)
+    with RestorationServer(pipe) as srv:
+        body = encode_wav(sine[:, None], SR, subtype="FLOAT")
+        got, rate = restore_over_http(srv.host, srv.port, body,
+                                      subtype="FLOAT")
+    ref_pipe = _pipe(dn_stage)
+    want, want_rate = ref_pipe.restore(
+        np.asarray(normalize_audio(sine[None])), SR)
+    want = normalize_audio(np.asarray(want))
+    assert rate == want_rate == SR
+    np.testing.assert_array_equal(got, np.asarray(want, np.float32))
+
+
+def test_http_healthz_stats_and_errors(dn_stage, sine):
+    pipe = _pipe(dn_stage)
+    with RestorationServer(pipe) as srv:
+        base = f"http://{srv.host}:{srv.port}"
+        health = json.load(urllib.request.urlopen(f"{base}/healthz"))
+        assert health["status"] == "ok"
+        assert health["stages"] == ["denoiser"]
+        assert health["sample_rate"] == SR
+
+        # bad body -> 400 with a JSON error
+        req = urllib.request.Request(f"{base}/v1/restore",
+                                     data=b"not a wav", method="POST")
+        with pytest.raises(urllib.error.HTTPError) as err:
+            urllib.request.urlopen(req)
+        assert err.value.code == 400
+        assert "cannot decode" in json.load(err.value)["error"]
+
+        # unknown path -> 404
+        with pytest.raises(urllib.error.HTTPError) as err:
+            urllib.request.urlopen(f"{base}/nope")
+        assert err.value.code == 404
+
+        # one good request, then stats reflect it
+        body = encode_wav(sine[:, None], SR)
+        restore_over_http(srv.host, srv.port, body)
+        stats = json.load(urllib.request.urlopen(f"{base}/v1/stats"))
+        assert stats["requests"] == 1
+        assert stats["errors"] == 1  # the 400 above
+        assert stats["audio_seconds_in"] == pytest.approx(1.5, abs=0.01)
+
+
+def test_http_concurrent_requests_each_correct(dn_stage):
+    """Three overlapping clients with different signals each get exactly
+    their own restoration (the worker serializes the device, handlers
+    overlap decode/encode)."""
+    pipe = _pipe(dn_stage)
+    t = np.arange(SR) / SR
+    signals = [(0.3 * np.sin(2 * np.pi * f0 * t)).astype(np.float32)
+               for f0 in (180, 440, 900)]
+    results = {}
+
+    with RestorationServer(pipe) as srv:
+        def post(i):
+            body = encode_wav(signals[i][:, None], SR, subtype="FLOAT")
+            results[i] = restore_over_http(srv.host, srv.port, body,
+                                           subtype="FLOAT")
+
+        threads = [threading.Thread(target=post, args=(i,))
+                   for i in range(3)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=300)
+
+    assert set(results) == {0, 1, 2}
+    ref = _pipe(dn_stage)
+    for i, sig in enumerate(signals):
+        want, _ = ref.restore(np.asarray(normalize_audio(sig[None])), SR)
+        want = np.asarray(normalize_audio(np.asarray(want)), np.float32)
+        got, rate = results[i]
+        assert rate == SR
+        np.testing.assert_array_equal(got, want)
+
+
+def test_http_normalize_off(dn_stage, sine):
+    """?normalize=0 skips INPUT normalization (output normalization is
+    unconditional, matching restore_file's contract)."""
+    pipe = _pipe(dn_stage)
+    with RestorationServer(pipe) as srv:
+        body = encode_wav(sine[:, None], SR, subtype="FLOAT")
+        got, _ = restore_over_http(srv.host, srv.port, body,
+                                   normalize=False, subtype="FLOAT")
+    want, _ = _pipe(dn_stage).restore(sine[None], SR)
+    want = np.asarray(normalize_audio(np.asarray(want)), np.float32)
+    np.testing.assert_array_equal(got, want)
+
+
+# --------------------------------------------------------------- streaming
+
+def test_stream_server_matches_direct_restorer(dn_stage, sine):
+    """One TCP stream == a direct single-stream StreamingRestorer fed the
+    same samples (the server's zero-fill drain == flush padding)."""
+    block = 2048
+    srv_restorer = StreamingRestorer(denoiser=dn_stage, batch=2)
+    with StreamServer(srv_restorer, block=block) as srv:
+        got = stream_over_tcp(srv.host, srv.port, sine, block=block)
+
+    direct = StreamingRestorer(denoiser=dn_stage)
+    outs = [direct.feed(sine[i:i + block])
+            for i in range(0, len(sine), block)]
+    outs.append(direct.flush())
+    want = np.concatenate([o for o in outs if o.shape[-1]], axis=-1)
+    assert got.shape == (1, len(sine))
+    np.testing.assert_array_equal(got, want[:, :len(sine)])
+
+
+def test_stream_server_two_concurrent_streams(dn_stage):
+    """Two lockstep connections each bit-match an independent restorer."""
+    block = 2048
+    t = np.arange(int(0.9 * SR)) / SR
+    sigs = [(0.3 * np.sin(2 * np.pi * 250 * t)).astype(np.float32),
+            (0.3 * np.sin(2 * np.pi * 620 * t)).astype(np.float32)]
+
+    srv_restorer = StreamingRestorer(denoiser=dn_stage, batch=2)
+    results = {}
+    with StreamServer(srv_restorer, block=block) as srv:
+        def run(i):
+            results[i] = stream_over_tcp(srv.host, srv.port, sigs[i],
+                                         block=block)
+
+        threads = [threading.Thread(target=run, args=(i,)) for i in range(2)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=300)
+
+    assert set(results) == {0, 1}
+    for i, sig in enumerate(sigs):
+        direct = StreamingRestorer(denoiser=dn_stage)
+        outs = [direct.feed(sig[k:k + block])
+                for k in range(0, len(sig), block)]
+        outs.append(direct.flush())
+        want = np.concatenate([o for o in outs if o.shape[-1]], axis=-1)
+        np.testing.assert_array_equal(results[i], want[:, :len(sig)])
+
+
+def test_stream_server_late_join_skips_pre_join_timeline(dn_stage):
+    """A stream that connects AFTER the clock has advanced must not receive
+    the batch's pre-join emission (the lockstep timeline it wasn't part
+    of): its output still bit-matches an independent restorer."""
+    block = 2048
+    t = np.arange(int(0.7 * SR)) / SR
+    early = (0.3 * np.sin(2 * np.pi * 210 * t)).astype(np.float32)
+    late = (0.3 * np.sin(2 * np.pi * 770 * t)).astype(np.float32)
+
+    srv_restorer = StreamingRestorer(denoiser=dn_stage, batch=2)
+    with StreamServer(srv_restorer, block=block) as srv:
+        results = {}
+
+        def run_early():
+            results["early"] = stream_over_tcp(srv.host, srv.port, early,
+                                               block=block)
+
+        th = threading.Thread(target=run_early)
+        th.start()
+        # wait until the clock has demonstrably advanced (emission lags
+        # feeds, so ticks > 1 means the global timeline is past zero)
+        deadline = time.monotonic() + 120
+        while srv.stats()["ticks"] < 2 and time.monotonic() < deadline:
+            time.sleep(0.01)
+        assert srv.stats()["ticks"] >= 2
+        results["late"] = stream_over_tcp(srv.host, srv.port, late,
+                                          block=block)
+        th.join(timeout=300)
+
+    for name, sig in (("early", early), ("late", late)):
+        direct = StreamingRestorer(denoiser=dn_stage)
+        outs = [direct.feed(sig[k:k + block])
+                for k in range(0, len(sig), block)]
+        outs.append(direct.flush())
+        want = np.concatenate([o for o in outs if o.shape[-1]], axis=-1)
+        np.testing.assert_array_equal(results[name], want[:, :len(sig)],
+                                      err_msg=name)
+
+
+def test_stream_server_slot_reuse(dn_stage):
+    """A second connection after the first finishes reuses its slot with a
+    clean state (reset_stream before the first feed): identical input ->
+    identical output."""
+    block = 2048
+    t = np.arange(int(0.6 * SR)) / SR
+    sig = (0.3 * np.sin(2 * np.pi * 333 * t)).astype(np.float32)
+
+    srv_restorer = StreamingRestorer(denoiser=dn_stage, batch=1)
+    with StreamServer(srv_restorer, block=block) as srv:
+        first = stream_over_tcp(srv.host, srv.port, sig, block=block)
+        # wait for the slot to free before reconnecting
+        deadline = time.monotonic() + 60
+        while srv.stats()["active_streams"] and time.monotonic() < deadline:
+            time.sleep(0.02)
+        second = stream_over_tcp(srv.host, srv.port, sig, block=block)
+        stats = srv.stats()
+
+    np.testing.assert_array_equal(first, second)
+    assert stats["connections"] == 2
+
+
+def test_stream_server_refuses_when_full(dn_stage):
+    """batch=1 server: a second simultaneous connection is closed without
+    output (refused), the first is unaffected."""
+    block = 1024
+    t = np.arange(int(0.4 * SR)) / SR
+    sig = (0.3 * np.sin(2 * np.pi * 400 * t)).astype(np.float32)
+
+    srv_restorer = StreamingRestorer(denoiser=dn_stage, batch=1)
+    with StreamServer(srv_restorer, block=block) as srv:
+        # occupy the only slot with a half-open connection
+        holder = socket.create_connection((srv.host, srv.port), timeout=60)
+        holder.sendall(np.zeros(block, np.float32).tobytes())
+        deadline = time.monotonic() + 60
+        while (srv.stats()["active_streams"] == 0
+               and time.monotonic() < deadline):
+            time.sleep(0.02)
+
+        second = socket.create_connection((srv.host, srv.port), timeout=60)
+        second.settimeout(60)
+        # refused connections are closed immediately: recv -> b""
+        assert second.recv(4) == b""
+        second.close()
+
+        holder.shutdown(socket.SHUT_WR)
+        out = bytearray()
+        while True:
+            buf = holder.recv(1 << 16)
+            if not buf:
+                break
+            out.extend(buf)
+        holder.close()
+        stats = srv.stats()
+
+    assert stats["refused"] == 1
+    assert len(out) == block * 4  # full first block restored and returned
+
+
+def test_cli_serve_smoke(dn_stage, tmp_path):
+    """`cli serve` end-to-end in a subprocess: starts, answers /healthz,
+    restores over HTTP, shuts down cleanly on SIGINT."""
+    import re
+    import signal
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    from ml_audio_restoration_tpu.compat import save_pth
+
+    ckpt = tmp_path / "dn.pth"
+    save_pth(ckpt, "denoiser", *dn_stage)
+    repo = Path(__file__).resolve().parent.parent
+
+    script = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "from ml_audio_restoration_tpu.cli import main\n"
+        f"main(['serve', '--port', '0', '--denoiser', {str(ckpt)!r},\n"
+        "      '--no-super-res', '--no-stereo'])\n")
+    proc = subprocess.Popen([sys.executable, "-u", "-c", script],
+                            stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT, text=True, cwd=repo)
+    try:
+        port = None
+        deadline = time.monotonic() + 120
+        while time.monotonic() < deadline:
+            line = proc.stdout.readline()
+            m = re.search(r"http://[\d.]+:(\d+)", line or "")
+            if m:
+                port = int(m.group(1))
+                break
+            assert proc.poll() is None, "serve exited early"
+        assert port is not None, "serve never announced its port"
+
+        health = json.load(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz", timeout=60))
+        assert health["status"] == "ok"
+
+        t = np.arange(SR // 2) / SR
+        sig = (0.3 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+        body = encode_wav(sig[:, None], SR)
+        got, rate = restore_over_http("127.0.0.1", port, body)
+        assert rate == SR and got.shape == (1, len(sig))
+    finally:
+        proc.send_signal(signal.SIGINT)
+        try:
+            proc.wait(timeout=60)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+    assert proc.returncode == 0
+
+
+def test_stream_server_s16le(dn_stage):
+    """s16le transport: output matches the f32 path up to 16-bit
+    quantization of input and output."""
+    block = 2048
+    t = np.arange(int(0.5 * SR)) / SR
+    sig = (0.3 * np.sin(2 * np.pi * 500 * t)).astype(np.float32)
+    # what the server will see after s16 encode->decode of the input
+    sig_q = np.clip(np.rint(sig * 32767.0), -32768, 32767) / 32768.0
+    sig_q = sig_q.astype(np.float32)
+
+    srv_restorer = StreamingRestorer(denoiser=dn_stage, batch=1)
+    with StreamServer(srv_restorer, block=block, fmt="s16le") as srv:
+        got = stream_over_tcp(srv.host, srv.port, sig, fmt="s16le",
+                              block=block)
+
+    direct = StreamingRestorer(denoiser=dn_stage)
+    outs = [direct.feed(sig_q[k:k + block])
+            for k in range(0, len(sig_q), block)]
+    outs.append(direct.flush())
+    want = np.concatenate([o for o in outs if o.shape[-1]],
+                          axis=-1)[:, :len(sig)]
+    assert got.shape == want.shape
+    # output went through one s16 round trip
+    assert np.max(np.abs(got - want)) <= 1.0 / 32768.0 + 1e-7
