@@ -419,6 +419,37 @@ def main():
         extra["fast_serve_src_xrt"] = round(xrt, 1)
         bases["fast_serve_src_xrt"] = basis
 
+    # coalesced short-request serving (restore_many — the HTTP daemon's
+    # dynamic batching): K short recordings through ONE combined chunk-batch
+    # program vs K individual bucket-padded programs. Device basis (sum of
+    # module spans) — the win is bucket padding + per-request program count,
+    # both device-side effects.
+    if budget_ok("coalesce_speedup"):
+        k_req, req_s = 6, 10.0
+        shorts = [_make_audio(req_s, sr) for _ in range(k_req)]
+
+        def run_individual():
+            for a in shorts:
+                _sync(full.restore(a, sr)[0])
+
+        def run_coalesced():
+            for o, _ in full.restore_many(shorts, sr):
+                _sync(o)
+
+        try:
+            run_individual()  # compile + warm
+            run_coalesced()
+            ind_ms = sum(_device_spans(run_individual))
+            co_ms = sum(_device_spans(run_coalesced))
+            if ind_ms > 0 and co_ms > 0:
+                extra["coalesce_individual_ms"] = round(ind_ms, 1)
+                extra["coalesce_coalesced_ms"] = round(co_ms, 1)
+                extra["coalesce_speedup"] = round(ind_ms / co_ms, 2)
+                extra["coalesce_requests"] = k_req
+                bases["coalesce_speedup"] = "device"
+        except RuntimeError:
+            skipped.append("no device plane at coalesce_speedup")
+
     # training throughput, all three families (BASELINE config 5 is the
     # denoiser one: batch 2, 2-s chunks, combined time-MSE + spectral loss;
     # on-device degradation included for the denoiser)

@@ -35,6 +35,10 @@ def _add_restore(sub):
     p.add_argument("--no-denoise", action="store_true")
     p.add_argument("--whole-file", action="store_true",
                    help="single unchunked forward (reference behavior)")
+    p.add_argument("--coalesce", type=int, default=4,
+                   help="directory mode: files per combined device batch "
+                        "(restore_many dynamic batching; 1 = one program "
+                        "per file)")
     p.add_argument("--config", default=None,
                    help="YAML overlay whose `pipeline:` section seeds the "
                         "serving config (e.g. config/fast_serve.yaml); "
@@ -117,7 +121,8 @@ def _cmd_restore(args):
     if args.int8_scales and os.path.exists(args.int8_scales):
         pipe.load_int8_scales(args.int8_scales)
     if os.path.isdir(args.input):
-        results = pipe.restore_directory(args.input, args.output)
+        results = pipe.restore_directory(args.input, args.output,
+                                         coalesce=args.coalesce)
         for out, rate in results:
             print(f"restored -> {out} @ {rate} Hz")
         print(f"{len(results)} files restored")
@@ -379,6 +384,9 @@ def _add_serve(sub):
     p.add_argument("--int8-scales", default=None)
     p.add_argument("--max-queue", type=int, default=8,
                    help="pending HTTP restores before 503 backpressure")
+    p.add_argument("--max-coalesce", type=int, default=4,
+                   help="queued HTTP restores coalesced into one device "
+                        "program (dynamic batching; 1 disables)")
     p.add_argument("--data-parallel", type=int, default=None,
                    help="shard the HTTP pipeline's chunk batch (and the "
                         "stream batch) over this many devices")
@@ -425,7 +433,8 @@ def _cmd_serve(args):
         pipe.load_int8_scales(args.int8_scales)
 
     http_srv = RestorationServer(pipe, host=args.host, port=args.port,
-                                 max_queue=args.max_queue, quiet=False)
+                                 max_queue=args.max_queue,
+                                 max_coalesce=args.max_coalesce, quiet=False)
     http_srv.start()
     print(f"HTTP serving on http://{http_srv.host}:{http_srv.port} "
           f"(POST /v1/restore, GET /healthz, GET /v1/stats)")

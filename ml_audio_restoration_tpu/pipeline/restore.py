@@ -203,17 +203,22 @@ class RestorationPipeline:
     def out_channels(self) -> int:
         return 2 if self.stereo is not None else 1
 
-    def _get_processor(self, n_chunks: int, chunk_size: int, hop: int,
-                       overlap: int):
-        key = (n_chunks, chunk_size, hop, self._stages_key(),
-               self.config.compute_dtype, self.config.stereo_chunk_seconds,
-               self.config.stereo_mid_exact, self.config.stereo_source_rate,
-               self.config.packed_convs,
-               self.config.quantize_int8, self.config.int8_scope,
-               self._int8_version)
-        if key in self._compiled:
-            return self._compiled[key]
+    def _config_key(self):
+        """Config fields that select a compiled program (shared by every
+        processor cache key so a config/int8 change can't alias)."""
+        return (self._stages_key(),
+                self.config.compute_dtype, self.config.stereo_chunk_seconds,
+                self.config.stereo_mid_exact, self.config.stereo_source_rate,
+                self.config.packed_convs,
+                self.config.quantize_int8, self.config.int8_scope,
+                self._int8_version)
 
+    def _build_stage_stack(self, chunk_size: int):
+        """The per-chunk model stack: fn(dn, sr, st, x[N, chunk, 1] f32) ->
+        [N, C_out, chunk*f] f32. All routing decisions (packed / grouped /
+        int8 / source-rate / mid-exact / stereo sub-chunking) live here so
+        the single-recording processor and the coalesced multi-recording
+        processor (`restore_many`) run the exact same computation."""
         dtype = jnp.dtype(self.config.compute_dtype)
         has_dn, has_sr, has_st = self._stages_key()
         f = self.upscale_factor
@@ -271,13 +276,10 @@ class RestorationPipeline:
 
         mesh = self.mesh
 
-        def process(dn, sr, st, audio_padded, valid):
-            # frame -> stages -> overlap-add, all in ONE XLA program, with
-            # reshape-based framing/reassembly (no gather/scatter HLOs).
-            # `valid` = number of real (non-bucketing-padding) chunks; traced
-            # so all chunk counts share one compiled program.
+        def stack(dn, sr, st, chunks):
+            # the model stack over a chunk batch [N, chunk, 1] -> per-chunk
+            # outputs [N, C_out, chunk*f]; no framing/reassembly here
             dn, sr, st = cast(dn), cast(sr), cast(st)
-            chunks = frame_structured(audio_padded, n_chunks, chunk_size, hop)
             x = chunks.astype(dtype)  # [N, chunk, C]
             if mesh is not None:
                 # shard the chunk batch over 'data' AND the time axis over
@@ -340,12 +342,68 @@ class RestorationPipeline:
                         side = (y[..., 0:1] - y[..., 1:2]) * 0.5
                         y = jnp.concatenate([x + side, x - side], axis=-1)
                     x = y
-            x = x.astype(jnp.float32).transpose(0, 2, 1)  # [N, C_out, chunk*f]
+            return x.astype(jnp.float32).transpose(0, 2, 1)  # [N,C_out,ch*f]
+
+        return stack
+
+    def _get_processor(self, n_chunks: int, chunk_size: int, hop: int,
+                       overlap: int):
+        key = ("rec", n_chunks, chunk_size, hop) + self._config_key()
+        if key in self._compiled:
+            return self._compiled[key]
+        f = self.upscale_factor
+        stack = self._build_stage_stack(chunk_size)
+
+        def process(dn, sr, st, audio_padded, valid):
+            # frame -> stages -> overlap-add, all in ONE XLA program, with
+            # reshape-based framing/reassembly (no gather/scatter HLOs).
+            # `valid` = number of real (non-bucketing-padding) chunks; traced
+            # so all chunk counts share one compiled program.
+            chunks = frame_structured(audio_padded, n_chunks, chunk_size, hop)
+            x = stack(dn, sr, st, chunks)
             total = (n_chunks - 1) * hop + chunk_size
             return overlap_add(x, hop * f, total * f, overlap=overlap * f,
                                valid=valid)
 
         jitted = jax.jit(process)
+        self._compiled[key] = jitted
+        return jitted
+
+    def _get_chunk_processor(self, n_chunks: int, chunk_size: int):
+        """The coalesced path's stage program: pre-framed chunk batch in,
+        per-chunk outputs out (overlap-add happens per recording in
+        `_get_oa`). Shares `_build_stage_stack` with `_get_processor`, so a
+        coalesced restore runs the exact same per-chunk computation as a
+        single-recording restore."""
+        key = ("chunks", n_chunks, chunk_size) + self._config_key()
+        if key in self._compiled:
+            return self._compiled[key]
+        stack = self._build_stage_stack(chunk_size)
+        jitted = jax.jit(stack)
+        self._compiled[key] = jitted
+        return jitted
+
+    def _get_oa(self, n_total: int, n_bucket: int, chunk_size: int,
+                hop: int, overlap: int):
+        """Per-recording reassembly for the coalesced path: slice this
+        recording's (bucketed) chunk rows out of the combined stage output
+        and overlap-add them. `offset`/`valid` are traced so every recording
+        with the same bucketed chunk count shares one tiny program; rows
+        beyond `valid` (bucket padding — possibly the NEXT recording's real
+        chunks, since recordings are packed contiguously) get zero crossfade
+        weight, which is what makes the packed layout exact."""
+        key = ("oa", n_total, n_bucket, chunk_size, hop) + self._config_key()
+        if key in self._compiled:
+            return self._compiled[key]
+        f = self.upscale_factor
+
+        def reassemble(big, offset, valid):
+            seg = jax.lax.dynamic_slice_in_dim(big, offset, n_bucket, axis=0)
+            total = (n_bucket - 1) * hop + chunk_size
+            return overlap_add(seg, hop * f, total * f, overlap=overlap * f,
+                               valid=valid)
+
+        jitted = jax.jit(reassemble)
         self._compiled[key] = jitted
         return jitted
 
@@ -450,6 +508,48 @@ class RestorationPipeline:
         self._int8_failed = False  # new scales: give int8 another shot
         return self._int8_scales
 
+    def _ensure_int8(self, audio, sample_rate):
+        """Pre-restore int8 readiness: discard a loaded scales file that
+        lacks an enabled stage (it would KeyError the step trace), then
+        auto-calibrate on this recording if scales are still missing.
+        Shared by restore() and restore_many()."""
+        cfg = self.config
+        if not cfg.quantize_int8:
+            return
+        if self._int8_scales is not None:
+            # a loaded scales file calibrated with a stage disabled (e.g. a
+            # StreamingRestorer-written file has no 'stereo') must not
+            # KeyError the step trace — discard and recalibrate below
+            need = [name for name, m in
+                    (("denoiser", self.denoiser),
+                     ("super_resolution", self.super_resolution),
+                     ("stereo", self.stereo)) if m is not None]
+            missing = [k for k in need if k not in self._int8_scales]
+            if missing:
+                import warnings
+
+                warnings.warn(
+                    f"int8 scales lack stage(s) {missing} — calibrated "
+                    f"with those stages disabled? Recalibrating on this "
+                    f"recording")
+                self._int8_scales = None
+                self._int8_version += 1
+        if self._int8_scales is None and not self._int8_failed:
+            # seed the static activation scales with one f32 pass over (a
+            # slice of) this recording; later recordings reuse them
+            try:
+                self.calibrate_int8(np.asarray(audio), sample_rate)
+            except ValueError as e:
+                import warnings
+
+                warnings.warn(f"int8 serving disabled: {e}")
+                # config/checkpoint-shaped gate failures can never succeed —
+                # don't re-run and re-warn on every restore_directory file.
+                # Only whole_file's length gate is per-recording: a later
+                # packing-grid-aligned recording may still calibrate.
+                self._int8_failed = not (
+                    cfg.whole_file and isinstance(e, Int8LengthGateError))
+
     # ---------------------------------------------------------------- run
     def restore(self, audio, sample_rate: Optional[int] = None):
         """audio: [C, T] (mono mixed down if C>1) -> ([out_ch, T*f], out_rate).
@@ -471,40 +571,7 @@ class RestorationPipeline:
 
         t = audio.shape[1]
         f = self.upscale_factor
-        if cfg.quantize_int8 and self._int8_scales is not None:
-            # a loaded scales file calibrated with a stage disabled (e.g. a
-            # StreamingRestorer-written file has no 'stereo') must not
-            # KeyError the step trace — discard and recalibrate below
-            need = [name for name, m in
-                    (("denoiser", self.denoiser),
-                     ("super_resolution", self.super_resolution),
-                     ("stereo", self.stereo)) if m is not None]
-            missing = [k for k in need if k not in self._int8_scales]
-            if missing:
-                import warnings
-
-                warnings.warn(
-                    f"int8 scales lack stage(s) {missing} — calibrated "
-                    f"with those stages disabled? Recalibrating on this "
-                    f"recording")
-                self._int8_scales = None
-                self._int8_version += 1
-        if (cfg.quantize_int8 and self._int8_scales is None
-                and not self._int8_failed):
-            # seed the static activation scales with one f32 pass over (a
-            # slice of) this recording; later recordings reuse them
-            try:
-                self.calibrate_int8(np.asarray(audio), sample_rate)
-            except ValueError as e:
-                import warnings
-
-                warnings.warn(f"int8 serving disabled: {e}")
-                # config/checkpoint-shaped gate failures can never succeed —
-                # don't re-run and re-warn on every restore_directory file.
-                # Only whole_file's length gate is per-recording: a later
-                # packing-grid-aligned recording may still calibrate.
-                self._int8_failed = not (
-                    cfg.whole_file and isinstance(e, Int8LengthGateError))
+        self._ensure_int8(audio, sample_rate)
         if cfg.whole_file:
             chunk_size, hop, overlap = t, t, 0
             n = n_real = 1
@@ -559,6 +626,119 @@ class RestorationPipeline:
                           overlap=overlap * f)
         return out[:, :t * f], sample_rate * f
 
+    def restore_many(self, audios, sample_rate: Optional[int] = None):
+        """Coalesced multi-recording restore — the serving daemon's dynamic
+        batching. The recordings' chunk frames are packed contiguously into
+        ONE combined chunk batch, the model stack runs over it as a single
+        XLA program, and each recording is reassembled by a tiny per-
+        recording overlap-add program. Returns [(out [C,T_i*f], rate)] in
+        input order, each exactly equal to `restore(audios[i])`:
+
+        - the stage stack is literally the same traced function
+          (`_build_stage_stack`) in both paths, and per-chunk work is batch-
+          independent (convs/LSTM never reduce over the batch axis);
+        - bucket-padding rows (including a neighbor recording's chunks that
+          a bucketed slice may overhang into) get zero crossfade weight in
+          the overlap-add (`overlap_add(valid=...)`).
+
+        Why it pays: a short request's chunk count buckets up to the
+        granularity (a 10 s file = 5 chunks pads to 8 — 37% wasted rows) and
+        every request pays a program dispatch. Coalescing K short requests
+        amortizes both — one near-full program instead of K padded ones.
+        The reference has no batch serving at all (per-invocation CLI,
+        inference.py:111-143). Groups are capped at
+        config.max_chunks_per_program chunks (the slab bound); recordings
+        too long to coalesce take the single-recording slab path.
+        """
+        cfg = self.config
+        audios = list(audios)
+        if not audios:
+            return []
+        sample_rate = sample_rate or cfg.sample_rate
+        if cfg.whole_file or len(audios) == 1:
+            # whole_file compiles one program PER LENGTH — nothing to share
+            return [self.restore(a, sample_rate) for a in audios]
+
+        f = self.upscale_factor
+        chunk_size = int(round(cfg.chunk_seconds * sample_rate))
+        overlap = int(round(cfg.overlap_seconds * sample_rate))
+        hop = chunk_size - overlap
+        gran = 4
+        if self.mesh is not None:
+            import math
+
+            gran = math.lcm(4, self.mesh.shape["data"])
+
+        # host prep: mono mixdown in numpy (eager device ops cost a
+        # dispatch round trip each; the combined batch is ONE H2D)
+        prepped = []
+        for a in audios:
+            x = np.asarray(a, np.float32)
+            if x.ndim == 1:
+                x = x[None]
+            if x.shape[0] > 1:
+                x = x.mean(axis=0, keepdims=True)
+            prepped.append(x)
+        self._ensure_int8(prepped[0], sample_rate)
+
+        max_n = max(cfg.max_chunks_per_program, 4)
+        metas = []  # (n_real, n_bucket) per recording
+        solo = set()  # too long to coalesce -> single-recording slab path
+        groups, cur, cur_n = [], [], 0
+        for i, x in enumerate(prepped):
+            n_real = num_chunks(x.shape[1], chunk_size, hop)
+            metas.append((n_real, _bucket(n_real, gran)))
+            if metas[i][1] > max_n:
+                solo.add(i)
+                continue
+            if cur and cur_n + n_real > max_n:
+                groups.append(cur)
+                cur, cur_n = [], 0
+            cur.append(i)
+            cur_n += n_real
+        if cur:
+            groups.append(cur)
+
+        results: list = [None] * len(audios)
+        for i in solo:
+            results[i] = self.restore(prepped[i], sample_rate)
+        for grp in groups:
+            if len(grp) == 1:
+                i = grp[0]
+                results[i] = self.restore(prepped[i], sample_rate)
+                continue
+            offs, rows = [], 0
+            for i in grp:
+                offs.append(rows)
+                rows += metas[i][0]
+            # the combined batch must cover every recording's bucketed
+            # slice (dynamic_slice clamps the start when offset+size
+            # overruns, which would MISALIGN the frames — pad instead)
+            n_total = _bucket(
+                max(rows, max(o + metas[i][1] for o, i in zip(offs, grp))),
+                gran)
+            xall = np.zeros((n_total, chunk_size, 1), np.float32)
+            for o, i in zip(offs, grp):
+                x = prepped[i][0]
+                n_real = metas[i][0]
+                total = (n_real - 1) * hop + chunk_size
+                xp = np.pad(x, (0, max(total - x.shape[0], 0)))
+                # reshape-free host framing: strided view over the padded
+                # signal; the slice assignment below makes the one copy
+                frames = np.lib.stride_tricks.sliding_window_view(
+                    xp, chunk_size)[::hop]
+                xall[o:o + n_real, :, 0] = frames[:n_real]
+            proc = self._get_chunk_processor(n_total, chunk_size)
+            big = proc(self.denoiser, self.super_resolution, self.stereo,
+                       xall)  # [n_total, C_out, chunk*f], async
+            for o, i in zip(offs, grp):
+                n_real, b = metas[i]
+                oa = self._get_oa(n_total, b, chunk_size, hop, overlap)
+                out = oa(big, np.int32(o), np.int32(n_real))
+                t = prepped[i].shape[1]
+                results[i] = (out[:, :t * f], sample_rate * f)
+        return results
+
     def restore_file(self, input_path, output_path,
                      sample_rate: Optional[int] = None,
                      normalize: bool = True):
@@ -578,7 +758,8 @@ class RestorationPipeline:
     def restore_directory(self, input_dir, output_dir,
                           sample_rate: Optional[int] = None,
                           suffix: str = "_restored",
-                          normalize: bool = True):
+                          normalize: bool = True,
+                          coalesce: int = 4):
         """Batch-restore every audio file in a directory through ONE pipeline
         instance: chunk-count bucketing + slab processing mean all files
         share a handful of compiled programs, so throughput approaches the
@@ -586,10 +767,18 @@ class RestorationPipeline:
         per invocation).
 
         The host work is pipelined around the device (VERDICT r02 item 8):
-        file i+1 is decoded+normalized on a background thread and file i-1's
-        output is transferred/written WHILE the device runs file i's program
-        (jax dispatch is async, so self.restore returns before the device
-        finishes). Per-file results are identical to restore_file."""
+        group i+1 is decoded+normalized on a background thread and group
+        i-1's outputs are transferred/written WHILE the device runs group
+        i's program (jax dispatch is async, so restore/restore_many return
+        before the device finishes). Per-file results are identical to
+        restore_file.
+
+        `coalesce`: files per device batch — consecutive files are served
+        through ONE combined chunk program (`restore_many`, measured 3.17×
+        device-side on 10 s files, docs/PERFORMANCE.md "Coalesced
+        short-request serving"); recordings too long to coalesce take the
+        slab path automatically. `coalesce=1` keeps the one-program-per-file
+        legacy behavior."""
         from concurrent.futures import ThreadPoolExecutor
         from pathlib import Path
 
@@ -602,12 +791,17 @@ class RestorationPipeline:
         files = find_audio_files(input_dir, recursive=False)
         if not files:
             return []
+        step = max(1, int(coalesce))
+        groups = [files[i:i + step] for i in range(0, len(files), step)]
 
-        def load(f):
-            audio, _ = load_audio(f, sample_rate=sr_in, mono=True)
-            if normalize:
-                audio = np.asarray(normalize_audio(audio))
-            return audio
+        def load(fs):
+            out = []
+            for f in fs:
+                audio, _ = load_audio(f, sample_rate=sr_in, mono=True)
+                if normalize:
+                    audio = np.asarray(normalize_audio(audio))
+                out.append(audio)
+            return out
 
         def write(path, restored, rate):
             # D2H + host normalize + encode — off the device critical path.
@@ -617,29 +811,33 @@ class RestorationPipeline:
             save_audio(path, normalize_audio(np.asarray(restored)), rate)
 
         results = []
-        pending = None  # (path, device array, rate) awaiting write
+        pending: list = []  # [(path, device array, rate)] awaiting write
         with ThreadPoolExecutor(max_workers=1) as ex:
-            fut = ex.submit(load, files[0])
+            fut = ex.submit(load, groups[0])
             try:
-                for i, f in enumerate(files):
-                    audio = fut.result()
-                    if i + 1 < len(files):
-                        fut = ex.submit(load, files[i + 1])
-                    restored, rate = self.restore(audio, sr_in)  # async
-                    if pending is not None:
-                        # clear BEFORE writing: if this write raises, the
+                for gi, grp in enumerate(groups):
+                    audios = fut.result()
+                    if gi + 1 < len(groups):
+                        fut = ex.submit(load, groups[gi + 1])
+                    if len(audios) == 1:
+                        outs = [self.restore(audios[0], sr_in)]  # async
+                    else:
+                        outs = self.restore_many(audios, sr_in)  # async
+                    while pending:
+                        # pop BEFORE writing: if this write raises, the
                         # finally must not retry the same failed write (the
                         # retry's error would mask the original)
-                        todo, pending = pending, None
+                        todo = pending.pop(0)
                         write(*todo)
                         results.append((todo[0], todo[2]))
-                    out = out_dir / f"{f.stem}{suffix}.wav"
-                    pending = (out, restored, rate)
+                    pending = [
+                        (out_dir / f"{f.stem}{suffix}.wav", o, r)
+                        for f, (o, r) in zip(grp, outs)]
             finally:
-                # a failure on file i must not lose file i-1's computed
-                # output (sequential restore_file would have written it)
-                if pending is not None:
-                    todo, pending = pending, None
+                # a failure on group i must not lose group i-1's computed
+                # outputs (sequential restore_file would have written them)
+                while pending:
+                    todo = pending.pop(0)
                     write(*todo)
                     results.append((todo[0], todo[2]))
         return results

@@ -42,6 +42,41 @@ import numpy as np
 
 # --------------------------------------------------------------------- HTTP
 
+def _decode_body(body: bytes):
+    """Decode an HTTP audio body by magic bytes -> ([T, C] float32, rate).
+
+    WAV decodes in memory; FLAC / Ogg / MP3 go through the package codecs
+    (audio/io.py::_read_any — own FLAC implementation, system mpg123/
+    vorbisfile for mp3/ogg) via a temp file, since those readers are
+    seek-based. Raises ValueError on an unrecognized container."""
+    from ..audio import decode_wav
+
+    if body[:4] == b"RIFF":
+        return decode_wav(body)
+    if body[:4] == b"fLaC":
+        suffix = ".flac"
+    elif body[:4] == b"OggS":
+        suffix = ".ogg"
+    elif body[:3] == b"ID3" or (len(body) > 1 and body[0] == 0xFF
+                                and (body[1] & 0xE0) == 0xE0):
+        suffix = ".mp3"
+    else:
+        raise ValueError("unrecognized audio container (expected WAV, "
+                         "FLAC, Ogg or MP3 magic bytes)")
+    import os
+    import tempfile
+
+    from ..audio.io import _read_any
+
+    fd, tmp = tempfile.mkstemp(suffix=suffix, prefix="mlar_body_")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(body)
+        return _read_any(tmp)
+    finally:
+        os.unlink(tmp)
+
+
 class _Job:
     __slots__ = ("audio", "sample_rate", "event", "out", "rate", "error")
 
@@ -54,14 +89,32 @@ class _Job:
         self.error = None
 
 
+class _ReloadJob:
+    """Hot checkpoint swap, applied ON the worker thread so it serializes
+    with in-flight restores (the pipeline's stage tuples are only ever
+    read/written there). `stages`: {stage_name: checkpoint_path}."""
+
+    __slots__ = ("stages", "event", "loaded", "error")
+
+    def __init__(self, stages):
+        self.stages = stages
+        self.event = threading.Event()
+        self.loaded = None
+        self.error = None
+
+
 class RestorationServer:
     """HTTP serving over one `RestorationPipeline`.
 
-    POST /v1/restore          body: a WAV file -> 200 body: restored WAV
+    POST /v1/restore          body: an audio file (WAV / FLAC / Ogg / MP3,
+                              sniffed by magic bytes) -> 200: restored WAV
         query params: normalize=0   skip input RMS normalization
                       subtype=FLOAT|PCM_16|PCM_24   output encoding
+    POST /v1/reload           body: {"denoiser": path, ...} — hot checkpoint
+                              swap, applied between restore batches
     GET  /healthz             liveness + loaded stages
     GET  /v1/stats            request counters / throughput / queue depth
+    GET  /metrics             the same counters in Prometheus text format
 
     The handler threads (one per in-flight request, stdlib threading
     server) decode + resample + normalize on host, then enqueue the job
@@ -71,15 +124,26 @@ class RestorationServer:
     program finishes — happens back on the handler thread, so the worker
     is already dispatching request i+1 while request i's output
     transfers and encodes.
+
+    Dynamic batching: when requests have queued up behind a busy device,
+    the worker drains up to `max_coalesce` of them and serves the batch
+    through ONE device program (`pipeline.restore_many`) — short requests
+    stop paying per-request chunk-bucket padding and dispatch. An idle
+    server never waits to batch, so single-request latency is unchanged,
+    and each coalesced response is exactly the response the request would
+    have gotten alone (restore_many's equality contract).
     """
 
     def __init__(self, pipeline, host: str = "127.0.0.1", port: int = 0,
                  max_queue: int = 8, max_body_bytes: int = 512 << 20,
-                 request_timeout: float = 600.0, quiet: bool = True):
+                 request_timeout: float = 600.0, quiet: bool = True,
+                 max_coalesce: int = 4):
         self.pipeline = pipeline
         self._queue: "queue.Queue[_Job]" = queue.Queue(maxsize=max_queue)
+        self._max_coalesce = max(1, int(max_coalesce))
         self._stats_lock = threading.Lock()
         self._stats = {"requests": 0, "errors": 0, "rejected": 0,
+                       "coalesced": 0, "reloads": 0,
                        "audio_seconds_in": 0.0, "busy_seconds": 0.0}
         self._max_body = max_body_bytes
         self._timeout = request_timeout
@@ -128,6 +192,86 @@ class RestorationServer:
         self.shutdown()
 
     # --------------------------------------------------------------- worker
+    def _drain(self, first: _Job):
+        """Dynamic batching: sweep whatever is already queued (up to
+        max_coalesce) into one batch for `pipeline.restore_many`. No wait —
+        an idle server keeps single-request latency; only requests that
+        were going to queue anyway get coalesced. Returns (jobs, saw_stop)
+        — a shutdown sentinel ends the loop after this batch completes."""
+        jobs, saw_stop = [first], False
+        while len(jobs) < self._max_coalesce:
+            try:
+                j = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if j is None:
+                saw_stop = True
+                break
+            if isinstance(j, _ReloadJob):
+                # don't mix a weight swap into a restore batch: push it
+                # behind the current drain (a reload racing queued restores
+                # is inherently unordered; the response tells the operator
+                # when it LANDED, which is the meaningful event)
+                self._queue.put(j)
+                break
+            jobs.append(j)
+        return jobs, saw_stop
+
+    def _run_jobs(self, jobs):
+        """Dispatch one drained batch. restore/restore_many return device-
+        array futures (jax dispatch is async); the handler threads pay the
+        blocking D2H, so the worker is already on the next batch while this
+        one's outputs transfer and encode. A batch-level failure fails every
+        member (each handler gets the same 500)."""
+        t0 = time.monotonic()
+        try:
+            if len(jobs) == 1:
+                jobs[0].out, jobs[0].rate = self.pipeline.restore(
+                    jobs[0].audio, jobs[0].sample_rate)
+            else:
+                # all jobs arrive resampled to the pipeline rate (handler)
+                outs = self.pipeline.restore_many(
+                    [j.audio for j in jobs], jobs[0].sample_rate)
+                for j, (o, r) in zip(jobs, outs):
+                    j.out, j.rate = o, r
+        except Exception as e:  # surfaced as a 500 on the handler(s)
+            for j in jobs:
+                j.error = e
+        with self._stats_lock:
+            self._stats["busy_seconds"] += time.monotonic() - t0
+            if len(jobs) > 1:
+                self._stats["coalesced"] += len(jobs)
+        for j in jobs:
+            j.event.set()
+
+    def _apply_reload(self, job: _ReloadJob):
+        """Swap stage checkpoints in place. No recompile: stage params are
+        *arguments* to the jitted processors, so same-shaped weights reuse
+        every cached program. int8 calibration is weight-dependent state —
+        discard it so the next recording recalibrates against the new
+        weights."""
+        from .restore import load_stage
+
+        # attr name -> the loader's model name (selects the .pth converter)
+        load_names = {"denoiser": "denoiser",
+                      "super_resolution": "super_resolution",
+                      "stereo": "stereo_separator"}
+        try:
+            loaded = {name: load_stage(path, load_names[name])
+                      for name, path in job.stages.items()}
+            for name, stage in loaded.items():
+                setattr(self.pipeline, name, stage)
+            p = self.pipeline
+            p._int8_scales = None
+            p._int8_version += 1
+            p._int8_failed = False
+            job.loaded = sorted(job.stages)
+            with self._stats_lock:
+                self._stats["reloads"] += 1
+        except Exception as e:
+            job.error = e
+        job.event.set()
+
     def _worker_loop(self):
         while True:
             job = self._queue.get()
@@ -135,17 +279,13 @@ class RestorationServer:
                 if self._stopping:
                     return
                 continue
-            t0 = time.monotonic()
-            try:
-                # async dispatch: returns a device array future; the
-                # handler thread pays the blocking D2H
-                job.out, job.rate = self.pipeline.restore(
-                    job.audio, job.sample_rate)
-            except Exception as e:  # surfaced as a 500 on the handler
-                job.error = e
-            with self._stats_lock:
-                self._stats["busy_seconds"] += time.monotonic() - t0
-            job.event.set()
+            if isinstance(job, _ReloadJob):
+                self._apply_reload(job)
+                continue
+            jobs, saw_stop = self._drain(job)
+            self._run_jobs(jobs)
+            if saw_stop and self._stopping:
+                return
 
     # ------------------------------------------------------------- handlers
     def _json(self, h, code: int, payload: dict):
@@ -174,16 +314,38 @@ class RestorationServer:
                                 * self.pipeline.upscale_factor),
             })
         elif path == "/v1/stats":
-            with self._stats_lock:
-                stats = dict(self._stats)
-            stats["queue_depth"] = self._queue.qsize()
-            stats["uptime_seconds"] = time.monotonic() - self._started
-            self._json(h, 200, stats)
+            self._json(h, 200, self._snapshot_stats())
+        elif path == "/metrics":
+            # Prometheus text exposition (so the daemon drops into a
+            # standard scrape config without an adapter)
+            lines = []
+            for k, v in self._snapshot_stats().items():
+                kind = ("gauge" if k in ("queue_depth", "uptime_seconds")
+                        else "counter")
+                lines.append(f"# TYPE mlar_{k} {kind}")
+                lines.append(f"mlar_{k} {v}")
+            body = ("\n".join(lines) + "\n").encode()
+            h.send_response(200)
+            h.send_header("Content-Type",
+                          "text/plain; version=0.0.4; charset=utf-8")
+            h.send_header("Content-Length", str(len(body)))
+            h.end_headers()
+            h.wfile.write(body)
         else:
             self._json(h, 404, {"error": f"no such path: {path}"})
 
+    def _snapshot_stats(self) -> dict:
+        with self._stats_lock:
+            stats = dict(self._stats)
+        stats["queue_depth"] = self._queue.qsize()
+        stats["uptime_seconds"] = time.monotonic() - self._started
+        return stats
+
     def _handle_post(self, h):
         path = urlparse(h.path).path
+        if path == "/v1/reload":
+            self._handle_reload(h)
+            return
         if path != "/v1/restore":
             self._json(h, 404, {"error": f"no such path: {path}"})
             return
@@ -201,13 +363,13 @@ class RestorationServer:
             return
         body = h.rfile.read(length)
 
-        from ..audio import decode_wav, encode_wav, normalize_audio, resample
+        from ..audio import normalize_audio, resample
 
         try:
-            data, sr_in = decode_wav(body)
+            data, sr_in = _decode_body(body)
         except Exception as e:  # malformed bodies raise ValueError or
-            # struct.error — either way the client sent a bad WAV
-            self._json(h, 400, {"error": f"cannot decode WAV body: {e}"})
+            # struct.error — either way the client sent undecodable audio
+            self._json(h, 400, {"error": f"cannot decode audio body: {e}"})
             with self._stats_lock:
                 self._stats["errors"] += 1
             return
@@ -245,6 +407,57 @@ class RestorationServer:
         # blocking D2H on the handler thread (the worker is already on the
         # next request), then output normalization exactly like restore_file
         restored = normalize_audio(np.asarray(job.out))
+        return self._send_wav(h, q, job, restored, audio, target_sr)
+
+    def _handle_reload(self, h):
+        """POST /v1/reload  body: {"denoiser": path, "super_resolution":
+        path, "stereo": path} (any subset; .pth or native .msgpack). The
+        swap happens on the worker thread between restore batches, so no
+        request ever sees half-new weights; same-shaped checkpoints reuse
+        every compiled program (params are jit arguments). int8
+        calibration is discarded (it's weight-dependent)."""
+        try:
+            length = int(h.headers.get("Content-Length", "0"))
+        except ValueError:
+            length = 0
+        try:
+            req = json.loads(h.rfile.read(length) or b"{}")
+        except ValueError:
+            self._json(h, 400, {"error": "body must be JSON"})
+            return
+        known = ("denoiser", "super_resolution", "stereo")
+        if (not isinstance(req, dict) or not req
+                or not all(k in known and isinstance(v, str)
+                           for k, v in req.items())):
+            self._json(h, 400, {
+                "error": "expected a non-empty JSON object mapping any of "
+                         f"{known} to a checkpoint path"})
+            return
+        missing = [k for k in req if getattr(self.pipeline, k) is None]
+        if missing:
+            self._json(h, 400, {
+                "error": f"stage(s) {missing} are disabled on this server "
+                         f"— a hot reload can't enable new stages (their "
+                         f"compiled programs don't exist)"})
+            return
+        job = _ReloadJob(dict(req))
+        try:
+            self._queue.put(job, timeout=1.0)
+        except queue.Full:
+            self._json(h, 503, {"error": "server at capacity, retry later"})
+            return
+        if not job.event.wait(self._timeout):
+            self._json(h, 504, {"error": "reload timed out"})
+            return
+        if job.error is not None:
+            self._json(h, 500, {"error": f"{type(job.error).__name__}: "
+                                         f"{job.error}"})
+            return
+        self._json(h, 200, {"reloaded": job.loaded})
+
+    def _send_wav(self, h, q, job, restored, audio, target_sr):
+        from ..audio import encode_wav
+
         subtype = q.get("subtype", ["PCM_16"])[0]
         wav = encode_wav(restored.T, job.rate, subtype=subtype)
         with self._stats_lock:

@@ -379,6 +379,67 @@ def test_slab_processing_matches_single_shot(pipeline_stages, rng):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
 
 
+def test_restore_many_matches_individual(pipeline_stages, rng):
+    """Coalesced multi-recording restore must equal per-recording restore:
+    the stage stack is the same traced function and bucket-padding rows
+    (including neighbor-recording overhang) carry zero crossfade weight."""
+    cfg = PipelineConfig(sample_rate=8000, chunk_seconds=0.25,
+                         overlap_seconds=0.05)
+    pipe = RestorationPipeline(**pipeline_stages, config=cfg)
+    lens = [1500, 4100, 9000, 2000, 2000]  # mixed chunk counts, one repeat
+    audios = [(rng.normal(size=(1, t)) * 0.2).astype(np.float32)
+              for t in lens]
+    got = pipe.restore_many(audios)
+    assert len(got) == len(audios)
+    for a, (out, rate) in zip(audios, got):
+        want, wrate = pipe.restore(a)
+        assert rate == wrate
+        assert np.asarray(out).shape == np.asarray(want).shape
+        np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                                   atol=1e-6, rtol=0)
+
+
+def test_restore_many_group_split_and_solo(pipeline_stages, rng):
+    """Group capacity: recordings split across several coalesced programs
+    when their combined chunk count exceeds max_chunks_per_program, and a
+    recording too long to coalesce rides the single-recording slab path —
+    all still matching individual restore."""
+    cfg = PipelineConfig(sample_rate=8000, chunk_seconds=0.25,
+                         overlap_seconds=0.05, max_chunks_per_program=8)
+    pipe = RestorationPipeline(
+        denoiser=pipeline_stages["denoiser"], config=cfg)
+    # chunk=2000 hop=1600: 4000->3 chunks, 6000->4, 24000->15 (solo: its
+    # bucket 16 > 8), 2000->1
+    lens = [4000, 6000, 24000, 2000]
+    audios = [(rng.normal(size=(1, t)) * 0.2).astype(np.float32)
+              for t in lens]
+    got = pipe.restore_many(audios)
+    for a, (out, rate) in zip(audios, got):
+        want, _ = pipe.restore(a)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                                   atol=1e-6, rtol=0)
+    assert pipe.restore_many([]) == []
+    one = pipe.restore_many([audios[0]])
+    np.testing.assert_allclose(np.asarray(one[0][0]),
+                               np.asarray(got[0][0]), atol=0)
+
+
+def test_restore_many_full_config_combos(pipeline_stages, rng):
+    """Coalescing composes with the production serving config knobs
+    (bf16 + sub-chunked stereo + mid-exact): still matches individual."""
+    cfg = PipelineConfig(sample_rate=8000, chunk_seconds=0.25,
+                         overlap_seconds=0.05, compute_dtype="bfloat16",
+                         stereo_chunk_seconds=0.1, stereo_mid_exact=True)
+    pipe = RestorationPipeline(**pipeline_stages, config=cfg)
+    audios = [(rng.normal(size=(1, t)) * 0.2).astype(np.float32)
+              for t in (3000, 5200)]
+    got = pipe.restore_many(audios)
+    for a, (out, _) in zip(audios, got):
+        want, _ = pipe.restore(a)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                                   atol=1e-6, rtol=0)
+
+
 def test_staged_pipeline_matches_single_device(pipeline_stages):
     """Pipeline-parallel serving (one stage per device, slabs streamed
     through with device hops) must produce the single-device pipeline's
@@ -454,10 +515,19 @@ def test_restore_directory_matches_restore_file(pipeline_stages, tmp_path):
     for i in range(3):
         pipe.restore_file(in_dir / f"r{i}.wav",
                           seq_dir / f"r{i}_restored.wav")
+    # default coalesce=4: all three files rode ONE combined program
     for i in range(3):
         a = (tmp_path / "batch" / f"r{i}_restored.wav").read_bytes()
         b = (seq_dir / f"r{i}_restored.wav").read_bytes()
-        assert a == b, f"file {i} differs"
+        assert a == b, f"file {i} differs (coalesced)"
+
+    # coalesce=1: the legacy one-program-per-file path, same bytes
+    results = pipe.restore_directory(in_dir, tmp_path / "solo", coalesce=1)
+    assert len(results) == 3
+    for i in range(3):
+        a = (tmp_path / "solo" / f"r{i}_restored.wav").read_bytes()
+        b = (seq_dir / f"r{i}_restored.wav").read_bytes()
+        assert a == b, f"file {i} differs (coalesce=1)"
 
 
 def test_packed_convs_match_plain_bf16(pipeline_stages):
