@@ -456,6 +456,9 @@ def _cmd_serve(args):
                                   fmt=args.pcm,
                                   tick_seconds=args.tick_seconds)
         stream_srv.start()
+        # one scrape covers both frontends: /v1/stats gains a "stream"
+        # block and /metrics flattens it to mlar_stream_*
+        http_srv.extra_stats = stream_srv.stats
         print(f"PCM streaming on tcp://{stream_srv.host}:{stream_srv.port} "
               f"({args.stream_slots} slots, {args.pcm} @ "
               f"{config.sample_rate} Hz in, block {block})")

@@ -149,6 +149,10 @@ class RestorationServer:
         self._timeout = request_timeout
         self._started = time.monotonic()
         self._stopping = False
+        # optional callable returning a dict merged into /v1/stats under
+        # "stream" (cli serve points it at StreamServer.stats so one scrape
+        # covers both frontends)
+        self.extra_stats = None
 
         server = self
 
@@ -318,9 +322,16 @@ class RestorationServer:
         elif path == "/metrics":
             # Prometheus text exposition (so the daemon drops into a
             # standard scrape config without an adapter)
-            lines = []
+            gauges = ("queue_depth", "uptime_seconds", "active_streams")
+            flat = []
             for k, v in self._snapshot_stats().items():
-                kind = ("gauge" if k in ("queue_depth", "uptime_seconds")
+                if isinstance(v, dict):  # the nested "stream" block
+                    flat.extend((f"{k}_{k2}", v2) for k2, v2 in v.items())
+                else:
+                    flat.append((k, v))
+            lines = []
+            for k, v in flat:
+                kind = ("gauge" if any(k.endswith(g) for g in gauges)
                         else "counter")
                 lines.append(f"# TYPE mlar_{k} {kind}")
                 lines.append(f"mlar_{k} {v}")
@@ -339,6 +350,11 @@ class RestorationServer:
             stats = dict(self._stats)
         stats["queue_depth"] = self._queue.qsize()
         stats["uptime_seconds"] = time.monotonic() - self._started
+        if self.extra_stats is not None:
+            try:
+                stats["stream"] = dict(self.extra_stats())
+            except Exception:  # a dying stream server must not break stats
+                pass
         return stats
 
     def _handle_post(self, h):

@@ -440,6 +440,23 @@ def test_restore_many_full_config_combos(pipeline_stages, rng):
                                    atol=1e-6, rtol=0)
 
 
+def test_restore_many_int8(pipeline_stages, rng):
+    """Coalescing composes with int8 serving: scales auto-calibrate on the
+    first recording (shared _ensure_int8) and the combined program runs the
+    quantized stacks; with the SAME scales, coalesced == individual."""
+    cfg = PipelineConfig(sample_rate=8000, chunk_seconds=0.25,
+                         overlap_seconds=0.05, quantize_int8=True)
+    pipe = RestorationPipeline(**pipeline_stages, config=cfg)
+    audios = [(rng.normal(size=(1, t)) * 0.2).astype(np.float32)
+              for t in (3000, 5200, 2000)]
+    got = pipe.restore_many(audios)
+    assert pipe._int8_scales is not None  # the quantized path engaged
+    for a, (out, _) in zip(audios, got):
+        want, _ = pipe.restore(a)  # same pipeline -> same scales
+        np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                                   atol=1e-6, rtol=0)
+
+
 def test_staged_pipeline_matches_single_device(pipeline_stages):
     """Pipeline-parallel serving (one stage per device, slabs streamed
     through with device hops) must produce the single-device pipeline's

@@ -251,6 +251,23 @@ def test_http_metrics_prometheus(dn_stage, sine):
     assert metrics["mlar_uptime_seconds"] > 0
 
 
+def test_http_stats_include_stream_block(dn_stage, sine):
+    """With extra_stats wired (as cli serve does), /v1/stats gains a
+    nested stream block and /metrics flattens it to mlar_stream_*."""
+    restorer = StreamingRestorer(denoiser=dn_stage, batch=2)
+    with StreamServer(restorer) as ssrv, \
+            RestorationServer(_pipe(dn_stage)) as hsrv:
+        hsrv.extra_stats = ssrv.stats
+        stream_over_tcp(ssrv.host, ssrv.port, sine[:4096], block=2048)
+        base = f"http://{hsrv.host}:{hsrv.port}"
+        stats = json.load(urllib.request.urlopen(f"{base}/v1/stats"))
+        assert stats["stream"]["connections"] == 1
+        assert "active_streams" in stats["stream"]
+        met = urllib.request.urlopen(f"{base}/metrics").read().decode()
+        assert "mlar_stream_connections 1" in met
+        assert "# TYPE mlar_stream_active_streams gauge" in met
+
+
 def test_http_worker_coalesces_queued_requests(dn_stage):
     """Dynamic batching: queued jobs drain into ONE restore_many batch and
     every member still bit-matches its individual restore. Driven by hand
