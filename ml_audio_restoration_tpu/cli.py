@@ -365,6 +365,18 @@ def _add_serve(sub):
                         "— offline/backpressure mode)")
     p.add_argument("--pcm", choices=["f32le", "s16le"], default="f32le",
                    help="stream sample format, both directions")
+    p.add_argument("--max-outbox-mb", type=float, default=32.0,
+                   help="per-stream output buffer bound; a client that "
+                        "falls further behind is dropped so it can't "
+                        "stall or bloat the server")
+    p.add_argument("--sndbuf-kb", type=int, default=None,
+                   help="cap SO_SNDBUF on stream sockets (default: OS "
+                        "autotuning, which may kernel-buffer several MB "
+                        "per slow client before --max-outbox-mb bites)")
+    p.add_argument("--drain-stall-seconds", type=float, default=30.0,
+                   help="offline mode only: drop a stream whose client "
+                        "makes zero read progress for this long while "
+                        "its outbox is above high water")
     p.add_argument("--denoiser", default="models/checkpoints/best_model.pth")
     p.add_argument("--super-res",
                    default="models/checkpoints/super_resolution/best_model.pth")
@@ -454,7 +466,13 @@ def _cmd_serve(args):
         stream_srv = StreamServer(restorer, host=args.host,
                                   port=args.stream_port, block=block,
                                   fmt=args.pcm,
-                                  tick_seconds=args.tick_seconds)
+                                  tick_seconds=args.tick_seconds,
+                                  max_outbox_bytes=int(
+                                      args.max_outbox_mb * (1 << 20)),
+                                  sndbuf=(args.sndbuf_kb * 1024
+                                          if args.sndbuf_kb else None),
+                                  drain_stall_seconds=
+                                  args.drain_stall_seconds)
         stream_srv.start()
         # one scrape covers both frontends: /v1/stats gains a "stream"
         # block and /metrics flattens it to mlar_stream_*

@@ -490,15 +490,116 @@ class RestorationServer:
 
 # ---------------------------------------------------------------- streaming
 
+class _Conn:
+    """Per-connection bounded outbox + writer thread.
+
+    The block clock must NEVER block on a client's TCP window: one slow
+    reader would stall the lockstep step for every other stream (head-of-
+    line blocking). The clock therefore only *enqueues* payloads here; a
+    dedicated writer thread per connection pays the blocking `sendall`.
+    The outbox is bounded (`max_pending` bytes): a consumer that falls
+    further behind than that is dropped (`dead`), the realtime-serving
+    policy — the alternative, unbounded buffering, turns one stuck client
+    into unbounded host memory. The writer owns the socket's lifecycle
+    from the moment the slot hands it over: `close_when_drained()` lets
+    it flush everything already queued, then close — so a finished slot
+    can be reused immediately while the old connection's tail is still
+    in flight on its own thread."""
+
+    __slots__ = ("sock", "cv", "outbox", "pending", "dead", "closing",
+                 "over_limit", "drained_total", "thread")
+
+    def __init__(self, sock, name: str):
+        import collections
+
+        self.sock = sock
+        self.cv = threading.Condition()
+        self.outbox = collections.deque()
+        self.pending = 0      # queued bytes not yet handed to the kernel
+        self.dead = False     # client unreachable or too slow: discard
+        self.closing = False  # flush the outbox, then close
+        self.over_limit = False  # dead specifically because it fell behind
+        self.drained_total = 0   # bytes actually handed to the kernel —
+        #                          the clock's progress signal for telling
+        #                          a slow-but-alive reader from a dead one
+        self.thread = threading.Thread(target=self._writer_loop,
+                                       daemon=True, name=name)
+        self.thread.start()
+
+    def send(self, payload: bytes, max_pending: int) -> bool:
+        """Enqueue without blocking. False = connection is (now) dead."""
+        with self.cv:
+            if self.dead:
+                return False
+            if self.pending + len(payload) > max_pending:
+                self.dead = True
+                self.over_limit = True
+                self.outbox.clear()
+                self.pending = 0
+                self.cv.notify_all()
+                return False
+            self.outbox.append(payload)
+            self.pending += len(payload)
+            self.cv.notify_all()
+            return True
+
+    def close_when_drained(self):
+        # bound the terminal flush: once the slot is gone, a client that
+        # stops reading must not pin this writer thread forever. Kernel
+        # send timeout (not a Python socket timeout, which would also
+        # change recv semantics for the reader thread sharing the fd):
+        # any single send() making no progress for 60 s raises, marking
+        # the connection dead.
+        import struct
+
+        try:
+            self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_SNDTIMEO,
+                                 struct.pack("ll", 60, 0))
+        except OSError:
+            pass
+        with self.cv:
+            self.closing = True
+            self.cv.notify_all()
+
+    def _writer_loop(self):
+        while True:
+            with self.cv:
+                while not (self.outbox or self.closing or self.dead):
+                    self.cv.wait()
+                if self.dead or (self.closing and not self.outbox):
+                    break
+                payload = self.outbox.popleft()
+                self.pending -= len(payload)
+            try:
+                self.sock.sendall(payload)
+            except OSError:
+                with self.cv:
+                    self.dead = True
+                    self.outbox.clear()
+                    self.pending = 0
+                break
+            with self.cv:
+                self.drained_total += len(payload)
+        try:
+            self.sock.shutdown(socket.SHUT_RDWR)
+        except OSError:
+            pass
+        try:
+            self.sock.close()
+        except OSError:
+            pass
+
+
 class _Slot:
     """One lockstep stream slot: connection state + sample accounting."""
 
-    __slots__ = ("sock", "inbuf", "eof", "fed", "sent", "owed",
+    __slots__ = ("sock", "conn", "inbuf", "eof", "fed", "sent", "owed",
                  "underruns", "active", "needs_reset", "started", "skip")
 
     def __init__(self):
         self.active = False
         self.sock = None
+        self.conn = None   # _Conn: the writer-side of the connection
         self.inbuf = bytearray()
         self.eof = False
         self.fed = 0       # timeline samples consumed into the restorer
@@ -538,11 +639,32 @@ class StreamServer:
 
     Sample format `fmt`: "f32le" | "s16le", both directions (input mono
     at the model rate; output interleaved channels at rate x upscale).
+
+    Output isolation: the clock thread never writes to a socket — each
+    connection gets a writer thread draining a bounded outbox
+    (`max_outbox_bytes`). The slow-consumer policy is mode-dependent:
+
+    - live mode (`tick_seconds` set): the clock never waits on a client;
+      a consumer that falls further behind than the bound is dropped
+      (stat `dropped_slow`) and its slot freed.
+    - offline mode (`tick_seconds=None`): an outbox above high water
+      (half the bound) pauses the clock — real backpressure, so a
+      deliberately slow reader (1x-realtime playback) paces the server
+      instead of being dropped; but a consumer making ZERO drain
+      progress for `drain_stall_seconds` is reaped so a dead client
+      can't stall the other lockstep streams forever.
+
+    `sndbuf` optionally caps SO_SNDBUF on accepted sockets so TCP
+    autotuning can't hide multi-MB kernel buffering beyond the outbox
+    budget (the default Linux tcp_wmem ceiling is ~4 MB per socket).
     """
 
     def __init__(self, restorer, host: str = "127.0.0.1", port: int = 0,
                  block: int = 11025, fmt: str = "f32le",
-                 tick_seconds: float | None = None, quiet: bool = True):
+                 tick_seconds: float | None = None, quiet: bool = True,
+                 max_outbox_bytes: int = 32 << 20,
+                 sndbuf: int | None = None,
+                 drain_stall_seconds: float = 30.0):
         if fmt not in ("f32le", "s16le"):
             raise ValueError(f"fmt must be f32le|s16le, got {fmt!r}")
         self.restorer = restorer
@@ -555,11 +677,17 @@ class StreamServer:
         self.dtype = np.dtype(np.float32 if fmt == "f32le" else np.int16)
         self.tick_seconds = tick_seconds
         self.quiet = quiet
+        self.max_outbox_bytes = int(max_outbox_bytes)
+        self.sndbuf = sndbuf  # SO_SNDBUF for accepted sockets (None = OS
+        #                       default); bounds kernel-side buffered
+        #                       latency so max_outbox_bytes is the real
+        #                       slow-consumer budget
+        self.drain_stall_seconds = float(drain_stall_seconds)
         self._slots = [_Slot() for _ in range(restorer.batch)]
         self._cv = threading.Condition()
         self._stopping = False
         self._stats = {"connections": 0, "refused": 0, "underruns": 0,
-                       "ticks": 0, "samples_in": 0}
+                       "ticks": 0, "samples_in": 0, "dropped_slow": 0}
 
         self._listener = socket.create_server((host, port))
         self.host, self.port = self._listener.getsockname()[:2]
@@ -583,6 +711,10 @@ class StreamServer:
         except OSError:
             pass
         for s in self._slots:
+            if s.conn is not None:
+                with s.conn.cv:
+                    s.conn.dead = True
+                    s.conn.cv.notify_all()
             if s.sock is not None:
                 try:
                     s.sock.close()
@@ -608,6 +740,12 @@ class StreamServer:
                 sock, addr = self._listener.accept()
             except OSError:
                 return
+            if self.sndbuf is not None:
+                try:
+                    sock.setsockopt(socket.SOL_SOCKET, socket.SO_SNDBUF,
+                                    self.sndbuf)
+                except OSError:
+                    pass
             with self._cv:
                 idx = next((i for i, s in enumerate(self._slots)
                             if not s.active), None)
@@ -622,6 +760,7 @@ class StreamServer:
                 slot.__init__()  # reset accounting
                 slot.active = True
                 slot.sock = sock
+                slot.conn = _Conn(sock, name=f"stream-write-{idx}")
                 # the restorer's per-slot recurrent/conv state is zeroed by
                 # the CLOCK thread right before this slot's first feed
                 # (reset_stream must not race the in-flight device step —
@@ -657,14 +796,58 @@ class StreamServer:
     # ---------------------------------------------------------------- clock
     def _ready(self):
         """A tick may fire when some slot is active AND every active,
-        still-sending slot has a full block (or has hit EOF)."""
+        still-sending slot has a full block (or has hit EOF). In offline
+        mode (tick_seconds=None) a congested outbox also holds the tick —
+        that is the backpressure contract: a deliberately slow reader
+        (e.g. 1x-realtime playback) paces the clock instead of being
+        buffered without bound or dropped."""
         active = [s for s in self._slots if s.active]
         if not active:
             return False
         want = self.block * self.dtype.itemsize
-        return all(s.eof or len(s.inbuf) >= want for s in active)
+        if not all(s.eof or len(s.inbuf) >= want for s in active):
+            return False
+        return self.tick_seconds is not None or not self._congested()
+
+    def _congested(self):
+        """Indices of active slots whose outbox is above high water (half
+        the bound, so one tick's enqueue can never trip the drop backstop
+        on a slot the clock just cleared for feeding)."""
+        hw = self.max_outbox_bytes // 2
+        return [i for i, s in enumerate(self._slots)
+                if s.active and s.conn is not None
+                and s.conn.pending > hw]
+
+    def _reap_stalled(self, stall: dict):
+        """Offline-mode congestion: track per-slot drain progress and drop
+        any consumer that has made none for drain_stall_seconds (a live
+        slow reader keeps draining; a dead one pins its outbox). Called
+        with self._cv held."""
+        cong = set(self._congested())
+        now = time.monotonic()
+        for i in sorted(cong):
+            c = self._slots[i].conn
+            with c.cv:
+                drained = c.drained_total
+            prev = stall.get(i)
+            if prev is None or prev[0] != drained:
+                stall[i] = (drained, now)
+            elif now - prev[1] >= self.drain_stall_seconds:
+                with c.cv:
+                    c.dead = True
+                    c.over_limit = True
+                    c.outbox.clear()
+                    c.pending = 0
+                    c.cv.notify_all()
+                self._stats["dropped_slow"] += 1
+                self._close_slot_locked(i)
+                stall.pop(i, None)
+        for i in list(stall):
+            if i not in cong:
+                del stall[i]
 
     def _clock_loop(self):
+        stall = {}  # slot index -> (drained_total snapshot, since)
         while True:
             with self._cv:
                 deadline = (None if self.tick_seconds is None
@@ -673,11 +856,18 @@ class StreamServer:
                     if not any(s.active for s in self._slots):
                         # fully idle: sleep until a connection arrives,
                         # then restart the tick timer
+                        stall.clear()
                         self._cv.wait()
                         deadline = (None if self.tick_seconds is None else
                                     time.monotonic() + self.tick_seconds)
                         continue
-                    if deadline is None:
+                    if self.tick_seconds is None and self._congested():
+                        # backpressure wait: poll for drain progress and
+                        # reap consumers that are making none
+                        self._reap_stalled(stall)
+                        self._cv.wait(timeout=min(
+                            0.25, max(0.05, self.drain_stall_seconds / 4)))
+                    elif deadline is None:
                         self._cv.wait()
                     else:
                         left = deadline - time.monotonic()
@@ -736,14 +926,16 @@ class StreamServer:
         return feed, receivers
 
     def _dispatch_output(self, out: np.ndarray, receivers):
-        """Forward each receiving slot's new output samples; close slots
-        whose post-EOF drain is complete."""
+        """Enqueue each receiving slot's new output samples on its
+        connection's writer (never blocking the clock on a client's TCP
+        window); close slots whose post-EOF drain is complete or whose
+        consumer fell behind the outbox bound."""
         for i in receivers:
             s = self._slots[i]
             with self._cv:
                 if not s.active:
                     continue
-                sock = s.sock
+                conn = s.conn
                 seg = out[i]  # [ch, m*f]
                 # drop any pre-join samples, then cap at what the client
                 # is owed (the EOF drain overshoots)
@@ -762,29 +954,30 @@ class StreamServer:
                                       32767).astype("<i2").tobytes()
                 else:
                     payload = inter.astype("<f4").tobytes()
-                try:
-                    sock.sendall(payload)
-                except OSError:
-                    done = True  # client went away: free the slot
+                if not conn.send(payload, self.max_outbox_bytes):
+                    # client gone or too slow to keep up: free the slot
+                    done = True
+                    if conn.over_limit:
+                        with self._cv:
+                            self._stats["dropped_slow"] += 1
             if done:
                 self._close_slot(i)
 
     def _close_slot(self, idx: int):
         with self._cv:
-            s = self._slots[idx]
-            if not s.active:
-                return
-            sock, s.sock, s.active = s.sock, None, False
-            s.inbuf.clear()
-            self._cv.notify_all()
-        try:
-            sock.shutdown(socket.SHUT_RDWR)
-        except OSError:
-            pass
-        try:
-            sock.close()
-        except OSError:
-            pass
+            self._close_slot_locked(idx)
+
+    def _close_slot_locked(self, idx: int):
+        s = self._slots[idx]
+        if not s.active:
+            return
+        conn, s.conn = s.conn, None
+        s.sock, s.active = None, False
+        s.inbuf.clear()
+        self._cv.notify_all()
+        # the writer thread flushes anything still queued, then closes the
+        # socket on its own time — the slot is already reusable
+        conn.close_when_drained()
 
 
 # --------------------------------------------------------------- client lib

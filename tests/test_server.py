@@ -521,6 +521,95 @@ def test_stream_server_refuses_when_full(dn_stage):
     assert len(out) == block * 4  # full first block restored and returned
 
 
+def test_stream_server_slow_consumer_isolated_and_dropped(dn_stage):
+    """Offline mode: a client that never reads its output pauses the clock
+    (backpressure) but is reaped after drain_stall_seconds of zero read
+    progress, so it cannot stall the other lockstep streams forever. The
+    concurrent well-behaved stream still bit-matches an independent
+    restorer, and the freed slot is reusable."""
+    block = 2048
+    payload_bytes = block * 4  # one tick's output for a mono f32 stream
+    t = np.arange(int(1.5 * SR)) / SR
+    slow_sig = (0.3 * np.sin(2 * np.pi * 150 * t)).astype(np.float32)
+    fast_sig = (0.3 * np.sin(2 * np.pi * 480 * t)).astype(np.float32)
+
+    srv_restorer = StreamingRestorer(denoiser=dn_stage, batch=2)
+    # tiny kernel + outbox budgets so congestion appears within ~2 s of
+    # audio, and a short stall window so the reap is fast
+    with StreamServer(srv_restorer, block=block,
+                      max_outbox_bytes=2 * payload_bytes,
+                      sndbuf=4096, drain_stall_seconds=0.75) as srv:
+        # slow client: shrink its receive window BEFORE connecting, send
+        # everything, half-close, and never read a byte
+        slow = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        slow.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 4096)
+        slow.settimeout(60)
+        slow.connect((srv.host, srv.port))
+        slow.sendall(slow_sig.astype("<f4").tobytes())
+        slow.shutdown(socket.SHUT_WR)
+
+        got_fast = stream_over_tcp(srv.host, srv.port, fast_sig,
+                                   block=block)
+
+        deadline = time.monotonic() + 120
+        while (srv.stats()["dropped_slow"] < 1
+               and time.monotonic() < deadline):
+            time.sleep(0.02)
+        stats_mid = srv.stats()
+        slow.close()
+
+        # the freed slot serves a new connection to completion
+        deadline = time.monotonic() + 60
+        while (srv.stats()["active_streams"]
+               and time.monotonic() < deadline):
+            time.sleep(0.02)
+        got_again = stream_over_tcp(srv.host, srv.port, fast_sig,
+                                    block=block)
+        stats_end = srv.stats()
+
+    assert stats_mid["dropped_slow"] >= 1
+    assert stats_end["connections"] == 3
+
+    direct = StreamingRestorer(denoiser=dn_stage)
+    outs = [direct.feed(fast_sig[k:k + block])
+            for k in range(0, len(fast_sig), block)]
+    outs.append(direct.flush())
+    want = np.concatenate([o for o in outs if o.shape[-1]],
+                          axis=-1)[:, :len(fast_sig)]
+    np.testing.assert_array_equal(got_fast, want)
+    np.testing.assert_array_equal(got_again, want)
+
+
+def test_stream_server_live_mode_drops_on_overflow(dn_stage):
+    """Live mode (tick_seconds set): the clock never waits on a consumer —
+    a never-reading client is dropped as soon as its outbox would exceed
+    max_outbox_bytes."""
+    block = 2048
+    payload_bytes = block * 4
+    t = np.arange(int(2.0 * SR)) / SR
+    sig = (0.3 * np.sin(2 * np.pi * 150 * t)).astype(np.float32)
+
+    srv_restorer = StreamingRestorer(denoiser=dn_stage, batch=2)
+    with StreamServer(srv_restorer, block=block, tick_seconds=0.05,
+                      max_outbox_bytes=2 * payload_bytes,
+                      sndbuf=4096) as srv:
+        slow = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        slow.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 4096)
+        slow.settimeout(60)
+        slow.connect((srv.host, srv.port))
+        slow.sendall(sig.astype("<f4").tobytes())
+        slow.shutdown(socket.SHUT_WR)
+
+        deadline = time.monotonic() + 120
+        while (srv.stats()["dropped_slow"] < 1
+               and time.monotonic() < deadline):
+            time.sleep(0.02)
+        stats = srv.stats()
+        slow.close()
+    assert stats["dropped_slow"] >= 1
+    assert stats["active_streams"] == 0  # the dropped slot was freed
+
+
 def test_cli_serve_smoke(dn_stage, tmp_path):
     """`cli serve` end-to-end in a subprocess: starts, answers /healthz,
     restores over HTTP, shuts down cleanly on SIGINT."""
