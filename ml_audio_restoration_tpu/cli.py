@@ -477,9 +477,12 @@ def _cmd_serve(args):
         # one scrape covers both frontends: /v1/stats gains a "stream"
         # block and /metrics flattens it to mlar_stream_*
         http_srv.extra_stats = stream_srv.stats
+        # browsers reach the same lockstep engine over WS /v1/stream
+        http_srv.stream_addr = (stream_srv.host, stream_srv.port)
         print(f"PCM streaming on tcp://{stream_srv.host}:{stream_srv.port} "
               f"({args.stream_slots} slots, {args.pcm} @ "
-              f"{config.sample_rate} Hz in, block {block})")
+              f"{config.sample_rate} Hz in, block {block}) and "
+              f"ws://{http_srv.host}:{http_srv.port}/v1/stream")
 
     stop = threading.Event()
     signal.signal(signal.SIGINT, lambda *_: stop.set())

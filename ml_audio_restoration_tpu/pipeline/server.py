@@ -137,8 +137,13 @@ class RestorationServer:
     def __init__(self, pipeline, host: str = "127.0.0.1", port: int = 0,
                  max_queue: int = 8, max_body_bytes: int = 512 << 20,
                  request_timeout: float = 600.0, quiet: bool = True,
-                 max_coalesce: int = 4):
+                 max_coalesce: int = 4,
+                 stream_addr: tuple[str, int] | None = None):
         self.pipeline = pipeline
+        # (host, port) of a StreamServer: enables GET /v1/stream WebSocket
+        # upgrades bridged to it (pipeline/ws.py), so browsers reach the
+        # lockstep streaming engine
+        self.stream_addr = stream_addr
         self._queue: "queue.Queue[_Job]" = queue.Queue(maxsize=max_queue)
         self._max_coalesce = max(1, int(max_coalesce))
         self._stats_lock = threading.Lock()
@@ -302,7 +307,9 @@ class RestorationServer:
 
     def _handle_get(self, h):
         path = urlparse(h.path).path
-        if path == "/healthz":
+        if path == "/v1/stream":
+            self._handle_ws_upgrade(h)
+        elif path == "/healthz":
             import jax
 
             stages = [n for n, m in
@@ -344,6 +351,34 @@ class RestorationServer:
             h.wfile.write(body)
         else:
             self._json(h, 404, {"error": f"no such path: {path}"})
+
+    def _handle_ws_upgrade(self, h):
+        """GET /v1/stream with Upgrade: websocket — bridge the connection
+        to the TCP stream server (pipeline/ws.py). 503 when no stream
+        backend is configured; 400 on a non-upgrade request."""
+        from . import ws
+
+        if self.stream_addr is None:
+            self._json(h, 503, {"error": "streaming is not enabled on "
+                                         "this server (--stream-port)"})
+            return
+        if (h.headers.get("Upgrade", "").lower() != "websocket"
+                or not h.headers.get("Sec-WebSocket-Key")):
+            self._json(h, 400, {"error": "/v1/stream is a WebSocket "
+                                         "endpoint (send Upgrade: "
+                                         "websocket)"})
+            return
+        accept = ws.accept_key(h.headers["Sec-WebSocket-Key"])
+        h.close_connection = True
+        h.wfile.write(b"HTTP/1.1 101 Switching Protocols\r\n"
+                      b"Upgrade: websocket\r\n"
+                      b"Connection: Upgrade\r\n"
+                      b"Sec-WebSocket-Accept: " + accept.encode()
+                      + b"\r\n\r\n")
+        h.wfile.flush()
+        with self._stats_lock:
+            self._stats["ws_streams"] = self._stats.get("ws_streams", 0) + 1
+        ws.bridge_to_tcp(h, *self.stream_addr)
 
     def _snapshot_stats(self) -> dict:
         with self._stats_lock:

@@ -1,0 +1,264 @@
+"""Minimal RFC 6455 WebSocket support for the serving daemon.
+
+The reference has no serving story at all (its only entry point is the
+one-shot CLI, /root/reference/src/inference.py:111-143); raw-TCP PCM
+streaming (`StreamServer`) covers native clients, but browsers can only
+open WebSockets. This module implements just enough of RFC 6455 —
+handshake, frame codec, ping/pong, close — to bridge a browser to the
+same lockstep streaming engine:
+
+    browser --ws--> RestorationServer /v1/stream --tcp--> StreamServer
+
+The bridge is a thin per-connection proxy: binary WS messages carry raw
+PCM in the stream protocol's format (mono samples at the model rate in;
+interleaved restored channels out), so every StreamServer contract —
+lockstep batching, bit-exactness per stream, underrun accounting,
+slow-consumer policy — applies to WS clients unchanged. Implemented on
+stdlib only (hashlib/base64/struct/socket): no new dependencies.
+"""
+from __future__ import annotations
+
+import base64
+import hashlib
+import socket
+import struct
+import threading
+
+_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
+
+# opcodes
+CONT, TEXT, BINARY, CLOSE, PING, PONG = 0x0, 0x1, 0x2, 0x8, 0x9, 0xA
+
+
+def accept_key(client_key: str) -> str:
+    """Sec-WebSocket-Accept for a client's Sec-WebSocket-Key."""
+    digest = hashlib.sha1((client_key + _GUID).encode()).digest()
+    return base64.b64encode(digest).decode()
+
+
+def encode_frame(opcode: int, payload: bytes, mask: bool = False) -> bytes:
+    """One FIN frame. Servers send unmasked; clients MUST mask."""
+    head = bytearray([0x80 | opcode])
+    n = len(payload)
+    mask_bit = 0x80 if mask else 0
+    if n < 126:
+        head.append(mask_bit | n)
+    elif n < (1 << 16):
+        head.append(mask_bit | 126)
+        head += struct.pack(">H", n)
+    else:
+        head.append(mask_bit | 127)
+        head += struct.pack(">Q", n)
+    if mask:
+        import os
+
+        key = os.urandom(4)
+        head += key
+        payload = bytes(b ^ key[i % 4] for i, b in enumerate(payload))
+    return bytes(head) + payload
+
+
+def _read_exact(rfile, n: int) -> bytes:
+    buf = b""
+    while len(buf) < n:
+        chunk = rfile.read(n - len(buf))
+        if not chunk:
+            raise EOFError("websocket peer closed mid-frame")
+        buf += chunk
+    return buf
+
+
+def read_frame(rfile):
+    """-> (fin, opcode, payload) with masking removed. EOFError on EOF."""
+    b0, b1 = _read_exact(rfile, 2)
+    fin = bool(b0 & 0x80)
+    opcode = b0 & 0x0F
+    masked = bool(b1 & 0x80)
+    n = b1 & 0x7F
+    if n == 126:
+        (n,) = struct.unpack(">H", _read_exact(rfile, 2))
+    elif n == 127:
+        (n,) = struct.unpack(">Q", _read_exact(rfile, 8))
+    key = _read_exact(rfile, 4) if masked else None
+    payload = _read_exact(rfile, n) if n else b""
+    if key:
+        payload = bytes(b ^ key[i % 4] for i, b in enumerate(payload))
+    return fin, opcode, payload
+
+
+def read_message(rfile):
+    """Reassemble one complete message (handling fragmentation).
+
+    -> (opcode, payload). Control frames interleaved inside a fragmented
+    message are yielded first (they may not be fragmented themselves, RFC
+    6455 §5.4-5.5)."""
+    fin, opcode, payload = read_frame(rfile)
+    if opcode in (CLOSE, PING, PONG):
+        return opcode, payload
+    parts = [payload]
+    while not fin:
+        fin, op, chunk = read_frame(rfile)
+        if op in (CLOSE, PING, PONG):
+            return op, chunk  # control frame preempts; data resumes after
+        if op != CONT:
+            raise ValueError(f"expected continuation frame, got {op:#x}")
+        parts.append(chunk)
+    return opcode, b"".join(parts)
+
+
+def bridge_to_tcp(handler, stream_host: str, stream_port: int,
+                  max_message: int = 16 << 20):
+    """Proxy an upgraded WebSocket connection to the TCP stream server.
+
+    `handler` is the http.server request handler AFTER the 101 response
+    has been written. Client->server binary messages are raw PCM fed to
+    the TCP socket; TCP output comes back as binary messages. An EMPTY
+    binary message is the end-of-input marker (the WS analogue of the TCP
+    protocol's half-close): the server then drains the restorer's flush
+    tail as further binary messages and finally sends CLOSE. A browser
+    client therefore sends `new ArrayBuffer(0)` when done and keeps the
+    socket open until the server's close event — calling ws.close()
+    directly also works for non-browser clients, but browsers drop
+    messages received after close(), losing the tail. Text messages are
+    a protocol error (binary-only)."""
+    try:
+        tcp = socket.create_connection((stream_host, stream_port),
+                                       timeout=600)
+    except OSError:
+        try:
+            handler.wfile.write(encode_frame(
+                CLOSE, struct.pack(">H", 1011) + b"stream backend down"))
+        except OSError:
+            pass
+        return
+
+    wlock = threading.Lock()  # pong + data frames share the WS socket
+
+    def pump_tcp_to_ws():
+        try:
+            while True:
+                buf = tcp.recv(1 << 16)
+                if not buf:
+                    break
+                with wlock:
+                    handler.wfile.write(encode_frame(BINARY, buf))
+                    handler.wfile.flush()
+            with wlock:
+                handler.wfile.write(encode_frame(
+                    CLOSE, struct.pack(">H", 1000)))
+                handler.wfile.flush()
+        except OSError:
+            pass
+
+    pump = threading.Thread(target=pump_tcp_to_ws, daemon=True,
+                            name="ws-tcp-pump")
+    pump.start()
+    try:
+        while True:
+            op, payload = read_message(handler.rfile)
+            if op == BINARY:
+                if not payload:
+                    break  # end-of-input marker: flush + close via pump
+                if len(payload) > max_message:
+                    break
+                tcp.sendall(payload)
+            elif op == PING:
+                with wlock:
+                    handler.wfile.write(encode_frame(PONG, payload))
+                    handler.wfile.flush()
+            elif op == CLOSE:
+                # client is done sending; don't echo yet — the pump sends
+                # the final CLOSE after the flush tail (data between the
+                # client's close and ours is legal per RFC 6455 §5.5.1)
+                break
+            elif op == PONG:
+                continue
+            else:  # TEXT or unknown: binary-only protocol
+                break
+    except (EOFError, ValueError, OSError):
+        pass
+    try:
+        tcp.shutdown(socket.SHUT_WR)
+    except OSError:
+        pass
+    pump.join(timeout=600)
+    try:
+        tcp.close()
+    except OSError:
+        pass
+
+
+# ------------------------------------------------------------------ client
+
+def stream_over_ws(host: str, port: int, samples, fmt: str = "f32le",
+                   block: int = 4096, channels: int = 1,
+                   timeout: float = 600.0, path: str = "/v1/stream"):
+    """Minimal WS client mirroring server.stream_over_tcp: stream mono
+    `samples`, close, collect restored PCM -> [channels, T_out] float32."""
+    import numpy as np
+
+    dtype = np.dtype(np.float32 if fmt == "f32le" else np.int16)
+    x = np.asarray(samples, np.float32).reshape(-1)
+    if fmt == "s16le":
+        payload = np.clip(np.rint(x * 32767.0), -32768,
+                          32767).astype("<i2").tobytes()
+    else:
+        payload = x.astype("<f4").tobytes()
+
+    sock = socket.create_connection((host, port), timeout=timeout)
+    key = base64.b64encode(b"0123456789abcdef").decode()
+    sock.sendall((f"GET {path} HTTP/1.1\r\nHost: {host}:{port}\r\n"
+                  "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+                  f"Sec-WebSocket-Key: {key}\r\n"
+                  "Sec-WebSocket-Version: 13\r\n\r\n").encode())
+    rfile = sock.makefile("rb")
+    status = rfile.readline()
+    if b"101" not in status:
+        raise RuntimeError(f"handshake rejected: {status!r}")
+    want_accept = accept_key(key).encode()
+    got_accept = None
+    while True:
+        line = rfile.readline().strip()
+        if not line:
+            break
+        k, _, v = line.partition(b":")
+        if k.strip().lower() == b"sec-websocket-accept":
+            got_accept = v.strip()
+    if got_accept != want_accept:
+        raise RuntimeError(f"bad Sec-WebSocket-Accept: {got_accept!r}")
+
+    def write():
+        try:
+            step = block * dtype.itemsize
+            for off in range(0, len(payload), step):
+                sock.sendall(encode_frame(BINARY, payload[off:off + step],
+                                          mask=True))
+            # empty binary message = end-of-input marker; keep the socket
+            # open to collect the flush tail until the server's CLOSE
+            sock.sendall(encode_frame(BINARY, b"", mask=True))
+        except OSError:
+            pass
+
+    w = threading.Thread(target=write, daemon=True)
+    w.start()
+    chunks = []
+    try:
+        while True:
+            op, data = read_message(rfile)
+            if op == BINARY:
+                chunks.append(data)
+            elif op == PING:
+                sock.sendall(encode_frame(PONG, data, mask=True))
+            elif op == CLOSE:
+                break
+    except (EOFError, OSError):
+        pass
+    w.join(timeout=timeout)
+    sock.close()
+    raw = b"".join(chunks)
+    import numpy as np
+
+    y = np.frombuffer(raw, dtype).astype(np.float32)
+    if fmt == "s16le":
+        y /= 32768.0
+    return y.reshape(-1, channels).T

@@ -610,6 +610,111 @@ def test_stream_server_live_mode_drops_on_overflow(dn_stage):
     assert stats["active_streams"] == 0  # the dropped slot was freed
 
 
+# -------------------------------------------------------------- websocket
+
+def test_ws_frame_codec_roundtrip():
+    """RFC 6455 frame codec: masked/unmasked, the 7/16/64-bit length
+    encodings, and fragmented-message reassembly."""
+    import io
+
+    from ml_audio_restoration_tpu.pipeline import ws
+
+    for n in (0, 1, 125, 126, 65535, 65536):
+        payload = bytes(range(256)) * (n // 256) + bytes(range(n % 256))
+        for mask in (False, True):
+            buf = io.BytesIO(ws.encode_frame(ws.BINARY, payload, mask=mask))
+            fin, op, got = ws.read_frame(buf)
+            assert fin and op == ws.BINARY and got == payload, (n, mask)
+
+    # fragmentation: BINARY(fin=0) + CONT(fin=0) + CONT(fin=1)
+    import struct
+
+    def frag(opcode, payload, fin):
+        head = bytearray([(0x80 if fin else 0) | opcode, len(payload)])
+        return bytes(head) + payload
+
+    stream = (frag(ws.BINARY, b"ab", False) + frag(ws.CONT, b"cd", False)
+              + frag(ws.CONT, b"ef", True)
+              + ws.encode_frame(ws.CLOSE, struct.pack(">H", 1000)))
+    buf = io.BytesIO(stream)
+    op, msg = ws.read_message(buf)
+    assert op == ws.BINARY and msg == b"abcdef"
+    op, msg = ws.read_message(buf)
+    assert op == ws.CLOSE
+
+
+def test_ws_stream_matches_tcp(dn_stage, sine):
+    """A WebSocket /v1/stream client gets bit-identical output to the raw
+    TCP protocol (the WS endpoint is a pure bridge)."""
+    from ml_audio_restoration_tpu.pipeline.ws import stream_over_ws
+
+    block = 2048
+    restorer = StreamingRestorer(denoiser=dn_stage, batch=2)
+    with StreamServer(restorer, block=block) as ssrv, \
+            RestorationServer(_pipe(dn_stage),
+                              stream_addr=None) as hsrv:
+        hsrv.stream_addr = (ssrv.host, ssrv.port)
+        got_ws = stream_over_ws(hsrv.host, hsrv.port, sine, block=block)
+        got_tcp = stream_over_tcp(ssrv.host, ssrv.port, sine, block=block)
+        stats = json.load(urllib.request.urlopen(
+            f"http://{hsrv.host}:{hsrv.port}/v1/stats"))
+    np.testing.assert_array_equal(got_ws, got_tcp)
+    assert stats["ws_streams"] == 1
+
+
+def test_ws_handshake_errors(dn_stage):
+    """Non-upgrade GET -> 400; WS upgrade without a stream backend -> 503;
+    a ping mid-stream gets a pong."""
+    import struct
+
+    from ml_audio_restoration_tpu.pipeline import ws
+
+    with RestorationServer(_pipe(dn_stage)) as hsrv:
+        # plain GET on the WS path (no backend configured) -> 503
+        with pytest.raises(urllib.error.HTTPError) as err:
+            urllib.request.urlopen(
+                f"http://{hsrv.host}:{hsrv.port}/v1/stream")
+        assert err.value.code == 503
+
+        # backend configured but no Upgrade header -> 400
+        hsrv.stream_addr = ("127.0.0.1", 1)  # never dialed for a 400
+        with pytest.raises(urllib.error.HTTPError) as err:
+            urllib.request.urlopen(
+                f"http://{hsrv.host}:{hsrv.port}/v1/stream")
+        assert err.value.code == 400
+
+    # ping/pong on a live bridge
+    restorer = StreamingRestorer(denoiser=dn_stage, batch=1)
+    with StreamServer(restorer, block=1024) as ssrv, \
+            RestorationServer(_pipe(dn_stage)) as hsrv:
+        hsrv.stream_addr = (ssrv.host, ssrv.port)
+        import base64
+
+        sock = socket.create_connection((hsrv.host, hsrv.port), timeout=60)
+        key = base64.b64encode(b"fedcba9876543210").decode()
+        sock.sendall((f"GET /v1/stream HTTP/1.1\r\n"
+                      f"Host: {hsrv.host}:{hsrv.port}\r\n"
+                      "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+                      f"Sec-WebSocket-Key: {key}\r\n"
+                      "Sec-WebSocket-Version: 13\r\n\r\n").encode())
+        rfile = sock.makefile("rb")
+        assert b"101" in rfile.readline()
+        while rfile.readline().strip():
+            pass
+        sock.sendall(ws.encode_frame(ws.PING, b"hello", mask=True))
+        op, payload = ws.read_message(rfile)
+        assert op == ws.PONG and payload == b"hello"
+        # end-of-input marker on an empty stream -> server closes cleanly
+        sock.sendall(ws.encode_frame(ws.BINARY, b"", mask=True))
+        deadline = time.monotonic() + 60
+        while time.monotonic() < deadline:
+            op, payload = ws.read_message(rfile)
+            if op == ws.CLOSE:
+                assert struct.unpack(">H", payload[:2])[0] == 1000
+                break
+        sock.close()
+
+
 def test_cli_serve_smoke(dn_stage, tmp_path):
     """`cli serve` end-to-end in a subprocess: starts, answers /healthz,
     restores over HTTP, shuts down cleanly on SIGINT."""
