@@ -17,6 +17,7 @@ hard-coded train_*.py entry scripts with one config-driven command.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 
@@ -607,6 +608,15 @@ def _cmd_acquire(args):
 
 
 def main(argv=None):
+    # MLAR_PLATFORM=cpu forces the CPU backend even where a sitecustomize
+    # pre-imports jax with a TPU platform (env JAX_PLATFORMS is read at
+    # import, i.e. too late there; the config update below still works as
+    # long as no computation has run) — for debugging and CI soak runs
+    plat = os.environ.get("MLAR_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
     parser = argparse.ArgumentParser(
         prog="ml_audio_restoration_tpu",
         description="TPU-native 78rpm audio restoration")
