@@ -307,7 +307,20 @@ class RestorationServer:
 
     def _handle_get(self, h):
         path = urlparse(h.path).path
-        if path == "/v1/stream":
+        if path in ("/", "/console"):
+            # self-contained demo console (console.html): restore a file
+            # or a synthetic tone, stream over WS, watch stats — the
+            # browser-facing face of the same public API
+            import pathlib
+
+            body = (pathlib.Path(__file__).parent
+                    / "console.html").read_bytes()
+            h.send_response(200)
+            h.send_header("Content-Type", "text/html; charset=utf-8")
+            h.send_header("Content-Length", str(len(body)))
+            h.end_headers()
+            h.wfile.write(body)
+        elif path == "/v1/stream":
             self._handle_ws_upgrade(h)
         elif path == "/healthz":
             import jax

@@ -610,6 +610,23 @@ def test_stream_server_live_mode_drops_on_overflow(dn_stage):
     assert stats["active_streams"] == 0  # the dropped slot was freed
 
 
+def test_http_console_page(dn_stage):
+    """GET / (and /console) serves the self-contained demo console with
+    the right content type; it references only same-origin endpoints that
+    exist (no external assets, no build step)."""
+    with RestorationServer(_pipe(dn_stage)) as srv:
+        for path in ("/", "/console"):
+            resp = urllib.request.urlopen(
+                f"http://{srv.host}:{srv.port}{path}")
+            assert resp.status == 200
+            assert resp.headers["Content-Type"].startswith("text/html")
+            page = resp.read().decode()
+        for marker in ("/v1/restore", "/v1/stream", "/v1/stats",
+                       "/healthz", "new ArrayBuffer(0)"):
+            assert marker in page, marker
+        assert "http://" not in page.split("<body>")[1]  # same-origin only
+
+
 # -------------------------------------------------------------- websocket
 
 def test_ws_frame_codec_roundtrip():
