@@ -342,7 +342,8 @@ class RestorationServer:
         elif path == "/metrics":
             # Prometheus text exposition (so the daemon drops into a
             # standard scrape config without an adapter)
-            gauges = ("queue_depth", "uptime_seconds", "active_streams")
+            gauges = ("queue_depth", "uptime_seconds", "active_streams",
+                      "rss_mb")
             flat = []
             for k, v in self._snapshot_stats().items():
                 if isinstance(v, dict):  # the nested "stream" block
@@ -398,6 +399,15 @@ class RestorationServer:
             stats = dict(self._stats)
         stats["queue_depth"] = self._queue.qsize()
         stats["uptime_seconds"] = time.monotonic() - self._started
+        try:  # resident set size, for ops dashboards / leak watch
+            with open("/proc/self/status") as f:
+                for line in f:
+                    if line.startswith("VmRSS:"):
+                        stats["rss_mb"] = round(int(line.split()[1])
+                                                / 1024.0, 1)
+                        break
+        except OSError:
+            pass
         if self.extra_stats is not None:
             try:
                 stats["stream"] = dict(self.extra_stats())
