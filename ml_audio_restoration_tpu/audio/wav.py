@@ -133,8 +133,16 @@ def decode_wav(buf: bytes, always_2d: bool = True):
     f = io.BytesIO(buf)
     info = _parse_header(f)
     f.seek(info.data_offset)
-    raw = f.read(min(info.data_size,
-                     info.frames * info.channels * info.bits // 8))
+    want = min(info.data_size, info.frames * info.channels * info.bits // 8)
+    raw = f.read(want)
+    if len(raw) < want:
+        # an in-memory body either arrived whole or it didn't — a data
+        # chunk shorter than its declared size means the payload was cut
+        # off in transit, and decoding the fragment would silently restore
+        # partial audio (read_wav keeps its explicit seek/frames semantics
+        # for files)
+        raise ValueError(f"truncated WAV: data chunk declares {want} "
+                         f"bytes, {len(raw)} present")
     data = _decode(raw, info)
     if not always_2d and info.channels == 1:
         data = data[:, 0]

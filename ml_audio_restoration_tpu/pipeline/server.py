@@ -298,12 +298,17 @@ class RestorationServer:
 
     # ------------------------------------------------------------- handlers
     def _json(self, h, code: int, payload: dict):
-        body = json.dumps(payload).encode()
-        h.send_response(code)
-        h.send_header("Content-Type", "application/json")
-        h.send_header("Content-Length", str(len(body)))
-        h.end_headers()
-        h.wfile.write(body)
+        try:
+            body = json.dumps(payload).encode()
+            h.send_response(code)
+            h.send_header("Content-Type", "application/json")
+            h.send_header("Content-Length", str(len(body)))
+            h.end_headers()
+            h.wfile.write(body)
+        except OSError:
+            # client hung up before the response: nothing to tell it, and
+            # a dead socket must not take the handler thread down noisily
+            h.close_connection = True
 
     def _handle_get(self, h):
         path = urlparse(h.path).path
@@ -436,6 +441,13 @@ class RestorationServer:
                                          f"limit {self._max_body}"})
             return
         body = h.rfile.read(length)
+        if len(body) != length:
+            # short read = the client died (or lied) mid-body; a truncated
+            # WAV can still decode, so this must not fall through to a
+            # silent partial restore
+            self._json(h, 400, {"error": f"incomplete body: got "
+                                         f"{len(body)} of {length} bytes"})
+            return
 
         from ..audio import normalize_audio, resample
 

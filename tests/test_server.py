@@ -610,6 +610,65 @@ def test_stream_server_live_mode_drops_on_overflow(dn_stage):
     assert stats["active_streams"] == 0  # the dropped slot was freed
 
 
+def test_http_robustness_malformed_requests(dn_stage, sine):
+    """The daemon survives protocol abuse: truncated bodies, lying
+    Content-Length, oversized bodies, bogus methods/paths — each gets an
+    orderly error (or a dropped connection), never a hang or a crash, and
+    a well-formed request afterwards still succeeds."""
+    pipe = _pipe(dn_stage)
+    with RestorationServer(pipe, max_body_bytes=1 << 20,
+                           request_timeout=60) as srv:
+        base = f"http://{srv.host}:{srv.port}"
+
+        # Content-Length larger than the actual body: the read blocks
+        # until the client closes; server must not crash
+        s = socket.create_connection((srv.host, srv.port), timeout=30)
+        s.sendall(b"POST /v1/restore HTTP/1.1\r\n"
+                  b"Host: x\r\nContent-Length: 5000\r\n\r\nRIFFxxxx")
+        s.close()  # truncate mid-body
+
+        # body over max_body_bytes -> 413 without reading it all (urllib
+        # may instead see the connection break while still writing)
+        req = urllib.request.Request(f"{base}/v1/restore",
+                                     data=b"\0" * ((1 << 20) + 1),
+                                     method="POST")
+        with pytest.raises(urllib.error.URLError) as err:
+            urllib.request.urlopen(req)
+        if isinstance(err.value, urllib.error.HTTPError):
+            assert err.value.code == 413
+
+        # negative / non-numeric Content-Length -> 400
+        for cl in (b"-5", b"banana"):
+            s = socket.create_connection((srv.host, srv.port), timeout=30)
+            s.sendall(b"POST /v1/restore HTTP/1.1\r\nHost: x\r\n"
+                      b"Content-Length: " + cl + b"\r\n\r\n")
+            resp = s.recv(4096)
+            assert (b"400" in resp.split(b"\r\n", 1)[0]
+                    or resp == b""), resp
+            s.close()
+
+        # bogus method
+        s = socket.create_connection((srv.host, srv.port), timeout=30)
+        s.sendall(b"BREW /v1/restore HTTP/1.1\r\nHost: x\r\n\r\n")
+        resp = s.recv(4096)
+        assert b"501" in resp.split(b"\r\n", 1)[0] or resp == b""
+        s.close()
+
+        # a WAV that lies about its data size (truncated payload)
+        good = encode_wav(sine[:, None], SR, subtype="FLOAT")
+        bad = good[: len(good) // 2]
+        req = urllib.request.Request(f"{base}/v1/restore", data=bad,
+                                     method="POST")
+        with pytest.raises(urllib.error.HTTPError) as err:
+            urllib.request.urlopen(req)
+        assert err.value.code == 400
+
+        # after all of that, a clean request restores fine
+        got, rate = restore_over_http(srv.host, srv.port, good,
+                                      subtype="FLOAT")
+        assert rate == SR and np.isfinite(got).all()
+
+
 def test_http_console_page(dn_stage):
     """GET / (and /console) serves the self-contained demo console with
     the right content type; it references only same-origin endpoints that
