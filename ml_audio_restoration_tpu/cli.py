@@ -400,6 +400,11 @@ def _add_serve(sub):
     p.add_argument("--max-coalesce", type=int, default=4,
                    help="queued HTTP restores coalesced into one device "
                         "program (dynamic batching; 1 disables)")
+    p.add_argument("--warmup", action="store_true",
+                   help="precompile every serving program before "
+                        "accepting traffic (minutes on a cold TPU host; "
+                        "without it the first request of each length "
+                        "bucket pays its compile)")
     p.add_argument("--data-parallel", type=int, default=None,
                    help="shard the HTTP pipeline's chunk batch (and the "
                         "stream batch) over this many devices")
@@ -445,6 +450,15 @@ def _cmd_serve(args):
     if args.int8_scales and os.path.exists(args.int8_scales):
         pipe.load_int8_scales(args.int8_scales)
 
+    if args.warmup:
+        print("warming up: compiling serving programs "
+              "(first compile on a cold host can take minutes)...",
+              flush=True)
+        info = pipe.warmup(coalesce=args.max_coalesce)
+        print(f"  pipeline: {info['programs']} programs "
+              f"(chunk buckets {info['buckets']}) in "
+              f"{info['seconds']:.1f}s", flush=True)
+
     http_srv = RestorationServer(pipe, host=args.host, port=args.port,
                                  max_queue=args.max_queue,
                                  max_coalesce=args.max_coalesce, quiet=False)
@@ -464,6 +478,10 @@ def _cmd_serve(args):
                          and os.path.exists(args.int8_scales) else None),
             mesh=mesh)
         block = max(1, int(round(args.block_seconds * config.sample_rate)))
+        if args.warmup:
+            sinfo = restorer.warmup(block)
+            print(f"  streaming: {sinfo['programs']} programs in "
+                  f"{sinfo['seconds']:.1f}s", flush=True)
         stream_srv = StreamServer(restorer, host=args.host,
                                   port=args.stream_port, block=block,
                                   fmt=args.pcm,

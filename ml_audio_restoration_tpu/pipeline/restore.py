@@ -550,6 +550,87 @@ class RestorationPipeline:
                 self._int8_failed = not (
                     cfg.whole_file and isinstance(e, Int8LengthGateError))
 
+    # ------------------------------------------------------------- warmup
+    def warmup(self, coalesce: int = 1,
+               sample_rate: Optional[int] = None) -> dict:
+        """Precompile every serving program before real traffic arrives.
+
+        A cold pipeline compiles on demand, so the first request of each
+        chunk-bucket shape pays the full XLA compile (tens of seconds to
+        minutes on a TPU host) inside its own latency. Serving daemons call
+        this at startup instead (`cli serve --warmup`): it drives zero audio
+        through every bucketed chunk program from the bucketing granularity
+        up to `config.max_chunks_per_program` — the top bucket is also the
+        slab program, so arbitrarily long recordings are covered — and,
+        with `coalesce` > 1, the combined-batch stage program plus the
+        common short-request reassembly program used by dynamic batching
+        (`restore_many`). Compilation happens at dispatch, synchronously,
+        so when this returns the programs are resident; the zero-input
+        executions themselves are discarded.
+
+        Not enumerable (warns and returns 0 programs):
+        - `whole_file` mode compiles one program per recording LENGTH;
+        - `quantize_int8` with no scales loaded — the float programs
+          compiled now would be invalidated by the first recording's
+          auto-calibration (`_int8_version` keys every program); load a
+          scales file or `calibrate_int8` on a representative recording
+          first. (After a permanent gate failure float serving is the
+          steady state, so that case warms normally.)
+
+        Returns {"programs": newly compiled, "seconds": wall, "buckets":
+        chunk-count buckets covered}.
+        """
+        import time as _time
+        import warnings
+
+        cfg = self.config
+        t0 = _time.monotonic()
+        if cfg.whole_file:
+            warnings.warn("warmup is a no-op in whole_file mode: programs "
+                          "are compiled per recording length")
+            return {"programs": 0, "seconds": 0.0, "buckets": []}
+        if (cfg.quantize_int8 and self._int8_scales is None
+                and not self._int8_failed):
+            warnings.warn(
+                "warmup skipped: quantize_int8 is set but no scales are "
+                "loaded — programs compiled now would be recompiled after "
+                "first-recording calibration. load_int8_scales() or "
+                "calibrate_int8() on a representative recording first")
+            return {"programs": 0, "seconds": 0.0, "buckets": []}
+        sample_rate = sample_rate or cfg.sample_rate
+        chunk_size = int(round(cfg.chunk_seconds * sample_rate))
+        overlap = int(round(cfg.overlap_seconds * sample_rate))
+        hop = chunk_size - overlap
+        gran = 4
+        if self.mesh is not None:
+            import math
+
+            gran = math.lcm(4, self.mesh.shape["data"])
+        max_n = max(cfg.max_chunks_per_program, 4)
+        # every short-recording bucket, plus the slab program (s = max_n,
+        # which restore() reuses for every recording longer than one slab)
+        buckets = sorted({*range(gran, max_n + 1, gran), max_n})
+        before = len(self._compiled)
+        for n in buckets:
+            total = (n - 1) * hop + chunk_size
+            proc = self._get_processor(n, chunk_size, hop, overlap)
+            proc(self.denoiser, self.super_resolution, self.stereo,
+                 np.zeros((1, total), np.float32), np.int32(n))
+            if coalesce > 1:
+                # dynamic batching: the combined chunk-stage program and
+                # the short-request (granularity-bucket) reassembly program.
+                # Rarer (n_total, n_bucket) mixes still compile on demand —
+                # the reassembly programs are tiny next to the stage stack.
+                procc = self._get_chunk_processor(n, chunk_size)
+                big = procc(self.denoiser, self.super_resolution,
+                            self.stereo,
+                            np.zeros((n, chunk_size, 1), np.float32))
+                nb = min(gran, n)
+                oa = self._get_oa(n, nb, chunk_size, hop, overlap)
+                oa(big, np.int32(0), np.int32(1))
+        return {"programs": len(self._compiled) - before,
+                "seconds": _time.monotonic() - t0, "buckets": buckets}
+
     # ---------------------------------------------------------------- run
     def restore(self, audio, sample_rate: Optional[int] = None):
         """audio: [C, T] (mono mixed down if C>1) -> ([out_ch, T*f], out_rate).

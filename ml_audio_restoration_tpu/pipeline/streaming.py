@@ -372,6 +372,52 @@ class StreamingRestorer:
         return self._int8_scales
 
     # ---------------------------------------------------------------- api
+    def warmup(self, block: int, max_feeds: int = 64) -> dict:
+        """Precompile the fixed-block feed steps a serving frontend will hit.
+
+        A block-clocked frontend (pipeline/server.py::StreamServer, `cli
+        stream`) feeds a constant block size forever, so the step programs
+        it needs are exactly the emission sizes of the first few feeds (the
+        lookahead fills over the early feeds, then emission settles at one
+        block per feed). This feeds zero blocks until no new program has
+        compiled for several consecutive feeds, then `reset()`s — call it
+        BEFORE serving real streams, never with streams in flight.
+
+        int8 with no scales loaded is skipped with a warning: the first
+        drained window would auto-calibrate on the warmup silence, poisoning
+        the scales real traffic then serves with. Load a scales file first
+        (the programs also key on the calibration version, so warming the
+        float path would be wasted anyway).
+
+        `block` is rounded up to the pooling-grid alignment exactly like
+        StreamServer does. Returns {"programs", "seconds"}.
+        """
+        import time as _time
+        import warnings
+
+        if self.quantize_int8 and self._int8_scales is None:
+            warnings.warn(
+                "streaming warmup skipped: quantize_int8 is set but no "
+                "scales are loaded — the first drained window would "
+                "calibrate on warmup silence. load_int8_scales() first")
+            return {"programs": 0, "seconds": 0.0}
+        t0 = _time.monotonic()
+        block = -(-int(block) // self._align) * self._align
+        before = len(self._compiled)
+        z = np.zeros((self.batch, block), np.float32)
+        idle = 0  # consecutive feeds that compiled nothing new
+        for i in range(max_feeds):
+            had = len(self._compiled)
+            self.feed(z)
+            idle = idle + 1 if len(self._compiled) == had else 0
+            # emission can't start until the lookahead is covered — don't
+            # count the silent ramp-up feeds as "no new programs"
+            if (i + 1) * block > self.lookahead + block and idle >= 4:
+                break
+        self.reset()
+        return {"programs": len(self._compiled) - before,
+                "seconds": _time.monotonic() - t0}
+
     def feed(self, block) -> np.ndarray:
         """Append input samples for every stream; return finalized output
         samples ([out_ch, m*f], or [B, out_ch, m*f] for batch > 1; possibly
