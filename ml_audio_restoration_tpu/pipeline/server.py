@@ -188,11 +188,18 @@ class RestorationServer:
         self._http_thread.start()
         return self
 
-    def shutdown(self):
-        self._stopping = True
+    def shutdown(self, drain: bool = True):
+        """Stop accepting, then (drain=True) wait for every already-queued
+        restore to complete so a supervisor-driven stop never discards
+        accepted work. Requests arriving during shutdown get 503."""
+        self._stopping = True  # new enqueues now 503 (handler gate)
         self._httpd.shutdown()
         self._httpd.server_close()
         self._queue.put(None)  # wake the worker so it can exit
+        if drain and self._worker.is_alive():
+            # the worker serves everything queued ahead of the sentinel,
+            # fails anything that raced in behind it, then exits
+            self._worker.join(timeout=self._timeout)
 
     def __enter__(self):
         return self.start()
@@ -281,11 +288,26 @@ class RestorationServer:
             job.error = e
         job.event.set()
 
+    def _fail_pending(self):
+        """Exit path: a handler that raced its enqueue in behind the
+        shutdown sentinel must get an immediate error, not a full
+        request_timeout 504 (its event would otherwise never be set)."""
+        while True:
+            try:
+                j = self._queue.get_nowait()
+            except queue.Empty:
+                return
+            if j is None:
+                continue
+            j.error = RuntimeError("server is shutting down")
+            j.event.set()
+
     def _worker_loop(self):
         while True:
             job = self._queue.get()
             if job is None:
                 if self._stopping:
+                    self._fail_pending()
                     return
                 continue
             if isinstance(job, _ReloadJob):
@@ -294,6 +316,7 @@ class RestorationServer:
             jobs, saw_stop = self._drain(job)
             self._run_jobs(jobs)
             if saw_stop and self._stopping:
+                self._fail_pending()
                 return
 
     # ------------------------------------------------------------- handlers
@@ -469,6 +492,9 @@ class RestorationServer:
         if q.get("normalize", ["1"])[0] not in ("0", "false"):
             audio = np.asarray(normalize_audio(audio))
 
+        if self._stopping:
+            self._json(h, 503, {"error": "server is shutting down"})
+            return
         job = _Job(audio, target_sr)
         try:
             self._queue.put(job, timeout=0.05)

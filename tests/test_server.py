@@ -318,6 +318,72 @@ def test_http_drain_respects_max_coalesce_and_stop(dn_stage):
         srv._httpd.server_close()
 
 
+def test_http_shutdown_drains_accepted_work(dn_stage, sine):
+    """shutdown() completes every accepted restore before returning (no
+    504s on supervisor-driven stops), immediately fails a job that raced
+    its enqueue in behind the shutdown sentinel, and 503s new requests
+    once stopping."""
+    from ml_audio_restoration_tpu.pipeline.server import _Job
+
+    pipe = _pipe(dn_stage)
+    release = threading.Event()
+    orig = pipe.restore
+
+    def slow_restore(a, s):
+        release.wait(10)
+        return orig(a, s)
+
+    pipe.restore = slow_restore
+    # max_coalesce=1: jobs go through the (patched, blocking) single path
+    # one at a time, so the queue state below is deterministic
+    srv = RestorationServer(pipe, max_coalesce=1).start()
+    body = encode_wav(sine[:, None], SR, subtype="FLOAT")
+    results = {}
+
+    def post(i):
+        try:
+            results[i] = restore_over_http(srv.host, srv.port, body,
+                                           subtype="FLOAT", timeout=30)
+        except RuntimeError as e:
+            results[i] = str(e)
+
+    threads = [threading.Thread(target=post, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    # wait until ALL THREE are accepted: one blocking the worker, two queued
+    deadline = time.monotonic() + 10
+    while srv._queue.qsize() < 2 and time.monotonic() < deadline:
+        time.sleep(0.01)
+    assert srv._queue.qsize() == 2
+
+    # 503 gate: a request arriving once stopping is set is refused, not
+    # queued behind the sentinel
+    srv._stopping = True
+    with pytest.raises(RuntimeError, match="503"):
+        restore_over_http(srv.host, srv.port, body, timeout=30)
+    srv._stopping = False
+
+    stopper = threading.Thread(target=srv.shutdown)
+    stopper.start()
+    # wait for the sentinel to actually land (httpd.shutdown() blocks up
+    # to its poll interval first): queue is then [job1, job2, None]
+    deadline = time.monotonic() + 10
+    while srv._queue.qsize() < 3 and time.monotonic() < deadline:
+        time.sleep(0.01)
+    assert srv._queue.qsize() == 3
+    late = _Job(np.zeros((1, 100), np.float32), SR)
+    srv._queue.put(late)  # raced in behind the sentinel
+    release.set()
+    stopper.join(30)
+    for t in threads:
+        t.join(30)
+    assert not stopper.is_alive() and not srv._worker.is_alive()
+    # every ACCEPTED request completed with a real response
+    assert all(isinstance(results[i], tuple) for i in range(3)), results
+    assert late.event.wait(5)
+    assert isinstance(late.error, RuntimeError)
+
+
 # --------------------------------------------------------------- streaming
 
 def test_stream_server_matches_direct_restorer(dn_stage, sine):
