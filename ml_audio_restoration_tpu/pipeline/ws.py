@@ -36,6 +36,21 @@ def accept_key(client_key: str) -> str:
     return base64.b64encode(digest).decode()
 
 
+def _apply_mask(payload: bytes, key: bytes) -> bytes:
+    """XOR `payload` with the repeating 4-byte mask `key` (RFC 6455 §5.3).
+
+    Every browser payload arrives masked, so this runs on the bridge's
+    hot input path: vectorize through numpy above a threshold (a Python
+    per-byte loop caps a streaming client at a few MB/s)."""
+    if len(payload) >= 1024:
+        import numpy as np
+
+        arr = np.frombuffer(payload, np.uint8)
+        k = np.frombuffer(key * ((len(payload) + 3) // 4), np.uint8)
+        return (arr ^ k[:len(payload)]).tobytes()
+    return bytes(b ^ key[i % 4] for i, b in enumerate(payload))
+
+
 def encode_frame(opcode: int, payload: bytes, mask: bool = False) -> bytes:
     """One FIN frame. Servers send unmasked; clients MUST mask."""
     head = bytearray([0x80 | opcode])
@@ -54,7 +69,7 @@ def encode_frame(opcode: int, payload: bytes, mask: bool = False) -> bytes:
 
         key = os.urandom(4)
         head += key
-        payload = bytes(b ^ key[i % 4] for i, b in enumerate(payload))
+        payload = _apply_mask(payload, key)
     return bytes(head) + payload
 
 
@@ -68,8 +83,12 @@ def _read_exact(rfile, n: int) -> bytes:
     return buf
 
 
-def read_frame(rfile):
-    """-> (fin, opcode, payload) with masking removed. EOFError on EOF."""
+def read_frame(rfile, max_frame: int | None = None):
+    """-> (fin, opcode, payload) with masking removed. EOFError on EOF.
+
+    `max_frame` bounds the DECLARED payload length BEFORE any allocation:
+    a hostile 64-bit length header must not make the server try to buffer
+    gigabytes (ValueError tears the connection down instead)."""
     b0, b1 = _read_exact(rfile, 2)
     fin = bool(b0 & 0x80)
     opcode = b0 & 0x0F
@@ -79,31 +98,64 @@ def read_frame(rfile):
         (n,) = struct.unpack(">H", _read_exact(rfile, 2))
     elif n == 127:
         (n,) = struct.unpack(">Q", _read_exact(rfile, 8))
+    if max_frame is not None and n > max_frame:
+        raise ValueError(f"frame of {n} bytes exceeds limit {max_frame}")
     key = _read_exact(rfile, 4) if masked else None
     payload = _read_exact(rfile, n) if n else b""
     if key:
-        payload = bytes(b ^ key[i % 4] for i, b in enumerate(payload))
+        payload = _apply_mask(payload, key)
     return fin, opcode, payload
 
 
-def read_message(rfile):
-    """Reassemble one complete message (handling fragmentation).
+class MessageReader:
+    """Stateful message reassembler for one WebSocket connection.
 
-    -> (opcode, payload). Control frames interleaved inside a fragmented
-    message are yielded first (they may not be fragmented themselves, RFC
-    6455 §5.4-5.5)."""
-    fin, opcode, payload = read_frame(rfile)
-    if opcode in (CLOSE, PING, PONG):
-        return opcode, payload
-    parts = [payload]
-    while not fin:
-        fin, op, chunk = read_frame(rfile)
-        if op in (CLOSE, PING, PONG):
-            return op, chunk  # control frame preempts; data resumes after
-        if op != CONT:
-            raise ValueError(f"expected continuation frame, got {op:#x}")
-        parts.append(chunk)
-    return opcode, b"".join(parts)
+    Control frames may legally arrive BETWEEN the fragments of a data
+    message (RFC 6455 §5.4-5.5); they are returned as they arrive while
+    the partial data fragments are retained for the next `read()` call —
+    a stateless reader would silently drop the fragments and then choke
+    on the resumed continuation frame. `max_message` bounds both the
+    per-frame declared length and the reassembled message size."""
+
+    def __init__(self, rfile, max_message: int = 16 << 20):
+        self._rfile = rfile
+        self._max = max_message
+        self._op = None      # data opcode of the in-progress message
+        self._parts = []     # its fragments so far
+        self._size = 0
+
+    def read(self):
+        """-> (opcode, payload): the next control frame or complete
+        (reassembled) data message."""
+        while True:
+            fin, op, payload = read_frame(self._rfile, self._max)
+            if op in (CLOSE, PING, PONG):
+                return op, payload
+            if op == CONT:
+                if self._op is None:
+                    raise ValueError("continuation frame with no message "
+                                     "in progress")
+                self._parts.append(payload)
+            else:
+                if self._op is not None:
+                    raise ValueError(f"data frame {op:#x} inside a "
+                                     f"fragmented message")
+                self._op, self._parts = op, [payload]
+                self._size = 0
+            self._size += len(payload)
+            if self._size > self._max:
+                raise ValueError(f"message exceeds limit {self._max}")
+            if fin:
+                op, parts = self._op, self._parts
+                self._op, self._parts, self._size = None, [], 0
+                return op, b"".join(parts)
+
+
+def read_message(rfile):
+    """One-shot `MessageReader.read()` — convenience for callers that
+    know no control frame will interleave mid-fragment (fragment state
+    does NOT survive across calls; hold a MessageReader for that)."""
+    return MessageReader(rfile).read()
 
 
 def bridge_to_tcp(handler, stream_host: str, stream_port: int,
@@ -121,6 +173,14 @@ def bridge_to_tcp(handler, stream_host: str, stream_port: int,
     directly also works for non-browser clients, but browsers drop
     messages received after close(), losing the tail. Text messages are
     a protocol error (binary-only)."""
+    try:
+        # a silently-vanished browser (no CLOSE, no RST) would otherwise pin
+        # this handler thread and its stream slot until the OS gives up on
+        # the connection; keepalive bounds that to the kernel's probe cycle
+        handler.connection.setsockopt(socket.SOL_SOCKET,
+                                      socket.SO_KEEPALIVE, 1)
+    except OSError:
+        pass
     try:
         tcp = socket.create_connection((stream_host, stream_port),
                                        timeout=600)
@@ -153,14 +213,13 @@ def bridge_to_tcp(handler, stream_host: str, stream_port: int,
     pump = threading.Thread(target=pump_tcp_to_ws, daemon=True,
                             name="ws-tcp-pump")
     pump.start()
+    reader = MessageReader(handler.rfile, max_message)
     try:
         while True:
-            op, payload = read_message(handler.rfile)
+            op, payload = reader.read()
             if op == BINARY:
                 if not payload:
                     break  # end-of-input marker: flush + close via pump
-                if len(payload) > max_message:
-                    break
                 tcp.sendall(payload)
             elif op == PING:
                 with wlock:
@@ -242,9 +301,10 @@ def stream_over_ws(host: str, port: int, samples, fmt: str = "f32le",
     w = threading.Thread(target=write, daemon=True)
     w.start()
     chunks = []
+    reader = MessageReader(rfile)
     try:
         while True:
-            op, data = read_message(rfile)
+            op, data = reader.read()
             if op == BINARY:
                 chunks.append(data)
             elif op == PING:

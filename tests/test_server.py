@@ -785,6 +785,73 @@ def test_ws_frame_codec_roundtrip():
     assert op == ws.CLOSE
 
 
+def test_ws_control_frame_mid_fragment_preserves_message():
+    """RFC 6455 §5.4-5.5: a PING interleaved between the fragments of a
+    data message is returned first and the fragments survive — the
+    message reassembles on the next read."""
+    import io
+    import struct
+
+    from ml_audio_restoration_tpu.pipeline import ws
+
+    def frag(opcode, payload, fin):
+        return bytes([(0x80 if fin else 0) | opcode,
+                      len(payload)]) + payload
+
+    stream = (frag(ws.BINARY, b"ab", False)
+              + ws.encode_frame(ws.PING, b"ka")
+              + frag(ws.CONT, b"cd", False)
+              + ws.encode_frame(ws.PONG, b"ka")
+              + frag(ws.CONT, b"ef", True)
+              + ws.encode_frame(ws.CLOSE, struct.pack(">H", 1000)))
+    reader = ws.MessageReader(io.BytesIO(stream))
+    assert reader.read() == (ws.PING, b"ka")
+    assert reader.read() == (ws.PONG, b"ka")
+    assert reader.read() == (ws.BINARY, b"abcdef")
+    assert reader.read()[0] == ws.CLOSE
+
+
+def test_ws_frame_and_message_size_limits():
+    """A hostile declared length is rejected BEFORE allocation, and a
+    fragmented message that grows past the bound is rejected too."""
+    import io
+
+    from ml_audio_restoration_tpu.pipeline import ws
+
+    # 64-bit length header claiming 1 TB: ValueError, no payload read
+    huge = bytes([0x80 | ws.BINARY, 127]) + (1 << 40).to_bytes(8, "big")
+    with pytest.raises(ValueError, match="exceeds limit"):
+        ws.read_frame(io.BytesIO(huge), max_frame=1 << 20)
+
+    # fragments individually under the cap but 3 x 600 > 1024 total
+    import struct
+
+    def frag(opcode, payload, fin):
+        return (bytes([(0x80 if fin else 0) | opcode, 126])
+                + struct.pack(">H", len(payload)) + payload)
+
+    stream = (frag(ws.BINARY, b"x" * 600, False)
+              + frag(ws.CONT, b"y" * 600, False)
+              + frag(ws.CONT, b"z" * 600, True))
+    reader = ws.MessageReader(io.BytesIO(stream), max_message=1024)
+    with pytest.raises(ValueError, match="exceeds limit"):
+        reader.read()
+
+
+def test_ws_mask_vectorized_roundtrip():
+    """The numpy-vectorized (un)masking path (>=1 KB payloads) matches
+    the per-byte definition."""
+    from ml_audio_restoration_tpu.pipeline import ws
+
+    key = b"\x37\xfa\x21\x3d"
+    for n in (1023, 1024, 4096, 65537):  # straddle the fast-path threshold
+        payload = bytes((i * 31) & 0xFF for i in range(n))
+        want = bytes(b ^ key[i % 4] for i, b in enumerate(payload))
+        got = ws._apply_mask(payload, key)
+        assert got == want
+        assert ws._apply_mask(got, key) == payload
+
+
 def test_ws_stream_matches_tcp(dn_stage, sine):
     """A WebSocket /v1/stream client gets bit-identical output to the raw
     TCP protocol (the WS endpoint is a pure bridge)."""
