@@ -154,6 +154,14 @@ class RestorationServer:
         self._timeout = request_timeout
         self._started = time.monotonic()
         self._stopping = False
+        # serializes "check _stopping then enqueue" against "set _stopping
+        # then enqueue the sentinel": without it a handler could check the
+        # flag, get descheduled, and land its job behind the sentinel after
+        # the worker's final sweep — stranding the client until the 504
+        self._put_lock = threading.Lock()
+        # restore handlers still transferring/encoding a response (the
+        # worker's event fires at dispatch; D2H + encode happen here)
+        self._inflight = 0
         # optional callable returning a dict merged into /v1/stats under
         # "stream" (cli serve points it at StreamServer.stats so one scrape
         # covers both frontends)
@@ -190,16 +198,35 @@ class RestorationServer:
 
     def shutdown(self, drain: bool = True):
         """Stop accepting, then (drain=True) wait for every already-queued
-        restore to complete so a supervisor-driven stop never discards
-        accepted work. Requests arriving during shutdown get 503."""
-        self._stopping = True  # new enqueues now 503 (handler gate)
+        restore to complete AND its response to be written, so a
+        supervisor-driven stop never discards accepted work. Requests
+        arriving during shutdown get 503."""
+        with self._put_lock:
+            # flag + sentinel under the enqueue lock: every handler either
+            # saw _stopping (503) or enqueued ahead of the sentinel (served)
+            self._stopping = True
+            self._queue.put(None)
         self._httpd.shutdown()
         self._httpd.server_close()
-        self._queue.put(None)  # wake the worker so it can exit
         if drain and self._worker.is_alive():
             # the worker serves everything queued ahead of the sentinel,
-            # fails anything that raced in behind it, then exits
+            # fails anything behind it, then exits
             self._worker.join(timeout=self._timeout)
+            if self._worker.is_alive():
+                import warnings
+
+                warnings.warn("shutdown drain timed out with restores "
+                              "still running; their responses may be lost")
+        if drain:
+            # the worker's event fires at DISPATCH; handler threads still
+            # pay the D2H + encode + socket write — wait for those too
+            # (bounded: a response write can't outlive the socket for long)
+            deadline = time.monotonic() + min(self._timeout, 60.0)
+            while time.monotonic() < deadline:
+                with self._stats_lock:
+                    if self._inflight == 0:
+                        break
+                time.sleep(0.02)
 
     def __enter__(self):
         return self.start()
@@ -212,9 +239,10 @@ class RestorationServer:
         """Dynamic batching: sweep whatever is already queued (up to
         max_coalesce) into one batch for `pipeline.restore_many`. No wait —
         an idle server keeps single-request latency; only requests that
-        were going to queue anyway get coalesced. Returns (jobs, saw_stop)
-        — a shutdown sentinel ends the loop after this batch completes."""
-        jobs, saw_stop = [first], False
+        were going to queue anyway get coalesced. Returns (jobs, reload,
+        saw_stop) — a shutdown sentinel ends the loop after this batch
+        completes."""
+        jobs, reload_job, saw_stop = [first], None, False
         while len(jobs) < self._max_coalesce:
             try:
                 j = self._queue.get_nowait()
@@ -224,14 +252,16 @@ class RestorationServer:
                 saw_stop = True
                 break
             if isinstance(j, _ReloadJob):
-                # don't mix a weight swap into a restore batch: push it
-                # behind the current drain (a reload racing queued restores
-                # is inherently unordered; the response tells the operator
-                # when it LANDED, which is the meaningful event)
-                self._queue.put(j)
+                # don't mix a weight swap into a restore batch: hold it
+                # aside and apply it right after this batch (a reload
+                # racing queued restores is inherently unordered; the
+                # response tells the operator when it LANDED). Held aside,
+                # NOT re-queued: a blocking put-back into a full queue
+                # would deadlock the worker — the queue's only consumer.
+                reload_job = j
                 break
             jobs.append(j)
-        return jobs, saw_stop
+        return jobs, reload_job, saw_stop
 
     def _run_jobs(self, jobs):
         """Dispatch one drained batch. restore/restore_many return device-
@@ -313,8 +343,10 @@ class RestorationServer:
             if isinstance(job, _ReloadJob):
                 self._apply_reload(job)
                 continue
-            jobs, saw_stop = self._drain(job)
+            jobs, reload_job, saw_stop = self._drain(job)
             self._run_jobs(jobs)
+            if reload_job is not None:
+                self._apply_reload(reload_job)
             if saw_stop and self._stopping:
                 self._fail_pending()
                 return
@@ -451,6 +483,13 @@ class RestorationServer:
         if path != "/v1/restore":
             self._json(h, 404, {"error": f"no such path: {path}"})
             return
+        if self._stopping:
+            # before the body read: a shutdown-window request must not pay
+            # (or make the server pay) a multi-hundred-MB decode for a 503
+            with self._stats_lock:
+                self._stats["rejected"] += 1
+            self._json(h, 503, {"error": "server is shutting down"})
+            return
         q = parse_qs(urlparse(h.path).query)
         try:
             length = int(h.headers.get("Content-Length", "0"))
@@ -492,34 +531,54 @@ class RestorationServer:
         if q.get("normalize", ["1"])[0] not in ("0", "false"):
             audio = np.asarray(normalize_audio(audio))
 
-        if self._stopping:
-            self._json(h, 503, {"error": "server is shutting down"})
-            return
         job = _Job(audio, target_sr)
-        try:
-            self._queue.put(job, timeout=0.05)
-        except queue.Full:
+        # flag-check + enqueue under the lock shutdown() uses for flag +
+        # sentinel: a job can only enter the queue AHEAD of the sentinel
+        # (served by the drain) — never behind the worker's final sweep
+        accepted = stopping = False
+        with self._put_lock:
+            if self._stopping:
+                stopping = True
+            else:
+                try:
+                    self._queue.put(job, timeout=0.05)
+                    accepted = True
+                except queue.Full:
+                    pass
+        if not accepted:
             with self._stats_lock:
                 self._stats["rejected"] += 1
-            self._json(h, 503, {"error": "server at capacity, retry later",
-                                "queue_depth": self._queue.qsize()})
+            self._json(h, 503,
+                       {"error": "server is shutting down"} if stopping
+                       else {"error": "server at capacity, retry later",
+                             "queue_depth": self._queue.qsize()})
             return
-        if not job.event.wait(self._timeout):
-            with self._stats_lock:
-                self._stats["errors"] += 1
-            self._json(h, 504, {"error": "restore timed out"})
-            return
-        if job.error is not None:
-            with self._stats_lock:
-                self._stats["errors"] += 1
-            self._json(h, 500, {"error": f"{type(job.error).__name__}: "
-                                         f"{job.error}"})
-            return
+        # accepted: count this handler as in-flight until the RESPONSE is
+        # written (shutdown's drain waits on this, not just the worker —
+        # the worker's event fires at dispatch, the D2H/encode happen here)
+        with self._stats_lock:
+            self._inflight += 1
+        try:
+            if not job.event.wait(self._timeout):
+                with self._stats_lock:
+                    self._stats["errors"] += 1
+                self._json(h, 504, {"error": "restore timed out"})
+                return
+            if job.error is not None:
+                with self._stats_lock:
+                    self._stats["errors"] += 1
+                self._json(h, 500, {"error": f"{type(job.error).__name__}: "
+                                             f"{job.error}"})
+                return
 
-        # blocking D2H on the handler thread (the worker is already on the
-        # next request), then output normalization exactly like restore_file
-        restored = normalize_audio(np.asarray(job.out))
-        return self._send_wav(h, q, job, restored, audio, target_sr)
+            # blocking D2H on the handler thread (the worker is already on
+            # the next request), then output normalization exactly like
+            # restore_file
+            restored = normalize_audio(np.asarray(job.out))
+            return self._send_wav(h, q, job, restored, audio, target_sr)
+        finally:
+            with self._stats_lock:
+                self._inflight -= 1
 
     def _handle_reload(self, h):
         """POST /v1/reload  body: {"denoiser": path, "super_resolution":
@@ -553,10 +612,20 @@ class RestorationServer:
                          f"compiled programs don't exist)"})
             return
         job = _ReloadJob(dict(req))
-        try:
-            self._queue.put(job, timeout=1.0)
-        except queue.Full:
-            self._json(h, 503, {"error": "server at capacity, retry later"})
+        accepted = stopping = False
+        with self._put_lock:  # same enqueue-vs-sentinel ordering as restore
+            if self._stopping:
+                stopping = True
+            else:
+                try:
+                    self._queue.put(job, timeout=1.0)
+                    accepted = True
+                except queue.Full:
+                    pass
+        if not accepted:
+            self._json(h, 503,
+                       {"error": "server is shutting down"} if stopping
+                       else {"error": "server at capacity, retry later"})
             return
         if not job.event.wait(self._timeout):
             self._json(h, 504, {"error": "reload timed out"})

@@ -176,9 +176,17 @@ def bridge_to_tcp(handler, stream_host: str, stream_port: int,
     try:
         # a silently-vanished browser (no CLOSE, no RST) would otherwise pin
         # this handler thread and its stream slot until the OS gives up on
-        # the connection; keepalive bounds that to the kernel's probe cycle
-        handler.connection.setsockopt(socket.SOL_SOCKET,
-                                      socket.SO_KEEPALIVE, 1)
+        # the connection. SO_KEEPALIVE alone uses the kernel defaults
+        # (~2h idle before the first probe on Linux) — tighten the probe
+        # schedule so a dead peer frees its slot in ~2 minutes:
+        # 60 s idle + 4 probes x 15 s.
+        conn = handler.connection
+        conn.setsockopt(socket.SOL_SOCKET, socket.SO_KEEPALIVE, 1)
+        for opt, val in (("TCP_KEEPIDLE", 60), ("TCP_KEEPINTVL", 15),
+                         ("TCP_KEEPCNT", 4)):
+            if hasattr(socket, opt):  # Linux; other OSes keep defaults
+                conn.setsockopt(socket.IPPROTO_TCP,
+                                getattr(socket, opt), val)
     except OSError:
         pass
     try:

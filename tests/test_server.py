@@ -283,8 +283,8 @@ def test_http_worker_coalesces_queued_requests(dn_stage):
                 for f0 in (200, 500, 950)]
         for j in jobs[1:]:
             srv._queue.put(j)
-        batch, saw_stop = srv._drain(jobs[0])
-        assert batch == jobs and not saw_stop
+        batch, reload_job, saw_stop = srv._drain(jobs[0])
+        assert batch == jobs and reload_job is None and not saw_stop
         srv._run_jobs(batch)
         assert srv._stats["coalesced"] == 3
         ref = _pipe(dn_stage)
@@ -307,13 +307,13 @@ def test_http_drain_respects_max_coalesce_and_stop(dn_stage):
         jobs = [_Job(np.zeros((1, 100), np.float32), SR) for _ in range(3)]
         for j in jobs[1:]:
             srv._queue.put(j)
-        batch, saw_stop = srv._drain(jobs[0])
-        assert batch == jobs[:2] and not saw_stop  # cap: 2
+        batch, reload_job, saw_stop = srv._drain(jobs[0])
+        assert batch == jobs[:2] and reload_job is None and not saw_stop
         srv._queue.put(None)  # shutdown sentinel behind job 3
         first = srv._queue.get()  # the worker's blocking get
         assert first is jobs[2]
-        batch2, saw_stop2 = srv._drain(first)
-        assert batch2 == [jobs[2]] and saw_stop2
+        batch2, reload2, saw_stop2 = srv._drain(first)
+        assert batch2 == [jobs[2]] and reload2 is None and saw_stop2
     finally:
         srv._httpd.server_close()
 
