@@ -485,7 +485,10 @@ class RestorationServer:
             return
         if self._stopping:
             # before the body read: a shutdown-window request must not pay
-            # (or make the server pay) a multi-hundred-MB decode for a 503
+            # (or make the server pay) a multi-hundred-MB decode for a 503.
+            # Responding without consuming the body means the unread bytes
+            # would desync a keep-alive connection — close it instead
+            h.close_connection = True
             with self._stats_lock:
                 self._stats["rejected"] += 1
             self._json(h, 503, {"error": "server is shutting down"})
@@ -494,11 +497,14 @@ class RestorationServer:
         try:
             length = int(h.headers.get("Content-Length", "0"))
         except ValueError:
-            length = 0
+            h.close_connection = True  # any body bytes would desync
+            self._json(h, 400, {"error": "bad Content-Length"})
+            return
         if length <= 0:
             self._json(h, 400, {"error": "empty body (send a WAV file)"})
             return
         if length > self._max_body:
+            h.close_connection = True  # body is never read: see above
             self._json(h, 413, {"error": f"body {length} bytes exceeds "
                                          f"limit {self._max_body}"})
             return
@@ -507,6 +513,7 @@ class RestorationServer:
             # short read = the client died (or lied) mid-body; a truncated
             # WAV can still decode, so this must not fall through to a
             # silent partial restore
+            h.close_connection = True  # stream state is unknowable now
             self._json(h, 400, {"error": f"incomplete body: got "
                                          f"{len(body)} of {length} bytes"})
             return
@@ -591,6 +598,12 @@ class RestorationServer:
             length = int(h.headers.get("Content-Length", "0"))
         except ValueError:
             length = 0
+        if length > (1 << 20):  # a stage->path map is tiny; don't let a
+            # mislabeled upload (or abuse) buffer hundreds of MB here
+            h.close_connection = True  # body is never read
+            self._json(h, 413, {"error": f"reload body {length} bytes "
+                                         f"exceeds limit {1 << 20}"})
+            return
         try:
             req = json.loads(h.rfile.read(length) or b"{}")
         except ValueError:
@@ -644,13 +657,19 @@ class RestorationServer:
         with self._stats_lock:
             self._stats["requests"] += 1
             self._stats["audio_seconds_in"] += audio.shape[1] / target_sr
-        h.send_response(200)
-        h.send_header("Content-Type", "audio/wav")
-        h.send_header("Content-Length", str(len(wav)))
-        h.send_header("X-Sample-Rate", str(job.rate))
-        h.send_header("X-Channels", str(restored.shape[0]))
-        h.end_headers()
-        h.wfile.write(wav)
+        try:
+            h.send_response(200)
+            h.send_header("Content-Type", "audio/wav")
+            h.send_header("Content-Length", str(len(wav)))
+            h.send_header("X-Sample-Rate", str(job.rate))
+            h.send_header("X-Channels", str(restored.shape[0]))
+            h.end_headers()
+            h.wfile.write(wav)
+        except OSError:
+            # client hung up while its restore ran: the work is done, the
+            # response has nowhere to go — don't let the dead socket dump
+            # a traceback through handle_error for every impatient client
+            h.close_connection = True
 
 
 # ---------------------------------------------------------------- streaming

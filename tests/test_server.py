@@ -318,6 +318,41 @@ def test_http_drain_respects_max_coalesce_and_stop(dn_stage):
         srv._httpd.server_close()
 
 
+def test_http_drain_holds_reload_aside_and_applies_after_batch(dn_stage,
+                                                               tmp_path):
+    """A reload drained mid-batch is held aside (never re-queued — a
+    blocking put-back into a full queue would deadlock the worker) and
+    applied right after the batch, even with the queue at capacity."""
+    from ml_audio_restoration_tpu.models import denoiser as dn_mod
+    from ml_audio_restoration_tpu.pipeline.server import _Job, _ReloadJob
+    from ml_audio_restoration_tpu.train.checkpoints import save_checkpoint
+
+    new_stage = dn_mod.init(jax.random.PRNGKey(7))
+    ck = tmp_path / "dn_held.msgpack"
+    save_checkpoint(ck, {"params": new_stage[0],
+                         "model_state": new_stage[1]})
+    srv = RestorationServer(_pipe(dn_stage), max_coalesce=4, max_queue=3)
+    try:
+        jobs = [_Job(np.zeros((1, 100), np.float32), SR) for _ in range(2)]
+        reload_job = _ReloadJob({"denoiser": str(ck)})
+        # fill the queue completely: restore, reload, restore
+        srv._queue.put(jobs[1])
+        srv._queue.put(reload_job)
+        srv._queue.put(_Job(np.zeros((1, 100), np.float32), SR))
+        batch, held, saw_stop = srv._drain(jobs[0])
+        assert batch == jobs and held is reload_job and not saw_stop
+        # the reload was NOT re-queued: the trailing restore is still the
+        # only queued item (a put-back ahead of it would reorder/deadlock)
+        assert srv._queue.qsize() == 1
+        srv._run_jobs(batch)
+        srv._apply_reload(held)
+        assert held.error is None and held.loaded == ["denoiser"]
+        assert held.event.is_set()
+        assert srv._stats["reloads"] == 1
+    finally:
+        srv._httpd.server_close()
+
+
 def test_http_shutdown_drains_accepted_work(dn_stage, sine):
     """shutdown() completes every accepted restore before returning (no
     504s on supervisor-driven stops), immediately fails a job that raced
