@@ -138,7 +138,8 @@ class RestorationServer:
                  max_queue: int = 8, max_body_bytes: int = 512 << 20,
                  request_timeout: float = 600.0, quiet: bool = True,
                  max_coalesce: int = 4,
-                 stream_addr: tuple[str, int] | None = None):
+                 stream_addr: tuple[str, int] | None = None,
+                 socket_timeout: float = 120.0):
         self.pipeline = pipeline
         # (host, port) of a StreamServer: enables GET /v1/stream WebSocket
         # upgrades bridged to it (pipeline/ws.py), so browsers reach the
@@ -171,6 +172,16 @@ class RestorationServer:
 
         class Handler(BaseHTTPRequestHandler):
             protocol_version = "HTTP/1.1"
+            # per-recv/send socket timeout (BaseRequestHandler.setup applies
+            # it to the connection). Bounds every blocking body read: a
+            # client that declares more Content-Length than it sends and
+            # holds the socket open would otherwise pin a handler thread
+            # forever (no other read deadline exists). http.server's
+            # handle_one_request catches the resulting socket.timeout and
+            # closes the connection. Cleared on WebSocket upgrade, whose
+            # long-lived idle connections are policed by TCP keepalive
+            # instead (ws.bridge_to_tcp).
+            timeout = socket_timeout
 
             def log_message(self, fmt, *args):  # noqa: N802
                 if not quiet:
@@ -365,6 +376,61 @@ class RestorationServer:
             # a dead socket must not take the handler thread down noisily
             h.close_connection = True
 
+    # how much unread request body _reject will drain before the close:
+    # enough to unblock a mid-upload client's send() so the error response
+    # isn't RST away, bounded so an abusive body can't pin the thread
+    _REJECT_DRAIN = 1 << 20
+
+    def _reject(self, h, code: int, payload: dict,
+                unread: int | None = None):
+        """Error response on a connection whose request body was not
+        (fully) consumed. The unread bytes would desync HTTP/1.1
+        keep-alive, so the connection must close — but saying so matters
+        twice over: stdlib http.server never derives a `Connection: close`
+        header from the close_connection flag (a pipelining client would
+        keep sending), and an abrupt close() with unread data in the
+        kernel buffer sends RST, discarding the very error response for a
+        client still blocked mid-upload in send(). So: advertise the
+        close, write the error, then drain a bounded slice of the body
+        under a short timeout before the server closes the socket.
+
+        `unread` = bytes known to remain (skips the drain when 0);
+        None = unknown (bad/absent Content-Length, chunked) -> bounded.
+        """
+        h.close_connection = True
+        try:
+            body = json.dumps(payload).encode()
+            h.send_response(code)
+            h.send_header("Content-Type", "application/json")
+            h.send_header("Connection", "close")
+            h.send_header("Content-Length", str(len(body)))
+            h.end_headers()
+            h.wfile.write(body)
+            h.wfile.flush()
+            left = (self._REJECT_DRAIN if unread is None
+                    else min(unread, self._REJECT_DRAIN))
+            if left > 0:
+                h.connection.settimeout(2.0)
+                while left > 0:
+                    # read1: at most one recv, so a stalled client costs
+                    # one 2 s timeout, not one per buffered-read refill
+                    chunk = h.rfile.read1(min(left, 65536))
+                    if not chunk:
+                        break
+                    left -= len(chunk)
+        except OSError:
+            pass
+
+    @staticmethod
+    def _content_length(h) -> int | None:
+        """Parsed Content-Length, or None when unparseable/negative (both
+        mean the body size — and thus the stream state — is unknowable)."""
+        try:
+            length = int(h.headers.get("Content-Length", "0"))
+        except ValueError:
+            return None
+        return length if length >= 0 else None
+
     def _handle_get(self, h):
         path = urlparse(h.path).path
         if path in ("/", "/console"):
@@ -444,6 +510,10 @@ class RestorationServer:
             return
         accept = ws.accept_key(h.headers["Sec-WebSocket-Key"])
         h.close_connection = True
+        # lift the HTTP per-recv socket timeout: a WS stream may sit idle
+        # between blocks for longer than any HTTP read should; dead peers
+        # are detected by the keepalive probes bridge_to_tcp arms instead
+        h.connection.settimeout(None)
         h.wfile.write(b"HTTP/1.1 101 Switching Protocols\r\n"
                       b"Upgrade: websocket\r\n"
                       b"Connection: Upgrade\r\n"
@@ -481,41 +551,48 @@ class RestorationServer:
             self._handle_reload(h)
             return
         if path != "/v1/restore":
-            self._json(h, 404, {"error": f"no such path: {path}"})
+            # a POST body may be attached; respond-and-close via _reject
+            # so its unread bytes can't desync the keep-alive stream
+            self._reject(h, 404, {"error": f"no such path: {path}"},
+                         unread=self._content_length(h))
             return
         if self._stopping:
             # before the body read: a shutdown-window request must not pay
-            # (or make the server pay) a multi-hundred-MB decode for a 503.
-            # Responding without consuming the body means the unread bytes
-            # would desync a keep-alive connection — close it instead
-            h.close_connection = True
+            # (or make the server pay) a multi-hundred-MB decode for a 503
             with self._stats_lock:
                 self._stats["rejected"] += 1
-            self._json(h, 503, {"error": "server is shutting down"})
+            self._reject(h, 503, {"error": "server is shutting down"},
+                         unread=self._content_length(h))
             return
         q = parse_qs(urlparse(h.path).query)
-        try:
-            length = int(h.headers.get("Content-Length", "0"))
-        except ValueError:
-            h.close_connection = True  # any body bytes would desync
-            self._json(h, 400, {"error": "bad Content-Length"})
+        if h.headers.get("Transfer-Encoding"):
+            # http.server never decodes chunked bodies; reading `length`
+            # bytes of chunk framing as audio would be garbage
+            self._reject(h, 411, {"error": "chunked bodies are not "
+                                           "supported; send Content-Length"})
             return
-        if length <= 0:
+        length = self._content_length(h)
+        if length is None:
+            self._reject(h, 400, {"error": "bad Content-Length"})
+            return
+        if length == 0:
+            # nothing unread: the connection is clean, keep-alive is fine
             self._json(h, 400, {"error": "empty body (send a WAV file)"})
             return
         if length > self._max_body:
-            h.close_connection = True  # body is never read: see above
-            self._json(h, 413, {"error": f"body {length} bytes exceeds "
-                                         f"limit {self._max_body}"})
+            self._reject(h, 413, {"error": f"body {length} bytes exceeds "
+                                           f"limit {self._max_body}"},
+                         unread=length)
             return
         body = h.rfile.read(length)
         if len(body) != length:
             # short read = the client died (or lied) mid-body; a truncated
             # WAV can still decode, so this must not fall through to a
-            # silent partial restore
-            h.close_connection = True  # stream state is unknowable now
-            self._json(h, 400, {"error": f"incomplete body: got "
-                                         f"{len(body)} of {length} bytes"})
+            # silent partial restore. read() returned short => EOF was
+            # seen, so there is nothing left to drain
+            self._reject(h, 400, {"error": f"incomplete body: got "
+                                           f"{len(body)} of {length} "
+                                           f"bytes"}, unread=0)
             return
 
         from ..audio import normalize_audio, resample
@@ -594,18 +671,30 @@ class RestorationServer:
         request ever sees half-new weights; same-shaped checkpoints reuse
         every compiled program (params are jit arguments). int8
         calibration is discarded (it's weight-dependent)."""
-        try:
-            length = int(h.headers.get("Content-Length", "0"))
-        except ValueError:
-            length = 0
+        if h.headers.get("Transfer-Encoding"):
+            self._reject(h, 411, {"error": "chunked bodies are not "
+                                           "supported; send Content-Length"})
+            return
+        length = self._content_length(h)
+        if length is None:
+            # a negative length would make rfile.read(-1) block until
+            # client EOF with no deadline — same rejection as unparseable
+            self._reject(h, 400, {"error": "bad Content-Length"})
+            return
         if length > (1 << 20):  # a stage->path map is tiny; don't let a
             # mislabeled upload (or abuse) buffer hundreds of MB here
-            h.close_connection = True  # body is never read
-            self._json(h, 413, {"error": f"reload body {length} bytes "
-                                         f"exceeds limit {1 << 20}"})
+            self._reject(h, 413, {"error": f"reload body {length} bytes "
+                                           f"exceeds limit {1 << 20}"},
+                         unread=length)
+            return
+        body = h.rfile.read(length)
+        if len(body) != length:  # EOF mid-body: stream state unknowable
+            self._reject(h, 400, {"error": f"incomplete body: got "
+                                           f"{len(body)} of {length} "
+                                           f"bytes"}, unread=0)
             return
         try:
-            req = json.loads(h.rfile.read(length) or b"{}")
+            req = json.loads(body or b"{}")
         except ValueError:
             self._json(h, 400, {"error": "body must be JSON"})
             return

@@ -770,6 +770,122 @@ def test_http_robustness_malformed_requests(dn_stage, sine):
         assert rate == SR and np.isfinite(got).all()
 
 
+def test_http_error_paths_keepalive_safe(dn_stage, sine):
+    """Error responses on requests whose body was not consumed must close
+    the connection (advertised via Connection: close) — otherwise the
+    unread body bytes get parsed as the next request on the keep-alive
+    socket. And the error must actually REACH a client still mid-upload:
+    the server drains a bounded slice of the body before closing so the
+    kernel doesn't RST the response away."""
+    pipe = _pipe(dn_stage)
+    with RestorationServer(pipe, max_body_bytes=1 << 20,
+                           request_timeout=60) as srv:
+        def send_and_read_all(payload: bytes) -> bytes:
+            s = socket.create_connection((srv.host, srv.port), timeout=30)
+            s.sendall(payload)
+            resp = b""
+            while True:
+                try:
+                    chunk = s.recv(65536)
+                except OSError:
+                    break
+                if not chunk:
+                    break
+                resp += chunk
+            s.close()
+            return resp
+
+        # POST to an unknown path WITH a body: 404, Connection: close,
+        # and the socket reaches EOF (the body can't desync a next req)
+        body = b"x" * 1000
+        resp = send_and_read_all(
+            b"POST /v1/nope HTTP/1.1\r\nHost: x\r\n"
+            b"Content-Length: %d\r\n\r\n" % len(body) + body)
+        head = resp.split(b"\r\n\r\n", 1)[0]
+        assert b"404" in head.split(b"\r\n", 1)[0]
+        assert b"connection: close" in head.lower()
+
+        # mid-upload oversized body: the client is still sending when the
+        # 413 is written; the bounded drain lets the response through
+        s = socket.create_connection((srv.host, srv.port), timeout=30)
+        big = (1 << 20) + 4096
+        s.sendall(b"POST /v1/restore HTTP/1.1\r\nHost: x\r\n"
+                  b"Content-Length: %d\r\n\r\n" % big)
+        sent = 0
+        try:
+            while sent < big:  # keep pushing body while the 413 lands
+                s.sendall(b"\0" * 65536)
+                sent += 65536
+        except OSError:
+            pass  # server closed after its bounded drain — fine
+        resp = b""
+        while True:
+            try:
+                chunk = s.recv(65536)
+            except OSError:
+                break
+            if not chunk:
+                break
+            resp += chunk
+        s.close()
+        assert b"413" in resp.split(b"\r\n", 1)[0], resp[:200]
+
+        # chunked transfer encoding: explicit 411 (http.server never
+        # decodes chunked; reading framing bytes as audio would be junk)
+        resp = send_and_read_all(
+            b"POST /v1/restore HTTP/1.1\r\nHost: x\r\n"
+            b"Transfer-Encoding: chunked\r\n\r\n"
+            b"4\r\nRIFF\r\n0\r\n\r\n")
+        assert b"411" in resp.split(b"\r\n", 1)[0], resp[:200]
+
+        # reload with negative Content-Length: immediate 400, never a
+        # blocking rfile.read(-1) that pins the handler thread
+        t0 = time.monotonic()
+        resp = send_and_read_all(
+            b"POST /v1/reload HTTP/1.1\r\nHost: x\r\n"
+            b"Content-Length: -1\r\n\r\n")
+        assert b"400" in resp.split(b"\r\n", 1)[0], resp[:200]
+        assert time.monotonic() - t0 < 10
+
+        # the server is still healthy
+        good = encode_wav(sine[:, None], SR, subtype="FLOAT")
+        got, rate = restore_over_http(srv.host, srv.port, good,
+                                      subtype="FLOAT")
+        assert rate == SR and np.isfinite(got).all()
+
+
+def test_http_socket_timeout_reclaims_stalled_upload(dn_stage, sine):
+    """A client that declares more Content-Length than it sends and then
+    just holds the socket open must not pin a handler thread forever: the
+    per-connection socket timeout fires, the server drops the connection,
+    and service continues."""
+    pipe = _pipe(dn_stage)
+    with RestorationServer(pipe, request_timeout=60,
+                           socket_timeout=1.0) as srv:
+        s = socket.create_connection((srv.host, srv.port), timeout=30)
+        s.sendall(b"POST /v1/restore HTTP/1.1\r\nHost: x\r\n"
+                  b"Content-Length: 100000\r\n\r\n" + b"\0" * 10)
+        # stall: the handler blocks in rfile.read until its socket timeout
+        s.settimeout(15)
+        deadline = time.monotonic() + 15
+        closed = False
+        while time.monotonic() < deadline:
+            try:
+                if s.recv(4096) == b"":
+                    closed = True
+                    break
+            except OSError:
+                closed = True
+                break
+        s.close()
+        assert closed, "server never reclaimed the stalled connection"
+
+        good = encode_wav(sine[:, None], SR, subtype="FLOAT")
+        got, rate = restore_over_http(srv.host, srv.port, good,
+                                      subtype="FLOAT")
+        assert rate == SR and np.isfinite(got).all()
+
+
 def test_http_console_page(dn_stage):
     """GET / (and /console) serves the self-contained demo console with
     the right content type; it references only same-origin endpoints that
