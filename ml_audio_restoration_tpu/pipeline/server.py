@@ -153,6 +153,7 @@ class RestorationServer:
                        "audio_seconds_in": 0.0, "busy_seconds": 0.0}
         self._max_body = max_body_bytes
         self._timeout = request_timeout
+        self._socket_timeout = socket_timeout
         self._started = time.monotonic()
         self._stopping = False
         # serializes "check _stopping then enqueue" against "set _stopping
@@ -363,11 +364,14 @@ class RestorationServer:
                 return
 
     # ------------------------------------------------------------- handlers
-    def _json(self, h, code: int, payload: dict):
+    def _json(self, h, code: int, payload: dict,
+              extra_headers: tuple = ()):
         try:
             body = json.dumps(payload).encode()
             h.send_response(code)
             h.send_header("Content-Type", "application/json")
+            for name, value in extra_headers:
+                h.send_header(name, value)
             h.send_header("Content-Length", str(len(body)))
             h.end_headers()
             h.wfile.write(body)
@@ -380,6 +384,10 @@ class RestorationServer:
     # enough to unblock a mid-upload client's send() so the error response
     # isn't RST away, bounded so an abusive body can't pin the thread
     _REJECT_DRAIN = 1 << 20
+
+    # response-body sendall slice (see _send_wav); class attribute so tests
+    # can shrink it to exercise the slow-reader path quickly
+    _SEND_SLICE = 1 << 20
 
     def _reject(self, h, code: int, payload: dict,
                 unread: int | None = None):
@@ -399,19 +407,19 @@ class RestorationServer:
         """
         h.close_connection = True
         try:
-            body = json.dumps(payload).encode()
-            h.send_response(code)
-            h.send_header("Content-Type", "application/json")
-            h.send_header("Connection", "close")
-            h.send_header("Content-Length", str(len(body)))
-            h.end_headers()
-            h.wfile.write(body)
+            self._json(h, code, payload,
+                       extra_headers=(("Connection", "close"),))
             h.wfile.flush()
             left = (self._REJECT_DRAIN if unread is None
                     else min(unread, self._REJECT_DRAIN))
             if left > 0:
+                # byte-bounded AND time-bounded: each read1 gets a fresh
+                # 2 s window, so without the wall deadline a client
+                # trickling one byte per 1.9 s could hold the loop for
+                # ~1M iterations
+                deadline = time.monotonic() + 5.0
                 h.connection.settimeout(2.0)
-                while left > 0:
+                while left > 0 and time.monotonic() < deadline:
                     # read1: at most one recv, so a stalled client costs
                     # one 2 s timeout, not one per buffered-read refill
                     chunk = h.rfile.read1(min(left, 65536))
@@ -430,6 +438,17 @@ class RestorationServer:
         except ValueError:
             return None
         return length if length >= 0 else None
+
+    @classmethod
+    def _unread_hint(cls, h) -> int | None:
+        """How many request-body bytes remain unread, for _reject paths
+        that never read any body. A chunked upload has no Content-Length,
+        which must map to None (unknown -> bounded drain), NOT 0 — a
+        skipped drain would let the close RST the error response away
+        from a client still mid-upload."""
+        if h.headers.get("Transfer-Encoding"):
+            return None
+        return cls._content_length(h)
 
     def _handle_get(self, h):
         path = urlparse(h.path).path
@@ -511,8 +530,10 @@ class RestorationServer:
         accept = ws.accept_key(h.headers["Sec-WebSocket-Key"])
         h.close_connection = True
         # lift the HTTP per-recv socket timeout: a WS stream may sit idle
-        # between blocks for longer than any HTTP read should; dead peers
-        # are detected by the keepalive probes bridge_to_tcp arms instead
+        # between blocks for longer than any HTTP read should. Dead peers
+        # are caught by the keepalive probes bridge_to_tcp arms; alive
+        # peers that stop READING are caught by its SO_SNDTIMEO send
+        # bound (keepalive can't see those — zero-window probes are acked)
         h.connection.settimeout(None)
         h.wfile.write(b"HTTP/1.1 101 Switching Protocols\r\n"
                       b"Upgrade: websocket\r\n"
@@ -522,7 +543,8 @@ class RestorationServer:
         h.wfile.flush()
         with self._stats_lock:
             self._stats["ws_streams"] = self._stats.get("ws_streams", 0) + 1
-        ws.bridge_to_tcp(h, *self.stream_addr)
+        ws.bridge_to_tcp(h, *self.stream_addr,
+                         send_timeout=self._socket_timeout)
 
     def _snapshot_stats(self) -> dict:
         with self._stats_lock:
@@ -554,7 +576,7 @@ class RestorationServer:
             # a POST body may be attached; respond-and-close via _reject
             # so its unread bytes can't desync the keep-alive stream
             self._reject(h, 404, {"error": f"no such path: {path}"},
-                         unread=self._content_length(h))
+                         unread=self._unread_hint(h))
             return
         if self._stopping:
             # before the body read: a shutdown-window request must not pay
@@ -562,7 +584,7 @@ class RestorationServer:
             with self._stats_lock:
                 self._stats["rejected"] += 1
             self._reject(h, 503, {"error": "server is shutting down"},
-                         unread=self._content_length(h))
+                         unread=self._unread_hint(h))
             return
         q = parse_qs(urlparse(h.path).query)
         if h.headers.get("Transfer-Encoding"):
@@ -753,7 +775,18 @@ class RestorationServer:
             h.send_header("X-Sample-Rate", str(job.rate))
             h.send_header("X-Channels", str(restored.shape[0]))
             h.end_headers()
-            h.wfile.write(wav)
+            # write in slices: the per-connection socket timeout is the
+            # TOTAL budget of one sendall (Python >=3.5 semantics), and
+            # wfile is unbuffered so one write(wav) would be one sendall —
+            # a slow-but-alive client pulling a large WAV slower than
+            # len(wav)/socket_timeout would get a silently truncated
+            # response AFTER the restore succeeded. Per-slice sendalls
+            # give a progressing client a fresh window every 1 MB while a
+            # fully stalled one still times out within socket_timeout.
+            view = memoryview(wav)
+            step = self._SEND_SLICE
+            for off in range(0, len(view), step):
+                h.wfile.write(view[off:off + step])
         except OSError:
             # client hung up while its restore ran: the work is done, the
             # response has nowhere to go — don't let the dead socket dump

@@ -159,7 +159,8 @@ def read_message(rfile):
 
 
 def bridge_to_tcp(handler, stream_host: str, stream_port: int,
-                  max_message: int = 16 << 20):
+                  max_message: int = 16 << 20,
+                  send_timeout: float | None = 120.0):
     """Proxy an upgraded WebSocket connection to the TCP stream server.
 
     `handler` is the http.server request handler AFTER the 101 response
@@ -187,6 +188,20 @@ def bridge_to_tcp(handler, stream_host: str, stream_port: int,
             if hasattr(socket, opt):  # Linux; other OSes keep defaults
                 conn.setsockopt(socket.IPPROTO_TCP,
                                 getattr(socket, opt), val)
+        # keepalive only detects DEAD peers — an alive browser that has
+        # stopped READING (backgrounded tab) acks zero-window probes
+        # forever while the pump's sendall blocks on the full send buffer,
+        # pinning both bridge threads. SO_SNDTIMEO bounds each send()
+        # syscall at the kernel level WITHOUT touching the Python-level
+        # socket timeout, which must stay None: the read side legitimately
+        # idles between PCM blocks for arbitrarily long. A send that makes
+        # no progress for `send_timeout` raises (EAGAIN -> OSError), the
+        # pump treats the peer as a non-consumer and tears the bridge down.
+        if send_timeout is not None:
+            sec = int(send_timeout)
+            usec = int((send_timeout - sec) * 1e6)
+            conn.setsockopt(socket.SOL_SOCKET, socket.SO_SNDTIMEO,
+                            struct.pack("ll", sec, usec))
     except OSError:
         pass
     try:
@@ -215,8 +230,30 @@ def bridge_to_tcp(handler, stream_host: str, stream_port: int,
                 handler.wfile.write(encode_frame(
                     CLOSE, struct.pack(">H", 1000)))
                 handler.wfile.flush()
+            # nothing more is expected from the client (its end-of-input
+            # already arrived — that's what produced the tcp EOF), so
+            # half-close our read side. This delivers EOF to the handler
+            # thread blocked in reader.read() — which would otherwise
+            # wait forever on a client that never echoes CLOSE — while
+            # the kernel still drains our queued CLOSE frame to the
+            # client, and a late CLOSE echo is discarded (acked, no RST)
+            # rather than blowing up the connection like a full close
+            # with unread data would.
+            try:
+                handler.connection.shutdown(socket.SHUT_RD)
+            except OSError:
+                pass
         except OSError:
-            pass
+            # send timed out (SO_SNDTIMEO: peer alive but not consuming)
+            # or the socket died. Either way the bridge is over — the
+            # handler thread may still be blocked in reader.read() on this
+            # very socket, so shut it down to deliver EOF there; leaving
+            # it would pin the handler thread for as long as the silent
+            # peer stays connected.
+            try:
+                handler.connection.shutdown(socket.SHUT_RDWR)
+            except OSError:
+                pass
 
     pump = threading.Thread(target=pump_tcp_to_ws, daemon=True,
                             name="ws-tcp-pump")

@@ -886,6 +886,176 @@ def test_http_socket_timeout_reclaims_stalled_upload(dn_stage, sine):
         assert rate == SR and np.isfinite(got).all()
 
 
+def test_http_large_response_survives_slow_reader(dn_stage):
+    """The per-connection socket timeout is the TOTAL budget of one
+    sendall (Python >=3.5), so a single-write response would be silently
+    truncated for a slow-but-progressing client once the restore output
+    outgrows socket_timeout x link rate. _send_wav writes in slices: a
+    client making progress gets a fresh window per slice and must receive
+    the COMPLETE body."""
+    pipe = _pipe(dn_stage)
+    audio = (0.2 * np.sin(2 * np.pi * 330 * np.arange(12 * SR) / SR)
+             ).astype(np.float32)
+    wav_in = encode_wav(audio[:, None], SR, subtype="FLOAT")
+    with RestorationServer(pipe, request_timeout=300,
+                           socket_timeout=0.5) as srv:
+        srv._SEND_SLICE = 1 << 16  # instance override: 64 KB slices
+        s = socket.create_connection((srv.host, srv.port), timeout=60)
+        # small receive buffer so the server's sendall actually blocks on
+        # our read pace instead of the kernel swallowing the whole body
+        s.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 1 << 14)
+        s.sendall(b"POST /v1/restore?subtype=FLOAT HTTP/1.1\r\nHost: x\r\n"
+                  b"Content-Length: %d\r\n\r\n" % len(wav_in) + wav_in)
+        resp = b""
+        s.settimeout(120)
+        while b"\r\n\r\n" not in resp:  # headers (restore runs here)
+            chunk = s.recv(1024)
+            assert chunk, f"connection closed during headers: {resp[:200]}"
+            resp += chunk
+        head, body = resp.split(b"\r\n\r\n", 1)
+        assert b"200" in head.split(b"\r\n", 1)[0], head[:200]
+        length = int([ln for ln in head.split(b"\r\n")
+                      if ln.lower().startswith(b"content-length")][0]
+                     .split(b":")[1])
+        assert length > 4 * (1 << 16)  # meaningfully larger than a slice
+        while len(body) < length:  # deliberately slow, steady reader
+            chunk = s.recv(1 << 15)
+            if not chunk:
+                break
+            body += chunk
+            time.sleep(0.1)
+        s.close()
+    assert len(body) == length, (f"truncated response: {len(body)} of "
+                                 f"{length} bytes")
+    got, rate = decode_wav(body)
+    assert rate == SR and got.shape[0] == audio.shape[0]
+
+
+def test_http_reject_drain_is_time_bounded(dn_stage):
+    """_reject's body drain is bounded in TIME as well as bytes: a client
+    trickling its body one byte per fresh read-timeout window must not
+    hold the drain loop (and its handler thread) beyond the wall
+    deadline."""
+    pipe = _pipe(dn_stage)
+    with RestorationServer(pipe, request_timeout=60) as srv:
+        s = socket.create_connection((srv.host, srv.port), timeout=30)
+        s.sendall(b"POST /v1/nope HTTP/1.1\r\nHost: x\r\n"
+                  b"Content-Length: 1000000\r\n\r\n")
+        t0 = time.monotonic()
+        s.settimeout(0.3)
+        closed = False
+        while time.monotonic() - t0 < 20:
+            try:
+                s.sendall(b"\0")  # trickle: keeps each read1 window fresh
+            except OSError:
+                closed = True
+                break
+            try:
+                if s.recv(4096) == b"":
+                    closed = True
+                    break
+            except TimeoutError:
+                pass
+            except OSError:
+                closed = True
+                break
+            time.sleep(0.2)
+        s.close()
+        took = time.monotonic() - t0
+        assert closed, "drain loop never gave up on the trickling client"
+        assert took < 15, f"drain held the connection {took:.1f}s"
+
+        # the server is still healthy
+        stats = json.load(urllib.request.urlopen(
+            f"http://{srv.host}:{srv.port}/v1/stats"))
+        assert "requests" in stats
+
+
+def test_http_unread_hint_chunked_is_unknown(dn_stage):
+    """A chunked upload has no Content-Length; the 404/503 reject paths
+    must treat its unread size as UNKNOWN (bounded drain) rather than 0
+    (no drain) — a skipped drain lets the close RST the error response
+    away from a mid-upload client."""
+    pipe = _pipe(dn_stage)
+    with RestorationServer(pipe) as srv:
+        class H:  # minimal handler stand-in: only .headers is consulted
+            headers = {"Transfer-Encoding": "chunked"}
+        assert srv._unread_hint(H) is None
+        H.headers = {"Content-Length": "123"}
+        assert srv._unread_hint(H) == 123
+        H.headers = {}
+        assert srv._unread_hint(H) == 0
+
+        # behavioral: a chunked POST to an unknown path mid-upload still
+        # receives its 404 (the bounded drain unblocks the client's send)
+        s = socket.create_connection((srv.host, srv.port), timeout=30)
+        s.sendall(b"POST /v1/nope HTTP/1.1\r\nHost: x\r\n"
+                  b"Transfer-Encoding: chunked\r\n\r\n")
+        try:
+            for _ in range(8):
+                s.sendall(b"8000\r\n" + b"\0" * 0x8000 + b"\r\n")
+        except OSError:
+            pass  # server closed after its drain — fine
+        resp = b""
+        s.settimeout(15)
+        while True:
+            try:
+                chunk = s.recv(65536)
+            except OSError:
+                break
+            if not chunk:
+                break
+            resp += chunk
+        s.close()
+        assert b"404" in resp.split(b"\r\n", 1)[0], resp[:200]
+
+
+def test_ws_nonreading_peer_is_dropped(dn_stage):
+    """An alive WebSocket peer that stops READING (backgrounded tab) acks
+    keepalive probes forever, so only the SO_SNDTIMEO send bound can
+    reclaim its bridge: once the pump's send makes no progress for
+    socket_timeout, the bridge tears down and the peer's connection
+    dies instead of pinning two threads indefinitely."""
+    from ml_audio_restoration_tpu.pipeline import ws as wsmod
+
+    restorer = StreamingRestorer(denoiser=dn_stage, batch=1)
+    with StreamServer(restorer, block=8192) as ssrv, \
+            RestorationServer(_pipe(dn_stage),
+                              socket_timeout=1.0) as hsrv:
+        hsrv.stream_addr = (ssrv.host, ssrv.port)
+        s = socket.socket()
+        # tiny receive buffer: the server's WS sends hit a closed window
+        # (and then its SO_SNDTIMEO) after ~tens of KB, not megabytes
+        s.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 1 << 14)
+        s.settimeout(30)
+        s.connect((hsrv.host, hsrv.port))
+        s.sendall(b"GET /v1/stream HTTP/1.1\r\nHost: x\r\n"
+                  b"Upgrade: websocket\r\nConnection: Upgrade\r\n"
+                  b"Sec-WebSocket-Key: dGhlIHNhbXBsZSBub25jZQ==\r\n"
+                  b"Sec-WebSocket-Version: 13\r\n\r\n")
+        resp = b""
+        while b"\r\n\r\n" not in resp:
+            chunk = s.recv(1024)
+            assert chunk, "no 101 response"
+            resp += chunk
+        assert b"101" in resp.split(b"\r\n", 1)[0]
+
+        # feed PCM forever, never read: restored output backs up through
+        # the bridge into our closed receive window
+        pcm = np.zeros(8192, np.float32).tobytes()
+        frame = wsmod.encode_frame(wsmod.BINARY, pcm, mask=True)
+        t0 = time.monotonic()
+        dropped = False
+        try:
+            while time.monotonic() - t0 < 40:
+                s.sendall(frame)
+        except OSError:
+            dropped = True
+        s.close()
+        assert dropped, ("bridge never dropped the non-reading peer "
+                         "within 40s")
+
+
 def test_http_console_page(dn_stage):
     """GET / (and /console) serves the self-contained demo console with
     the right content type; it references only same-origin endpoints that
