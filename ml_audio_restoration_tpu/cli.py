@@ -400,6 +400,14 @@ def _add_serve(sub):
     p.add_argument("--max-coalesce", type=int, default=4,
                    help="queued HTTP restores coalesced into one device "
                         "program (dynamic batching; 1 disables)")
+    p.add_argument("--max-body-mb", type=float, default=512.0,
+                   help="largest accepted HTTP request body")
+    p.add_argument("--request-timeout", type=float, default=600.0,
+                   help="504 for a queued restore not served within this")
+    p.add_argument("--socket-timeout", type=float, default=120.0,
+                   help="per-connection socket read/write window: bounds "
+                        "stalled uploads, slow response readers, and "
+                        "WebSocket sends to a peer that stopped reading")
     p.add_argument("--warmup", action="store_true",
                    help="precompile every serving program before "
                         "accepting traffic (minutes on a cold TPU host; "
@@ -459,9 +467,12 @@ def _cmd_serve(args):
               f"(chunk buckets {info['buckets']}) in "
               f"{info['seconds']:.1f}s", flush=True)
 
-    http_srv = RestorationServer(pipe, host=args.host, port=args.port,
-                                 max_queue=args.max_queue,
-                                 max_coalesce=args.max_coalesce, quiet=False)
+    http_srv = RestorationServer(
+        pipe, host=args.host, port=args.port,
+        max_queue=args.max_queue, max_coalesce=args.max_coalesce,
+        max_body_bytes=int(args.max_body_mb * (1 << 20)),
+        request_timeout=args.request_timeout,
+        socket_timeout=args.socket_timeout, quiet=False)
     http_srv.start()
     print(f"HTTP serving on http://{http_srv.host}:{http_srv.port} "
           f"(POST /v1/restore, GET /healthz, GET /v1/stats)")
