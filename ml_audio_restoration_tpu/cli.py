@@ -189,15 +189,15 @@ def _persist_int8_scales(path, restorer):
     skip the f32 calibration pass. An existing file is rewritten only when
     its stages no longer cover the current calibration (i.e. it was
     calibrated with a stage disabled and the serving object recalibrated)."""
-    import json
     import os
+
+    from .ops.quant import load_scales_file
 
     if not path or restorer._int8_scales is None:
         return
     if os.path.exists(path):
         try:
-            with open(path) as fh:
-                have = set(json.load(fh))
+            have = set(load_scales_file(path))
         except (OSError, ValueError):
             have = set()
         if set(restorer._int8_scales) <= have:
@@ -525,6 +525,12 @@ def _cmd_serve(args):
             stream_srv.shutdown()
         http_srv.shutdown()
         _persist_int8_scales(args.int8_scales, pipe)
+        if stream_srv is not None:
+            # stream-only traffic auto-calibrates the StreamingRestorer,
+            # not the HTTP pipeline — persist whichever calibrated so the
+            # next daemon start skips the f32 pass (the files are
+            # interchangeable; _persist only rewrites on wider coverage)
+            _persist_int8_scales(args.int8_scales, stream_srv.restorer)
     return 0
 
 

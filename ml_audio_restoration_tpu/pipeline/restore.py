@@ -81,7 +81,8 @@ def _bucket(n: int, granularity: int = 4) -> int:
     return max(granularity, ((n + granularity - 1) // granularity) * granularity)
 
 
-def stereo_sub_cfg(cfg: PipelineConfig, stage_len: int, f: int):
+def stereo_sub_cfg(cfg: PipelineConfig, stage_len: int, f: int,
+                   sample_rate: Optional[int] = None):
     """Internal stereo re-framing plan: (sub, hop, ov) in samples at the
     stereo stage's input rate, or None to run the stage on the outer chunks.
 
@@ -89,15 +90,22 @@ def stereo_sub_cfg(cfg: PipelineConfig, stage_len: int, f: int):
     shorter windows (more batch, fewer steps) trades LSTM context length for
     throughput (docs/PERFORMANCE.md "Stereo LSTM window"). Shared by the
     single-device and staged pipelines so both honor
-    config.stereo_chunk_seconds identically."""
+    config.stereo_chunk_seconds identically.
+
+    `sample_rate`: the rate of the audio actually flowing through the
+    stage (restore()'s argument). Defaults to cfg.sample_rate, but a
+    caller restoring off-rate audio must pass it — a seconds-denominated
+    window sized at the wrong rate would silently cover the wrong
+    duration (half/double the LSTM context)."""
     if cfg.stereo_chunk_seconds is None:
         return None
-    sub = int(round(cfg.stereo_chunk_seconds * cfg.sample_rate * f))
+    rate = sample_rate or cfg.sample_rate
+    sub = int(round(cfg.stereo_chunk_seconds * rate * f))
     # round to the packing grid so the packed stereo path stays applicable
     # (apply_packed requires T % 4 == 0); a +-2-sample window change is far
     # inside the sweep's noise floor (docs/PERFORMANCE.md)
     sub = max(4, (sub // 4) * 4)
-    sub_ov = min(int(round(cfg.overlap_seconds * cfg.sample_rate * f)),
+    sub_ov = min(int(round(cfg.overlap_seconds * rate * f)),
                  sub // 4)
     if sub >= stage_len:
         return None
@@ -205,20 +213,28 @@ class RestorationPipeline:
 
     def _config_key(self):
         """Config fields that select a compiled program (shared by every
-        processor cache key so a config/int8 change can't alias)."""
-        return (self._stages_key(),
+        processor cache key so a config/int8 change can't alias). Includes
+        the mesh: processors close over it for sharding constraints, and
+        the CLI assigns `pipe.mesh` after construction — a mesh change must
+        not reuse a program compiled under different sharding."""
+        return (self._stages_key(), self.mesh,
                 self.config.compute_dtype, self.config.stereo_chunk_seconds,
                 self.config.stereo_mid_exact, self.config.stereo_source_rate,
                 self.config.packed_convs,
                 self.config.quantize_int8, self.config.int8_scope,
                 self._int8_version)
 
-    def _build_stage_stack(self, chunk_size: int):
+    def _build_stage_stack(self, chunk_size: int,
+                           sample_rate: Optional[int] = None):
         """The per-chunk model stack: fn(dn, sr, st, x[N, chunk, 1] f32) ->
         [N, C_out, chunk*f] f32. All routing decisions (packed / grouped /
         int8 / source-rate / mid-exact / stereo sub-chunking) live here so
         the single-recording processor and the coalesced multi-recording
-        processor (`restore_many`) run the exact same computation."""
+        processor (`restore_many`) run the exact same computation.
+
+        `sample_rate`: rate of the audio in the chunks (sizes the
+        seconds-denominated stereo sub-window); defaults to
+        config.sample_rate."""
         dtype = jnp.dtype(self.config.compute_dtype)
         has_dn, has_sr, has_st = self._stages_key()
         f = self.upscale_factor
@@ -237,7 +253,8 @@ class RestorationPipeline:
         st_len, st_f = ((chunk_size, 1) if src_rate
                         else (chunk_size * f, f))
         # optional finer chunking for the stereo stage (stereo_sub_cfg above)
-        sub_cfg = (stereo_sub_cfg(self.config, st_len, st_f)
+        sub_cfg = (stereo_sub_cfg(self.config, st_len, st_f,
+                                  sample_rate=sample_rate)
                    if has_st else None)
         # packed stereo pays at FULL windows only: at sub-chunked short
         # windows (large batch x short T) it measured ~3% slower than plain
@@ -347,12 +364,13 @@ class RestorationPipeline:
         return stack
 
     def _get_processor(self, n_chunks: int, chunk_size: int, hop: int,
-                       overlap: int):
-        key = ("rec", n_chunks, chunk_size, hop) + self._config_key()
+                       overlap: int, sample_rate: Optional[int] = None):
+        key = ("rec", n_chunks, chunk_size, hop,
+               sample_rate) + self._config_key()
         if key in self._compiled:
             return self._compiled[key]
         f = self.upscale_factor
-        stack = self._build_stage_stack(chunk_size)
+        stack = self._build_stage_stack(chunk_size, sample_rate)
 
         def process(dn, sr, st, audio_padded, valid):
             # frame -> stages -> overlap-add, all in ONE XLA program, with
@@ -369,16 +387,18 @@ class RestorationPipeline:
         self._compiled[key] = jitted
         return jitted
 
-    def _get_chunk_processor(self, n_chunks: int, chunk_size: int):
+    def _get_chunk_processor(self, n_chunks: int, chunk_size: int,
+                             sample_rate: Optional[int] = None):
         """The coalesced path's stage program: pre-framed chunk batch in,
         per-chunk outputs out (overlap-add happens per recording in
         `_get_oa`). Shares `_build_stage_stack` with `_get_processor`, so a
         coalesced restore runs the exact same per-chunk computation as a
         single-recording restore."""
-        key = ("chunks", n_chunks, chunk_size) + self._config_key()
+        key = ("chunks", n_chunks, chunk_size,
+               sample_rate) + self._config_key()
         if key in self._compiled:
             return self._compiled[key]
-        stack = self._build_stage_stack(chunk_size)
+        stack = self._build_stage_stack(chunk_size, sample_rate)
         jitted = jax.jit(stack)
         self._compiled[key] = jitted
         return jitted
@@ -456,7 +476,8 @@ class RestorationPipeline:
         f = self.upscale_factor
         src_rate = cfg.stereo_source_rate and has_st
         st_len, st_f = ((chunk_size, 1) if src_rate else (chunk_size * f, f))
-        sub_cfg = (stereo_sub_cfg(cfg, st_len, st_f)
+        sub_cfg = (stereo_sub_cfg(cfg, st_len, st_f,
+                                  sample_rate=sample_rate)
                    if has_st else None)
 
         def calib(dn, sr, st, audio_padded):
@@ -508,6 +529,33 @@ class RestorationPipeline:
         self._int8_failed = False  # new scales: give int8 another shot
         return self._int8_scales
 
+    def _int8_discard_uncovered(self) -> bool:
+        """Discard a loaded scales file that lacks an ENABLED stage — it
+        would KeyError the step trace. Enabled per _stages_key (NOT raw
+        `is not None`: an SR checkpoint loaded under
+        enable_super_resolution=False never appears in the trace, so
+        requiring its scales would discard+recalibrate on every restore).
+        Returns True when the scales were discarded. Shared by restore(),
+        restore_many() and warmup()."""
+        if self._int8_scales is None:
+            return False
+        has_dn, has_sr, has_st = self._stages_key()
+        need = [name for name, on in (("denoiser", has_dn),
+                                      ("super_resolution", has_sr),
+                                      ("stereo", has_st)) if on]
+        missing = [k for k in need if k not in self._int8_scales]
+        if not missing:
+            return False
+        import warnings
+
+        warnings.warn(
+            f"int8 scales lack stage(s) {missing} — calibrated "
+            f"with those stages disabled? Recalibrating on the next "
+            f"recording")
+        self._int8_scales = None
+        self._int8_version += 1
+        return True
+
     def _ensure_int8(self, audio, sample_rate):
         """Pre-restore int8 readiness: discard a loaded scales file that
         lacks an enabled stage (it would KeyError the step trace), then
@@ -516,24 +564,7 @@ class RestorationPipeline:
         cfg = self.config
         if not cfg.quantize_int8:
             return
-        if self._int8_scales is not None:
-            # a loaded scales file calibrated with a stage disabled (e.g. a
-            # StreamingRestorer-written file has no 'stereo') must not
-            # KeyError the step trace — discard and recalibrate below
-            need = [name for name, m in
-                    (("denoiser", self.denoiser),
-                     ("super_resolution", self.super_resolution),
-                     ("stereo", self.stereo)) if m is not None]
-            missing = [k for k in need if k not in self._int8_scales]
-            if missing:
-                import warnings
-
-                warnings.warn(
-                    f"int8 scales lack stage(s) {missing} — calibrated "
-                    f"with those stages disabled? Recalibrating on this "
-                    f"recording")
-                self._int8_scales = None
-                self._int8_version += 1
+        self._int8_discard_uncovered()
         if self._int8_scales is None and not self._int8_failed:
             # seed the static activation scales with one f32 pass over (a
             # slice of) this recording; later recordings reuse them
@@ -589,14 +620,20 @@ class RestorationPipeline:
             warnings.warn("warmup is a no-op in whole_file mode: programs "
                           "are compiled per recording length")
             return {"programs": 0, "seconds": 0.0, "buckets": []}
-        if (cfg.quantize_int8 and self._int8_scales is None
-                and not self._int8_failed):
-            warnings.warn(
-                "warmup skipped: quantize_int8 is set but no scales are "
-                "loaded — programs compiled now would be recompiled after "
-                "first-recording calibration. load_int8_scales() or "
-                "calibrate_int8() on a representative recording first")
-            return {"programs": 0, "seconds": 0.0, "buckets": []}
+        if cfg.quantize_int8:
+            # same coverage gate as restore(): scales lacking an enabled
+            # stage would KeyError the warmup traces (and the programs
+            # would be recompiled after the first request's recalibration
+            # anyway)
+            self._int8_discard_uncovered()
+            if self._int8_scales is None and not self._int8_failed:
+                warnings.warn(
+                    "warmup skipped: quantize_int8 is set but no scales "
+                    "are loaded — programs compiled now would be "
+                    "recompiled after first-recording calibration. "
+                    "load_int8_scales() or calibrate_int8() on a "
+                    "representative recording first")
+                return {"programs": 0, "seconds": 0.0, "buckets": []}
         sample_rate = sample_rate or cfg.sample_rate
         chunk_size = int(round(cfg.chunk_seconds * sample_rate))
         overlap = int(round(cfg.overlap_seconds * sample_rate))
@@ -613,7 +650,7 @@ class RestorationPipeline:
         before = len(self._compiled)
         for n in buckets:
             total = (n - 1) * hop + chunk_size
-            proc = self._get_processor(n, chunk_size, hop, overlap)
+            proc = self._get_processor(n, chunk_size, hop, overlap, sample_rate)
             proc(self.denoiser, self.super_resolution, self.stereo,
                  np.zeros((1, total), np.float32), np.int32(n))
             if coalesce > 1:
@@ -621,7 +658,7 @@ class RestorationPipeline:
                 # the short-request (granularity-bucket) reassembly program.
                 # Rarer (n_total, n_bucket) mixes still compile on demand —
                 # the reassembly programs are tiny next to the stage stack.
-                procc = self._get_chunk_processor(n, chunk_size)
+                procc = self._get_chunk_processor(n, chunk_size, sample_rate)
                 big = procc(self.denoiser, self.super_resolution,
                             self.stereo,
                             np.zeros((n, chunk_size, 1), np.float32))
@@ -672,7 +709,7 @@ class RestorationPipeline:
         if cfg.whole_file or n <= max_n:
             total = (n - 1) * hop + chunk_size
             audio_padded = xp.pad(audio, ((0, 0), (0, total - t)))
-            proc = self._get_processor(n, chunk_size, hop, overlap)
+            proc = self._get_processor(n, chunk_size, hop, overlap, sample_rate)
             out = proc(self.denoiser, self.super_resolution, self.stereo,
                        audio_padded, np.int32(n_real))  # [out_ch, total*f]
             return out[:, :t * f], sample_rate * f
@@ -690,7 +727,7 @@ class RestorationPipeline:
         slab_len = (s - 1) * hop + chunk_size
         needed = (num_slabs - 1) * s * hop + slab_len
         audio_padded = xp.pad(audio, ((0, 0), (0, needed - t)))
-        proc = self._get_processor(s, chunk_size, hop, overlap)
+        proc = self._get_processor(s, chunk_size, hop, overlap, sample_rate)
         outs = []
         for i in range(num_slabs):
             start = i * s * hop
@@ -765,18 +802,27 @@ class RestorationPipeline:
         max_n = max(cfg.max_chunks_per_program, 4)
         metas = []  # (n_real, n_bucket) per recording
         solo = set()  # too long to coalesce -> single-recording slab path
-        groups, cur, cur_n = [], [], 0
+        # cur_cover tracks max(offset_i + n_bucket_i): the combined batch
+        # must cover every member's BUCKETED slice (see n_total below), so
+        # the grouping cap must be applied to the bucketed coverage, not
+        # the raw chunk sum — otherwise a group like [61, 2] at max_n=64
+        # yields n_total=68 > max_chunks_per_program, busting the HBM slab
+        # cap and compiling a chunk program warmup() never covered
+        groups, cur, cur_n, cur_cover = [], [], 0, 0
         for i, x in enumerate(prepped):
             n_real = num_chunks(x.shape[1], chunk_size, hop)
             metas.append((n_real, _bucket(n_real, gran)))
             if metas[i][1] > max_n:
                 solo.add(i)
                 continue
-            if cur and cur_n + n_real > max_n:
+            cover = max(cur_cover, cur_n + metas[i][1])
+            if cur and _bucket(max(cur_n + n_real, cover), gran) > max_n:
                 groups.append(cur)
                 cur, cur_n = [], 0
+                cover = metas[i][1]
             cur.append(i)
             cur_n += n_real
+            cur_cover = cover
         if cur:
             groups.append(cur)
 
@@ -809,7 +855,7 @@ class RestorationPipeline:
                 frames = np.lib.stride_tricks.sliding_window_view(
                     xp, chunk_size)[::hop]
                 xall[o:o + n_real, :, 0] = frames[:n_real]
-            proc = self._get_chunk_processor(n_total, chunk_size)
+            proc = self._get_chunk_processor(n_total, chunk_size, sample_rate)
             big = proc(self.denoiser, self.super_resolution, self.stereo,
                        xall)  # [n_total, C_out, chunk*f], async
             for o, i in zip(offs, grp):

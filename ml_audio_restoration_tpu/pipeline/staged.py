@@ -40,6 +40,7 @@ from ..ops.chunking import num_chunks
 from .restore import (
     apply_stereo,
     stereo_sub_cfg,
+    _bucket,
     _denoiser_packable,
     _sr_packable,
 )
@@ -93,13 +94,14 @@ class StagedRestorationPipeline:
     def out_channels(self) -> int:
         return 2 if "stereo" in self.stage_params else 1
 
-    def _stage_fn(self, name):
+    def _stage_fn(self, name, sample_rate=None):
         mid_exact = name == "stereo" and self.config.stereo_mid_exact
         # every config field the trace closes over must key the cache:
         # overlap_seconds/sample_rate feed stereo_sub_cfg's sub-window plan
         key = ("stage", name, mid_exact, self.config.compute_dtype,
                self.config.stereo_chunk_seconds, self.config.packed_convs,
-               self.config.overlap_seconds, self.config.sample_rate)
+               self.config.overlap_seconds, self.config.sample_rate,
+               sample_rate)
         if key not in self._compiled:
             mod = {"denoiser": denoiser_mod, "super_resolution": sr_mod,
                    "stereo": stereo_mod}[name]
@@ -139,7 +141,8 @@ class StagedRestorationPipeline:
                     # plain-layout grouped decoder measured slower
                     # everywhere (docs/PERFORMANCE.md) and would break
                     # the bit-identical-to-plain contract
-                    sub = stereo_sub_cfg(cfg, t, f)
+                    sub = stereo_sub_cfg(cfg, t, f,
+                                         sample_rate=sample_rate)
                     y = apply_stereo(tree, x, sub,
                                      packed=cfg.packed_convs and sub is None)
                 elif pk and name in ("denoiser", "super_resolution"):
@@ -193,7 +196,13 @@ class StagedRestorationPipeline:
         ov = int(round(cfg.overlap_seconds * sample_rate))
         hop = chunk - ov
         n_real = num_chunks(t, chunk, hop)
-        s = min(max(cfg.max_chunks_per_program, 4), max(n_real, 4))
+        # bucket the slab size like the plain pipeline (restore.py _bucket):
+        # staged mode's niche is short clips arriving one at a time, where
+        # an exact per-length s would recompile every stage program for
+        # every distinct clip length; `valid_i` below already masks the
+        # bucket-padding chunks out of the crossfade
+        s = min(max(cfg.max_chunks_per_program, 4),
+                _bucket(max(n_real, 4), 4))
         num_slabs = -(-n_real // s)
         slab_len = (s - 1) * hop + chunk
         needed = (num_slabs - 1) * s * hop + slab_len
@@ -212,7 +221,8 @@ class StagedRestorationPipeline:
             for name in self._order:
                 dev = self.placement[name]
                 x = jax.device_put(x, dev)  # ICI hop (no-op if same device)
-                x = self._stage_fn(name)(self.stage_params[name], x)
+                x = self._stage_fn(name, sample_rate)(
+                    self.stage_params[name], x)
             valid_i = np.int32(min(max(n_real - i * s, 0), s))
             # per-slab overlap-add on the last stage's device
             slab_outs.append(oa(x, jax.device_put(valid_i, last_dev)))

@@ -661,3 +661,93 @@ def test_restore_inputs_shorter_than_one_chunk(pipeline_stages):
         out, rate = pipe.restore(audio)
         assert out.shape == (2, 2 * n) and rate == 44100
         assert np.isfinite(np.asarray(out)).all()
+
+
+def test_restore_many_group_cap_counts_bucketed_coverage(pipeline_stages,
+                                                         rng):
+    """Group packing must cap on the BUCKETED coverage, not the raw chunk
+    sum: a [5, 2]-chunk pair at max_chunks_per_program=8 needs
+    n_total = bucket(offset_5 + bucket(2)) = 12 rows to cover the second
+    recording's bucketed slice, so coalescing them would bust the slab
+    cap (and compile a chunk program warmup never covers). Outputs must
+    still match individual restores."""
+    cfg = PipelineConfig(sample_rate=8000, chunk_seconds=0.25,
+                         overlap_seconds=0.05, max_chunks_per_program=8)
+    pipe = RestorationPipeline(
+        denoiser=pipeline_stages["denoiser"], config=cfg)
+    # chunk=2000 hop=1600: 8400 -> 5 chunks (bucket 8), 3600 -> 2 (bucket 4)
+    audios = [(rng.normal(size=(1, t)) * 0.2).astype(np.float32)
+              for t in (8400, 3600)]
+    got = pipe.restore_many(audios)
+    for a, (out, _) in zip(audios, got):
+        want, _ = pipe.restore(a)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                                   atol=1e-6, rtol=0)
+    big = [k[1] for k in pipe._compiled if k[0] == "chunks"]
+    assert all(n <= 8 for n in big), \
+        f"coalesced chunk program exceeds max_chunks_per_program: {big}"
+
+
+def test_mesh_change_selects_new_programs(pipeline_stages, rng):
+    """`pipe.mesh` is assigned post-construction by the CLI, and compiled
+    processors close over it for sharding constraints — changing the mesh
+    must compile a NEW program (not silently reuse the unsharded one) and
+    still produce the same output."""
+    from ml_audio_restoration_tpu.parallel import make_mesh
+
+    cfg = PipelineConfig(sample_rate=8000, chunk_seconds=0.25,
+                         overlap_seconds=0.05)
+    pipe = RestorationPipeline(
+        denoiser=pipeline_stages["denoiser"], config=cfg)
+    # 13200 @ chunk 2000 / hop 1600 -> n_real 8: bucketed chunk count is 8
+    # under BOTH gran 4 (no mesh) and gran 8 (8-way mesh), so only the
+    # mesh term of the cache key distinguishes the two programs
+    audio = (rng.normal(size=(1, 13200)) * 0.2).astype(np.float32)
+    a, _ = pipe.restore(audio)
+    n_before = sum(1 for k in pipe._compiled if k[0] == "rec")
+    pipe.mesh = make_mesh(data_parallel=8)
+    b, _ = pipe.restore(audio)
+    n_after = sum(1 for k in pipe._compiled if k[0] == "rec")
+    assert n_after == n_before + 1, \
+        "mesh change silently reused an unsharded program"
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_staged_chunk_count_is_bucketed(pipeline_stages):
+    """Staged serving buckets its slab size like the plain pipeline:
+    nearby clip lengths share one compiled shape instead of recompiling
+    every stage program per distinct length, and bucket padding is masked
+    out (output still matches the plain pipeline)."""
+    from ml_audio_restoration_tpu.pipeline import StagedRestorationPipeline
+
+    cfg = PipelineConfig(sample_rate=8000, chunk_seconds=0.25,
+                         overlap_seconds=0.05, max_chunks_per_program=16)
+    plain = RestorationPipeline(**pipeline_stages, config=cfg)
+    staged = StagedRestorationPipeline(**pipeline_stages, config=cfg)
+    rng = np.random.default_rng(9)
+    # chunk=2000 hop=1600 -> 9, 10, 11 chunks: one bucket (12)
+    for n in (9, 10, 11):
+        t = 2000 + (n - 1) * 1600
+        audio = (rng.normal(size=(1, t)) * 0.2).astype(np.float32)
+        want, _ = plain.restore(audio, 8000)
+        got, _ = staged.restore(audio, 8000)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-6)
+    frames = {k[1] for k in staged._compiled if k[0] == "frame"}
+    assert frames == {12}, f"expected one bucketed slab shape, got {frames}"
+
+
+def test_stereo_sub_cfg_uses_effective_rate():
+    """The seconds-denominated stereo sub-window must be sized at the rate
+    of the audio actually flowing through the stage, not blindly at
+    config.sample_rate."""
+    from ml_audio_restoration_tpu.pipeline.restore import stereo_sub_cfg
+
+    cfg = PipelineConfig(sample_rate=22050, stereo_chunk_seconds=0.25,
+                         overlap_seconds=0.02)
+    base = stereo_sub_cfg(cfg, stage_len=10 ** 9, f=2)
+    same = stereo_sub_cfg(cfg, stage_len=10 ** 9, f=2, sample_rate=22050)
+    doubled = stereo_sub_cfg(cfg, stage_len=10 ** 9, f=2, sample_rate=44100)
+    assert same == base
+    assert abs(doubled[0] - 2 * base[0]) <= 4  # packing-grid rounding

@@ -393,3 +393,50 @@ def test_streaming_int8_preloaded_scales_respect_packed_gate(rng_module):
         out = run(s)
     assert not s.quantize_int8
     np.testing.assert_array_equal(want, out)
+
+
+def test_warmup_with_uncovered_scales_skips_not_crashes(rng_module):
+    """warmup() must run the same scales-coverage gate as restore(): a
+    loaded scales file lacking an enabled stage previously KeyErrored the
+    warmup trace, crashing `cli serve --warmup` at startup."""
+    audio = (rng_module.normal(size=(1, 11025)) * 0.15).astype(np.float32)
+    cfg = PipelineConfig(chunk_seconds=0.4, quantize_int8=True,
+                         max_chunks_per_program=4)
+    stages = _stages()
+    ref = RestorationPipeline(**stages, config=cfg)
+    ref.restore(audio)  # auto-calibrates all three stages
+
+    pq = RestorationPipeline(**stages, config=cfg)
+    pq._int8_scales = {k: v for k, v in ref._int8_scales.items()
+                       if k != "stereo"}
+    with pytest.warns(UserWarning, match="lack stage"):
+        info = pq.warmup()
+    assert info["programs"] == 0  # skipped, awaiting calibration
+    assert pq._int8_scales is None
+    # and the pipeline still serves (auto-calibrates on first recording)
+    out, _ = pq.restore(audio)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_disabled_sr_stage_does_not_recalibrate_every_restore(rng_module):
+    """An SR checkpoint loaded under enable_super_resolution=False never
+    appears in the trace, so its scales are never produced — the coverage
+    check must key off the ENABLED stages or every restore discards the
+    scales and repays a full calibration + recompile."""
+    import warnings as _warnings
+
+    cfg = PipelineConfig(chunk_seconds=0.4, quantize_int8=True,
+                         enable_super_resolution=False)
+    pipe = RestorationPipeline(**_stages(), config=cfg)
+    a = (rng_module.normal(size=(1, 11025)) * 0.15).astype(np.float32)
+    b = (rng_module.normal(size=(1, 11025)) * 0.15).astype(np.float32)
+    out_a, rate = pipe.restore(a)  # calibrates denoiser + stereo
+    assert rate == 22050  # SR disabled: no upsampling
+    assert set(pipe._int8_scales) == {"denoiser", "stereo"}
+    version = pipe._int8_version
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")  # any discard warning -> failure
+        pipe.restore(b)
+        pipe.restore(a)
+    assert pipe._int8_version == version, \
+        "scales discarded+recalibrated despite full coverage"
