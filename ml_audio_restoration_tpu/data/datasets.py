@@ -71,7 +71,7 @@ class _MonoBatchReadMixin:
 
     _batch_key = "clean"
 
-    def getitems(self, indices):
+    def getitems(self, indices, threads: int = 8):
         from ..audio import native
 
         paths = [self.files[i] for i in indices]
@@ -85,7 +85,8 @@ class _MonoBatchReadMixin:
                 return [self[i] for i in indices]
             max_start = max(meta["frames"] - self.chunk_size, 0)
             starts.append(int(self.rng.integers(0, max_start + 1)))
-        batch = native.read_batch_mono(paths, starts, self.chunk_size)
+        batch = native.read_batch_mono(paths, starts, self.chunk_size,
+                                       threads=threads)
         if batch is None:
             return [self[i] for i in indices]
         # -20 dB RMS normalize + clip guard, vectorized over the batch

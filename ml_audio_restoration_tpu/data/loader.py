@@ -2,14 +2,20 @@
 
 The reference trains with torch DataLoader(num_workers=0) — every batch's
 file I/O and host-side DSP is serialized with the device step
-(/root/reference/src/training/train_denoiser.py:25,64-78). Here a thread pool
-decodes/normalizes chunks ahead of the training loop into a bounded queue, so
-the TPU never waits on the host. (Degradation itself is on-device —
+(/root/reference/src/training/train_denoiser.py:25,64-78). Here batches are
+decoded/normalized ahead of the training loop into a bounded queue, so the
+TPU never waits on the host. (Degradation itself is on-device —
 data/artifacts.py — so host work is just file reads.)
 
-Threads (not processes) suffice: WAV decode is numpy-bound and releases the
-GIL in the hot memcpy/BLAS paths; a C++ decoder (native/) slots in behind the
-same interface.
+Where the parallelism lives: one background thread pipelines whole batches,
+and WITHIN a batch the native C++ decoder fans the chunk reads across
+`num_workers` OS threads with the GIL released (datasets expose `getitems`;
+native/wavio.cpp). The pure-python fallback decodes a batch sequentially on
+the background thread ON PURPOSE: datasets draw random chunk starts from one
+seeded generator, and item-level Python threading would both race the
+generator and make batch contents scheduling-dependent — the data-parallel
+equality tests (and resumable runs) rely on seeded loaders being
+deterministic.
 """
 from __future__ import annotations
 
@@ -91,7 +97,8 @@ class DataLoader:
                     if stop.is_set():
                         return
                     if getitems is not None:
-                        items = getitems([int(j) for j in batch_idx])
+                        items = getitems([int(j) for j in batch_idx],
+                                         threads=self.num_workers)
                     else:
                         items = [self.dataset[int(j)] for j in batch_idx]
                     if not put(collate(items)):

@@ -34,7 +34,20 @@ def save_checkpoint(path, payload: dict):
     try:
         with os.fdopen(fd, "wb") as f:
             f.write(data)
+            # fsync before the rename, else "atomic" only holds against
+            # process crashes: on a power loss / kernel crash the renamed
+            # file can land with torn or zero-length contents (ext4/xfs
+            # delayed allocation), and retention has already deleted the
+            # older epoch checkpoints that would have been the fallback
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, path)
+        # also persist the directory entry (the rename itself)
+        dfd = os.open(path.parent, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
     finally:
         if os.path.exists(tmp):
             os.unlink(tmp)
@@ -56,7 +69,9 @@ class AsyncCheckpointer:
     hours believing checkpoints exist when the disk is full). `on_done`
     runs on the worker thread only after the atomic rename lands, so
     retention cleanup can't delete old checkpoints while the new one is
-    still in flight. Callers must wait() before process exit (the thread
+    still in flight; an on_done failure surfaces as a warning, NOT an
+    error — the checkpoint exists, and a cosmetic cleanup failure must
+    not kill (or mislabel) a long run. Callers must wait() before process exit (the thread
     is daemonic so a hung disk can't block interpreter shutdown forever)."""
 
     def __init__(self):
@@ -78,10 +93,20 @@ class AsyncCheckpointer:
         def run():
             try:
                 save_checkpoint(path, snapshot)
+            except BaseException as e:
+                self._error = e
+                return
+            try:
                 if on_done is not None:
                     on_done()
             except BaseException as e:
-                self._error = e
+                # the checkpoint IS on disk; a retention/cleanup failure
+                # must not abort training with a message claiming the
+                # write failed
+                import warnings
+
+                warnings.warn(f"checkpoint retention failed for "
+                              f"{path}: {e!r}")
 
         self._thread = threading.Thread(target=run, daemon=True)
         self._thread.start()
@@ -120,7 +145,7 @@ def cleanup_old_epochs(checkpoint_dir, keep_path):
     keep = Path(keep_path)
     for p in Path(checkpoint_dir).glob("checkpoint_epoch_*.msgpack"):
         if p != keep:
-            p.unlink()
+            p.unlink(missing_ok=True)  # raced external cleanup is fine
 
 
 def all_checkpoints(checkpoint_dir):

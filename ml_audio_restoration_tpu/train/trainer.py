@@ -176,10 +176,17 @@ class Trainer:
         out = out.astype(jnp.float32)
         if self.pairing == "mixed":
             k_cycle, k_pair = jax.random.split(key)
+            # one cast, shared by the cycle-consistency re-inference and the
+            # contrastive encoder below: both run full extra forwards, so
+            # leaving either in f32 forfeits the bf16 speedup the primary
+            # forward pays for (the loss math itself stays f32)
+            cast_params = jax.tree_util.tree_map(
+                lambda x: x.astype(dtype), params)
 
             def model_fn(x):
-                y, _ = self.module.apply(params, model_state, x, train=False)
-                return y
+                y, _ = self.module.apply(cast_params, model_state,
+                                         x.astype(dtype), train=False)
+                return y.astype(jnp.float32)
 
             def redegrade(x):
                 deg = simulate_batch(k_cycle, jnp.transpose(x, (0, 2, 1)),
@@ -206,8 +213,6 @@ class Trainer:
                 # same-network inputs, run in the configured compute dtype
                 # like the primary forward pass (f32 encoder passes would
                 # shrink the measured bf16 train-step speedup)
-                cast_params = jax.tree_util.tree_map(
-                    lambda x: x.astype(dtype), params)
                 emb_a = jnp.mean(self.module.encode(
                     cast_params, model_state, inputs.astype(dtype)),
                     axis=1).astype(jnp.float32)
@@ -391,10 +396,15 @@ class Trainer:
                                            self.epoch)
                 self.logger.add_scalar("Time/epoch_duration", took,
                                        self.epoch)
-                # audio samples every 10 epochs (reference trainer.py:508-510)
-                if self.epoch % 10 == 0 and self.val_loader is not None:
-                    self.log_audio_samples(
-                        jax.random.fold_in(base_key, 1_000_000 + self.epoch))
+            # audio samples every 10 epochs (reference trainer.py:508-510).
+            # Deliberately OUTSIDE the logger gate: the render is a
+            # global-mesh SPMD program, so on multi-host EVERY rank must
+            # enter it (only rank 0 has a logger and writes the wavs) —
+            # a rank-0-only call would leave the other ranks running the
+            # next epoch's train collectives against it and hang the job
+            if self.epoch % 10 == 0 and self.val_loader is not None:
+                self.log_audio_samples(
+                    jax.random.fold_in(base_key, 1_000_000 + self.epoch))
             val_txt = (f"val {val_loss:.6f}"
                        if self.val_loader is not None else "val -")
             print(f"epoch {self.epoch}/{num_epochs} {took:.2f}s "
@@ -432,18 +442,30 @@ class Trainer:
     def log_audio_samples(self, key):
         """Render one validation item and log degraded/clean/restored audio
         (reference log_audio_samples, trainer.py:542-580; stereo channels
-        are written as separate tracks by MetricsLogger's wav sink)."""
-        if self.logger is None or self.val_loader is None:
+        are written as separate tracks by MetricsLogger's wav sink).
+
+        Rank discipline: the render itself runs on EVERY rank (it is a
+        jit over the global mesh — see the call site in train()); only a
+        rank with a logger writes files. The val loader is unsharded and
+        seeded, so all ranks feed the same batch."""
+        if self.val_loader is None:
             return
         batch = next(iter(self.val_loader), None)
         if batch is None:
             return
         batch = shard_batch(self.mesh, batch)
         inputs, targets, out = self._render_step(self.state, batch, key)
+        if self.logger is None:
+            return
         for tag, arr in (("degraded", inputs), ("clean", targets),
                          ("restored", out)):
-            audio = np.asarray(arr[0]).T  # [C, T]
-            self.logger.add_audio(f"Audio/{tag}", audio, self.sample_rate,
+            if arr.is_fully_addressable:
+                row = np.asarray(arr[0])
+            else:
+                # multi-host: this rank sees only its shard of the
+                # data-sharded output; log its first local item
+                row = np.asarray(arr.addressable_data(0))[0]
+            self.logger.add_audio(f"Audio/{tag}", row.T, self.sample_rate,
                                   self.epoch)
 
     # --------------------------------------------------------- checkpoints
@@ -465,6 +487,10 @@ class Trainer:
             "history": {k: np.asarray(v, np.float64)
                         for k, v in self.history.items()},
             "model_name": self.model_name,
+            # plateau-scheduler patience counter: without it a resume mid-
+            # plateau restarts the count and defers the LR cut by up to
+            # plateau_patience extra epochs vs ReduceLROnPlateau semantics
+            "plateau_wait": np.asarray(self._plateau_wait),
         }
         def retain():
             # retention must run only AFTER the new checkpoint's atomic
@@ -494,6 +520,18 @@ class Trainer:
         # while self.* is still untouched, so maybe_resume's fallback walk
         # can't leave a half-loaded trainer that then "starts fresh" from
         # the rejected checkpoint's params
+        saved_name = payload["model_name"]
+        if isinstance(saved_name, bytes):
+            saved_name = saved_name.decode()
+        if str(saved_name) != self.model_name:
+            # a wrong-family checkpoint would otherwise load "successfully"
+            # (opt_state is rebuilt from the payload's own params, so every
+            # structural check is self-consistent) and die mid-step — or
+            # silently train the wrong weights. Common via the shared
+            # default checkpoint_dir.
+            raise ValueError(
+                f"checkpoint {path} is for model {saved_name!r}; this "
+                f"trainer trains {self.model_name!r}")
         opt_state = _tree_to_opt_state(
             payload["opt_state"],
             self.tx.init(payload["params"]))
@@ -506,6 +544,9 @@ class Trainer:
         global_step = int(payload["global_step"])
         best_val_loss = float(payload["best_val_loss"])
         lr = float(payload["lr"])
+        # .get: checkpoints written before the key existed resume with a
+        # reset patience counter (the old behavior), not a rejection
+        plateau_wait = int(payload.get("plateau_wait", 0))
         history = {k: list(np.asarray(v))
                    for k, v in payload["history"].items()}
         self.state = replicate(self.mesh, state)
@@ -513,6 +554,7 @@ class Trainer:
         self.global_step = global_step
         self.best_val_loss = best_val_loss
         self.lr = lr
+        self._plateau_wait = plateau_wait
         self.history = history
         print(f"checkpoint loaded: {path} (epoch {self.epoch})")
 
@@ -590,7 +632,13 @@ def render_test_outputs(trainer: Trainer, suffix: str,
     pipe = RestorationPipeline(config=PipelineConfig(
         sample_rate=sample_rate, chunk_seconds=chunk_seconds,
         overlap_seconds=0.0))
-    stage = (trainer.state["params"], trainer.state["model_state"])
+    # host-local copy: trainer.state lives on the trainer's (possibly
+    # multi-host) mesh, and this function runs on rank 0 only — feeding
+    # mesh-committed params into the pipeline would compile a multi-process
+    # SPMD program that only rank 0 enters (deadlock). device_get works
+    # per-process because params/state are replicated.
+    stage = jax.device_get((trainer.state["params"],
+                            trainer.state["model_state"]))
     if trainer.model_name == "denoiser":
         pipe.denoiser = stage
     elif trainer.model_name == "super_resolution":
@@ -684,8 +732,16 @@ def train_from_config(cfg: Config, steps_per_epoch: Optional[int] = None,
     # validation batch is clamped to the split size: at large train batches
     # (e.g. the short-chunk x64 recurrence lever) the val split can be
     # smaller than one train batch, and disabling validation silently would
-    # also disable best-model tracking and the plateau scheduler
-    val_bs = min(batch_size, len(va_idx))
+    # also disable best-model tracking and the plateau scheduler. The clamp
+    # must also stay a multiple of this process's share of the mesh 'data'
+    # axis — validate()'s shard_batch raises on a non-divisible batch dim,
+    # which would kill the run after a full epoch of training
+    shard_gran = max(1, (make_mesh(data_parallel=cfg.train.data_parallel)
+                         .shape["data"]) // dist.process_count())
+    val_bs = (min(batch_size, len(va_idx)) // shard_gran) * shard_gran
+    if val_bs == 0 and len(va_idx) > 0:
+        print(f"validation disabled: split of {len(va_idx)} items cannot "
+              f"fill one {shard_gran}-way sharded batch")
     val_loader = (DataLoader(dataset, val_bs, indices=va_idx,
                              shuffle=False, seed=cfg.train.seed)
                   if val_bs > 0 else None)

@@ -495,3 +495,100 @@ def test_maybe_resume_multi_host_agreement(tmp_path, monkeypatch):
     tr4.checkpoint_dir = tmp_path
     with pytest.raises(Exception):
         tr4.maybe_resume()
+
+
+def test_checkpoint_rejects_wrong_model_family(tmp_path):
+    """A checkpoint self-describes its model family; loading a denoiser
+    checkpoint into an SR trainer must raise (opt_state is rebuilt from
+    the payload's own params, so every structural check is
+    self-consistent and the mismatch would otherwise 'load')."""
+    tr = _make_trainer("denoiser", denoiser, ToyDataset(n=4))
+    tr.checkpoint_dir = tmp_path
+    tr.save_checkpoint("checkpoint_epoch_1.msgpack")
+
+    tr2 = _make_trainer("super_resolution", super_resolution,
+                        ToyDataset(n=4), upscale_factor=2)
+    tr2.checkpoint_dir = tmp_path
+    before = jax.tree_util.tree_leaves(tr2.state["params"])
+    with pytest.raises(ValueError, match="is for model"):
+        tr2.load_checkpoint("checkpoint_epoch_1.msgpack")
+    # the trainer is untouched: params unchanged, epoch still fresh
+    assert tr2.epoch == 0
+    after = jax.tree_util.tree_leaves(tr2.state["params"])
+    for a, b in zip(before, after):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_plateau_wait_survives_resume(tmp_path):
+    """The plateau patience counter is scheduler state: a crash/resume
+    mid-plateau must not restart the count (that defers the LR cut by up
+    to plateau_patience extra epochs vs ReduceLROnPlateau semantics)."""
+    tr = _make_trainer("denoiser", denoiser, ToyDataset(n=4))
+    tr.checkpoint_dir = tmp_path
+    tr.best_val_loss = 1.0
+    for _ in range(2):
+        tr._plateau_step(2.0)  # no improvement: wait = 2
+    assert tr._plateau_wait == 2
+    tr.save_checkpoint("checkpoint_epoch_1.msgpack")
+
+    tr2 = _make_trainer("denoiser", denoiser, ToyDataset(n=4))
+    tr2.checkpoint_dir = tmp_path
+    assert tr2.maybe_resume()
+    assert tr2._plateau_wait == 2
+
+
+def test_retention_failure_warns_not_fails(tmp_path):
+    """A retention failure after a successful async write must surface as
+    a warning, not abort training claiming the checkpoint is missing."""
+    import warnings
+    from ml_audio_restoration_tpu.train.checkpoints import AsyncCheckpointer
+
+    ac = AsyncCheckpointer()
+
+    def bad_retention():
+        raise PermissionError("cleanup denied")
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        ac.save(tmp_path / "ck.msgpack", {"params": np.zeros(3)},
+                on_done=bad_retention)
+        ac.wait()  # must NOT raise: the checkpoint is on disk
+    assert (tmp_path / "ck.msgpack").exists()
+    assert any("retention" in str(w.message) for w in caught)
+
+
+def test_val_batch_rounded_to_shard_granularity(tmp_path, monkeypatch):
+    """train_from_config must round the clamped validation batch down to
+    the mesh 'data' granularity — otherwise validate()'s shard_batch
+    raises after a full epoch of training (data_parallel=4, val split of
+    6 items, train batch 8: the old clamp picked val_bs=6, which a 4-way
+    'data' axis cannot shard)."""
+    from ml_audio_restoration_tpu.audio import save_audio
+    from ml_audio_restoration_tpu.config import load_config
+    import ml_audio_restoration_tpu.train.trainer as trainer_mod
+
+    files_dir = tmp_path / "data"
+    files_dir.mkdir()
+    for i in range(60):  # val split 0.1 -> 6 items
+        save_audio(files_dir / f"f{i}.wav", _sine(i, CHUNK), SR)
+
+    seen = {}
+    real_init = trainer_mod.Trainer.__init__
+
+    def capture_init(self, *a, **kw):
+        real_init(self, *a, **kw)
+        seen["val_bs"] = (None if self.val_loader is None
+                          else self.val_loader.batch_size)
+        raise RuntimeError("stop-before-train")
+
+    monkeypatch.setattr(trainer_mod.Trainer, "__init__", capture_init)
+    cfg = load_config(None, {
+        "train": {"model": "denoiser", "batch_size": 8, "num_epochs": 1,
+                  "data_parallel": 4,
+                  "checkpoint_dir": str(tmp_path / "ck"),
+                  "log_dir": str(tmp_path / "runs")},
+        "data": {"data_dir": str(files_dir), "chunk_duration": CHUNK / SR},
+    })
+    with pytest.raises(RuntimeError, match="stop-before-train"):
+        trainer_mod.train_from_config(cfg)
+    assert seen["val_bs"] == 4  # 6 clamped down to the 4-way granularity
