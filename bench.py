@@ -81,14 +81,12 @@ def _make_audio(seconds: float, sr: int = 22050):
 
 
 def _sync(out):
-    """Force execution with a scalar checksum readback.
-
-    This backend's block_until_ready returns before execution finishes, so a
-    readback is required for honest timing; a full-output D2H would measure
-    the dev-tunnel's 42 MB/s transfer path (real TPU hosts move >10 GB/s over
-    PCIe), so the checksum (4 bytes) is the faithful compute+sync measurement.
-    """
-    return float(out.sum())
+    """Force execution with a scalar checksum readback — delegates to the
+    package's canonical helper so the backend workaround ("this backend's
+    block_until_ready returns before execution finishes; a full-output D2H
+    would measure the 42 MB/s dev tunnel") lives in exactly one place."""
+    from ml_audio_restoration_tpu.utils.profiling import sync
+    sync(out)
 
 
 def _device_spans(run, fallback_steps: int = 1) -> list:
@@ -310,8 +308,12 @@ def main():
     def measure_pipeline(pipe, *, iters=2, wall_times=None):
         """-> (xrt, basis). Device basis = one traced run's module span."""
         if basis_now() == "device":
-            out, _ = pipe.restore(audio, sr)  # compile + warm
-            _sync(out)
+            if wall_times is None:
+                # compile + warm; a caller passing wall_times already ran
+                # the pipeline (on a congested relay each skipped warm
+                # restore saves minutes of budget)
+                out, _ = pipe.restore(audio, sr)
+                _sync(out)
             try:
                 # SUM of module spans, not max: a long recording dispatches
                 # multiple slab programs per restore() call
@@ -359,7 +361,7 @@ def main():
         ("stereo_only", dict(stereo=stages["stereo"])),
     ]:
         if not budget_ok(name):
-            break
+            continue  # not break: every skipped label must be RECORDED
         pipe = RestorationPipeline(**kwargs, config=cfg)
         xrt, basis = measure_pipeline(pipe)
         extra[f"{name}_xrt"] = round(xrt, 1)
@@ -371,8 +373,13 @@ def main():
     if budget_ok("bf16_full_pipeline_xrt"):
         bf16_cfg = dataclasses.replace(cfg, compute_dtype="bfloat16")
         bf16 = RestorationPipeline(**stages, config=bf16_cfg)
-        times16 = _time_pipeline(bf16, audio, sr, warmup=1, iters=4)
-        w16 = min(times16)
+        # skip the wall window when even the wall HEADLINE will be device-
+        # basis (probe > 20): its 5 full restores would be pure relay
+        # weather, each potentially minutes of hard budget. In the 5-20 s
+        # band it still runs — w16 remains a wall-headline candidate there.
+        times16 = (None if probe_s > 20.0
+                   else _time_pipeline(bf16, audio, sr, warmup=1, iters=4))
+        w16 = min(times16) if times16 else float("inf")
         xrt16, basis = measure_pipeline(bf16, wall_times=times16)
         extra["bf16_full_pipeline_xrt"] = round(xrt16, 1)
         bases["bf16_full_pipeline_xrt"] = basis
@@ -457,7 +464,7 @@ def main():
                      ("super_resolution", "train_sr_audio_sec_per_sec"),
                      ("stereo_separator", "train_stereo_audio_sec_per_sec")]:
         if not budget_ok(tag):
-            break
+            continue  # not break: every skipped label must be RECORDED
         extra[tag], bases[tag] = _train_throughput(fam, basis_now())
 
     # batch-16 denoiser wall train throughput: the desynced train loop

@@ -48,12 +48,21 @@ def sync(x):
 
 
 # --------------------------------------------------- xplane trace analysis
+_xplane_pb2 = None
+
+
 def _load_xplane_pb2():
     """xplane_pb2 ships inside the tensorflow wheel here; load the generated
     module straight from its file so we don't pay (or depend on) the full
-    `import tensorflow`."""
+    `import tensorflow`. Memoized: re-exec'ing a generated protobuf module
+    re-registers its descriptors, which stricter protobuf builds reject
+    (and bench calls this ~20x per run)."""
+    global _xplane_pb2
+    if _xplane_pb2 is not None:
+        return _xplane_pb2
     try:
         from xprof.protobuf import xplane_pb2  # some images ship it here
+        _xplane_pb2 = xplane_pb2
         return xplane_pb2
     except ImportError:
         pass
@@ -66,11 +75,12 @@ def _load_xplane_pb2():
             spec = importlib.util.spec_from_file_location("xplane_pb2", cand)
             mod = importlib.util.module_from_spec(spec)
             spec.loader.exec_module(mod)
+            _xplane_pb2 = mod
             return mod
     raise ImportError("no xplane_pb2 found (xprof or tensorflow wheel)")
 
 
-def xplane_device_times(logdir: str) -> dict:
+def xplane_device_times(logdir: str, combine: str = "busiest") -> dict:
     """Aggregate device op durations (ms) by bucket from an xplane dump.
 
     Only the serial "XLA Ops" line counts toward the total — the
@@ -82,6 +92,14 @@ def xplane_device_times(logdir: str) -> dict:
     congestion-proof measurement basis: device spans are unaffected by the
     dev relay's dispatch weather, so bench.py falls back to them when
     wall-clock windows are congested.
+
+    `combine` picks the multi-plane policy: "busiest" (default) reports
+    the single busiest device plane — right for mesh-sharded SPMD traces,
+    where every device runs the same program CONCURRENTLY and summing
+    planes would overcount by ~N_devices. "sum" adds the planes — right
+    for traces whose devices run SERIALLY (the staged pipeline: one stage
+    per device, one after another), where the busiest single stage would
+    undercount total device time by ~N_stages.
     """
     from collections import defaultdict
 
@@ -137,8 +155,20 @@ def xplane_device_times(logdir: str) -> dict:
             per_plane.append((total, totals, async_overlap, module_spans))
     if not per_plane:
         per_plane = [(0.0, defaultdict(float), 0.0, [])]
-    total, totals, async_overlap, module_spans = max(per_plane,
-                                                     key=lambda p: p[0])
+    if combine == "sum":
+        total = sum(p[0] for p in per_plane)
+        async_overlap = sum(p[2] for p in per_plane)
+        totals = defaultdict(float)
+        module_spans = []
+        for _, t, _, ms in per_plane:
+            for k, v in t.items():
+                totals[k] += v
+            module_spans.extend(ms)
+    else:
+        # tiebreak on module spans so a plane that reports modules but an
+        # empty "XLA Ops" line still beats an all-zero plane
+        total, totals, async_overlap, module_spans = max(
+            per_plane, key=lambda p: (p[0], sum(p[3])))
     steps = [ms for ms in module_spans if ms > 1.0]
     return {"total_device_ms": round(total, 2),
             "module_step_ms": [round(m, 2) for m in steps],
@@ -152,10 +182,13 @@ def xplane_top_ops(logdir: str, n: int = 20) -> list:
     """Top-N individual device ops by total time from an xplane dump.
 
     Returns [(op_name, total_ms, count), ...] sorted by total time,
-    aggregated over the serial "XLA Ops" line only (same basis as
-    xplane_device_times). Use after a trace() block to find the specific
-    fusion/copy ops behind a bucket total — e.g. the relayout copies that
-    made packed convs v1 net-slower (docs/PERFORMANCE.md).
+    aggregated over the serial "XLA Ops" line of the BUSIEST device plane
+    only — the same plane xplane_device_times reports, so op totals can
+    be attributed against its total_device_ms (summing every plane of an
+    SPMD trace would inflate each op by ~N_devices). Use after a trace()
+    block to find the specific fusion/copy ops behind a bucket total —
+    e.g. the relayout copies that made packed convs v1 net-slower
+    (docs/PERFORMANCE.md).
     """
     from collections import defaultdict
 
@@ -167,11 +200,12 @@ def xplane_top_ops(logdir: str, n: int = 20) -> list:
     spaces = xplane_pb2.XSpace()
     spaces.ParseFromString(files[-1].read_bytes())
 
-    totals: dict = defaultdict(float)
-    counts: dict = defaultdict(int)
+    per_plane = []
     for plane in spaces.planes:
         if not plane.name.startswith("/device:"):
             continue
+        totals: dict = defaultdict(float)
+        counts: dict = defaultdict(int)
         meta = {m_id: m.name for m_id, m in plane.event_metadata.items()}
         for line in plane.lines:
             if line.name != "XLA Ops":
@@ -180,6 +214,10 @@ def xplane_top_ops(logdir: str, n: int = 20) -> list:
                 name = meta.get(ev.metadata_id, "")
                 totals[name] += ev.duration_ps / 1e9
                 counts[name] += 1
+        per_plane.append((sum(totals.values()), totals, counts))
+    if not per_plane:
+        return []
+    _, totals, counts = max(per_plane, key=lambda p: p[0])
     ranked = sorted(totals.items(), key=lambda kv: -kv[1])[:n]
     return [(name, round(ms, 3), counts[name]) for name, ms in ranked]
 

@@ -1010,13 +1010,29 @@ def test_http_unread_hint_chunked_is_unknown(dn_stage):
         assert b"404" in resp.split(b"\r\n", 1)[0], resp[:200]
 
 
-def test_ws_nonreading_peer_is_dropped(dn_stage):
+def test_ws_nonreading_peer_is_dropped(dn_stage, monkeypatch):
     """An alive WebSocket peer that stops READING (backgrounded tab) acks
     keepalive probes forever, so only the SO_SNDTIMEO send bound can
     reclaim its bridge: once the pump's send makes no progress for
     socket_timeout, the bridge tears down and the peer's connection
-    dies instead of pinning two threads indefinitely."""
+    dies instead of pinning two threads indefinitely.
+
+    (The SO_SNDTIMEO + blocking-sendall mechanism itself is deterministic
+    — verified to raise BlockingIOError ~1 s after ~80 KB backlog with
+    16 KB buffers — so the test clamps the server-side send buffer to
+    keep the required restored-output backlog tiny; without the clamp a
+    loaded test machine can't produce enough output inside the deadline.)
+    """
     from ml_audio_restoration_tpu.pipeline import ws as wsmod
+
+    orig_bridge = wsmod.bridge_to_tcp
+
+    def small_sndbuf_bridge(handler, *a, **kw):
+        handler.connection.setsockopt(socket.SOL_SOCKET,
+                                      socket.SO_SNDBUF, 1 << 14)
+        return orig_bridge(handler, *a, **kw)
+
+    monkeypatch.setattr(wsmod, "bridge_to_tcp", small_sndbuf_bridge)
 
     restorer = StreamingRestorer(denoiser=dn_stage, batch=2)
     with StreamServer(restorer, block=8192) as ssrv, \
