@@ -124,19 +124,41 @@ def load_audio_chunk(path, chunk_size: int, rng: np.random.Generator,
                 audio = resample(audio, file_sr, sample_rate)
                 audio = audio[:, :chunk_size]
             return audio
+    # mp3/ogg (no cheap frame-count probe) and short wav/flac: decode the
+    # whole file, then take a RANDOM window — the dataset caller crops to
+    # the chunk size, and without randomizing here a long mp3/ogg corpus
+    # would train on the first chunk of every file, every epoch
+    # (reference preprocessing.py:64-87 random-chunks these too)
     audio, _ = load_audio(p, sample_rate, mono=mono)
+    if audio.shape[-1] > chunk_size:
+        start = int(rng.integers(0, audio.shape[-1] - chunk_size + 1))
+        audio = audio[:, start:start + chunk_size]
     return audio
 
 
 def save_audio(path, audio: np.ndarray, sample_rate: int = 22050,
                subtype: str = "PCM_16"):
-    """audio: [channels, samples] -> file (container from extension:
-    .flac -> FLAC, else WAV)."""
+    """audio: [channels, samples] -> file. Container follows the
+    extension: .flac -> FLAC, .mp3/.ogg -> the system encoders
+    (audio/codecs.py; raises when their libraries are absent — silently
+    writing RIFF bytes into an .mp3 would produce a file load_audio then
+    refuses to read), anything else -> WAV."""
     audio = np.asarray(audio, np.float32)
-    if str(path).lower().endswith(".flac"):
+    low = str(path).lower()
+    if low.endswith(".flac"):
         bits = 24 if subtype == "PCM_24" else 16
         write_flac(path, audio.T, sample_rate, bits=bits)
         return
+    if low.endswith((".mp3", ".ogg")):
+        from . import codecs
+
+        writer = codecs.write_mp3 if low.endswith(".mp3") else codecs.write_ogg
+        if writer(path, audio.T, sample_rate):
+            return
+        raise ValueError(
+            f"cannot encode {path!r}: the system "
+            f"{'lame' if low.endswith('.mp3') else 'vorbis'} encoder is "
+            f"unavailable — save as .wav/.flac instead")
     write_wav(path, audio.T, sample_rate, subtype=subtype)
 
 

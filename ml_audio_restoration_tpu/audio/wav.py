@@ -56,6 +56,8 @@ def _parse_header(f) -> WavInfo:
         cid, csize = struct.unpack("<4sI", hdr)
         if cid == b"fmt ":
             data = f.read(csize)
+            if csize & 1:  # RIFF chunks are word-aligned: skip the pad
+                f.seek(1, 1)  # byte or every later chunk parses desynced
             (audio_fmt, channels, sample_rate, _brate, _align,
              bits) = struct.unpack("<HHIIHH", data[:16])
             if audio_fmt == _EXTENSIBLE and csize >= 40:
@@ -72,6 +74,10 @@ def _parse_header(f) -> WavInfo:
     if fmt is None or "data_offset" not in info:
         raise ValueError("missing fmt/data chunk")
     bytes_per_frame = info["channels"] * info["bits"] // 8
+    if bytes_per_frame <= 0:  # corrupt header: a WAV-format error, not
+        raise ValueError(      # a bare ZeroDivisionError
+            f"invalid WAV fmt chunk: channels={info['channels']} "
+            f"bits={info['bits']}")
     frames = info["data_size"] // bytes_per_frame
     return WavInfo(info["sample_rate"], info["channels"], frames,
                    info["bits"], fmt, info["data_offset"], info["data_size"])
@@ -84,8 +90,7 @@ def wav_info(path) -> WavInfo:
 
 def _decode(raw: bytes, info: WavInfo) -> np.ndarray:
     bits, fmt, ch = info.bits, info.fmt, info.channels
-    if fmt == _IEEE_FLOAT:
-        dtype = np.float32 if bits == 32 else np.float64
+    if fmt == _IEEE_FLOAT and bits in (32, 64):
         x = np.frombuffer(raw, dtype=f"<f{bits // 8}").astype(np.float32)
     elif fmt == _PCM and bits == 16:
         x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
@@ -176,12 +181,15 @@ def encode_wav(data: np.ndarray, sample_rate: int,
         bits, fmt = 16, _PCM
 
     bpf = ch * bits // 8
-    parts = [struct.pack("<4sI4s", b"RIFF", 36 + len(payload), b"WAVE"),
+    pad = len(payload) & 1  # RIFF word alignment; the data csize excludes
+    #                         the pad byte but the RIFF size includes it
+    parts = [struct.pack("<4sI4s", b"RIFF", 36 + len(payload) + pad,
+                         b"WAVE"),
              struct.pack("<4sIHHIIHH", b"fmt ", 16, fmt, ch, sample_rate,
                          sample_rate * bpf, bpf, bits),
              struct.pack("<4sI", b"data", len(payload)),
              payload]
-    if len(payload) & 1:
+    if pad:
         parts.append(b"\x00")
     return b"".join(parts)
 

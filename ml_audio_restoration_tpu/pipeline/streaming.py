@@ -144,11 +144,14 @@ class StreamingRestorer:
         self._emitted = 0
         self._dec_hist_buf = None
         if self.stereo is not None:
-            h_dim = self.stereo[0]["lstm"][0]["w_hh"].shape[0]
+            # per-layer hidden size: stacked_lstm supports non-uniform
+            # layer widths, so layer i's carry must match ITS w_hh
             self._lstm_carry = [
-                (jnp.zeros((self.batch, h_dim), jnp.float32),
-                 jnp.zeros((self.batch, h_dim), jnp.float32))
-                for _ in self.stereo[0]["lstm"]
+                (jnp.zeros((self.batch, layer["w_hh"].shape[0]),
+                           jnp.float32),
+                 jnp.zeros((self.batch, layer["w_hh"].shape[0]),
+                           jnp.float32))
+                for layer in self.stereo[0]["lstm"]
             ]
         else:
             self._lstm_carry = None
@@ -430,6 +433,14 @@ class StreamingRestorer:
                 raise ValueError(
                     f"feed() with batch={self.batch} requires a "
                     f"[{self.batch}, n] block, got shape {block.shape}")
+        elif block.ndim not in (1, 2) or (block.ndim == 2
+                                          and block.shape[0] != 1):
+            # same guard for batch=1: a [2, n] stereo array (caller forgot
+            # the mixdown) would otherwise be silently time-concatenated
+            # into one doubled-length mono stream
+            raise ValueError(
+                f"feed() takes mono samples: a 1-D array or [1, n], "
+                f"got shape {block.shape}")
         if block.ndim == 1:
             block = block[None]
         block = block.reshape(self.batch, -1)

@@ -327,3 +327,16 @@ def test_streaming_int8_downgrades_unpackable(stages, audio):
         out = np.concatenate([s.feed(audio[:, :SR]), s.flush()], axis=1)
     assert not s.quantize_int8
     assert out.shape[0] == 2
+
+
+def test_feed_rejects_wrong_shapes_batch_one(stages):
+    """batch=1 feed() must reject a [2, n] block (a forgotten mixdown)
+    instead of silently time-concatenating the channels into one
+    doubled-length mono stream."""
+    s = StreamingRestorer(denoiser=stages["denoiser"], batch=1)
+    with pytest.raises(ValueError, match="mono"):
+        s.feed(np.zeros((2, 1024), np.float32))
+    with pytest.raises(ValueError, match="mono"):
+        s.feed(np.zeros((2, 512, 1), np.float32))
+    out = s.feed(np.zeros(1024, np.float32))  # 1-D still fine
+    assert out.shape[0] >= 1
