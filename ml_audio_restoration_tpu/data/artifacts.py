@@ -36,7 +36,7 @@ import jax.numpy as jnp
 
 from ..config import ArtifactConfig
 from ..ops import conv1d, butter_sos, sosfiltfilt
-from ..ops.filters import butter_bank, bank_select
+from ..ops.filters import butter_bank, bank_index, bank_select
 
 
 # --------------------------------------------------------------------- FIR
@@ -83,7 +83,9 @@ def _fir_same(x, kernel):
         # would silently shift the FFT branch half a sample vs the direct path
         assert k % 2 == 1, f"_fir_same FFT branch requires odd kernel, got {k}"
         t = x.shape[-1]
-        n = 1 << (t + k - 1).bit_length()  # static next-pow2, linear conv
+        # next-pow2 >= t+k-1 (bit_length of an exact power of two would
+        # DOUBLE the transform: 65536.bit_length() = 17)
+        n = 1 << max(t + k - 2, 1).bit_length()  # static, linear conv
         y = jnp.fft.irfft(jnp.fft.rfft(x, n) * jnp.fft.rfft(kernel, n), n)
         # 'same' center of the full convolution (k is odd for all callers)
         return y[..., k // 2:k // 2 + t].astype(x.dtype)
@@ -103,10 +105,19 @@ def _make_pops(key, num_samples: int, sample_rate: int, cfg: ArtifactConfig,
         jax.random.poisson(k_n, jnp.asarray(expected, jnp.float32)), max_pops)
 
     # template length covers the longest decay: 3 ms * (1 + static amp bound)
+    amp_bound = max(cfg.impulse_amplitude[1], 1.0)
     tmpl_len = int(math.ceil(
-        sample_rate * 0.003 * (1.0 + max(cfg.impulse_amplitude[1], 1.0)))) + 1
+        sample_rate * 0.003 * (1.0 + amp_bound))) + 1
 
-    amp_hi = cfg.impulse_amplitude[1] if amp_max is None else amp_max
+    if amp_max is None:
+        amp_hi = cfg.impulse_amplitude[1]
+    else:
+        # traced adaptive override: clamp into [amp_lo, static template
+        # bound] — above the bound the decay mask would truncate the
+        # loudest pops mid-decay (a step discontinuity), and below amp_lo
+        # jax.random.uniform would silently sample an INVERTED range
+        amp_hi = jnp.clip(amp_max, cfg.impulse_amplitude[0] + 1e-6,
+                          amp_bound)
     locs = jax.random.randint(k_loc, (max_pops,), 0, num_samples)
     amps = jax.random.uniform(k_amp, (max_pops,), dtype,
                               cfg.impulse_amplitude[0], amp_hi)
@@ -214,13 +225,12 @@ def simulate_vinyl_artifacts(key, audio, sample_rate: int,
                                   cfg.rolloff_freq[0], cfg.rolloff_freq[1])
         f_lo, f_hi = cfg.rolloff_freq
         if filter_mode == "fir":
-            bank = jnp.asarray(
-                zero_phase_fir_bank(3, f_lo, f_hi, sample_rate, "low", 129))
-            num = bank.shape[0]
-            idx = jnp.clip(jnp.round(
-                (freq - f_lo) / (f_hi - f_lo) * (num - 1)).astype(jnp.int32),
-                0, num - 1)
-            out = _fir_same(out, bank[idx])
+            # same 49-point grid + nearest-index rule as the IIR branch's
+            # butter_bank/bank_select, so fir/iir modes quantize the drawn
+            # cutoff identically and differ only by filter math
+            bank = jnp.asarray(zero_phase_fir_bank(
+                3, f_lo, f_hi, sample_rate, "low", 129, num=49))
+            out = _fir_same(out, bank[bank_index(49, freq, f_lo, f_hi)])
         else:
             sos_bank = butter_bank(3, f_lo, f_hi, sample_rate, "low")
             sos, zi = bank_select(sos_bank, freq, f_lo, f_hi)

@@ -29,6 +29,17 @@ from .ops import interp_linear
 from .pipeline import RestorationPipeline
 
 
+def _mean_rows(rows, ndigits: int = 2) -> dict:
+    """Mean each metric over per-file rows (empty-safe: {"num_files": 0}
+    instead of an IndexError when the eval dir had no usable files)."""
+    if not rows:
+        return {"num_files": 0}
+    out = {k: round(float(np.mean([r[k] for r in rows])), ndigits)
+           for k in rows[0]}
+    out["num_files"] = len(rows)
+    return out
+
+
 def evaluate_denoiser(pipe: RestorationPipeline, files, sample_rate=22050,
                       seconds=8.0, seed=0,
                       artifact_cfg: ArtifactConfig | None = None):
@@ -56,12 +67,15 @@ def evaluate_denoiser(pipe: RestorationPipeline, files, sample_rate=22050,
             "spec_restored": float(multiscale_spectral_loss(
                 r[None, :, None], c[None, :, None])),
         })
-    mean = {k: round(float(np.mean([r[k] for r in rows])), 2) for k in rows[0]}
-    mean["snr_improvement_db"] = round(
-        mean["snr_restored"] - mean["snr_degraded"], 2)
-    mean["lsd_improvement_db"] = round(
-        mean["lsd_degraded"] - mean["lsd_restored"], 2)
-    mean["num_files"] = len(rows)
+    mean = _mean_rows(rows)
+    if rows:
+        # deltas from UNrounded means (rounding first adds up to 0.01 dB)
+        mean["snr_improvement_db"] = round(
+            float(np.mean([r["snr_restored"] - r["snr_degraded"]
+                           for r in rows])), 2)
+        mean["lsd_improvement_db"] = round(
+            float(np.mean([r["lsd_degraded"] - r["lsd_restored"]
+                           for r in rows])), 2)
     return mean
 
 
@@ -86,8 +100,7 @@ def evaluate_super_resolution(pipe: RestorationPipeline, files,
             "lsd_linear": float(lsd(jnp.asarray(baseline[0]),
                                     jnp.asarray(high[0]))),
         })
-    return {k: round(float(np.mean([r[k] for r in rows])), 2)
-            for k in rows[0]} | {"num_files": len(rows)}
+    return _mean_rows(rows)
 
 
 def evaluate_stereo(pipe: RestorationPipeline, files, sample_rate=22050,
@@ -115,10 +128,7 @@ def evaluate_stereo(pipe: RestorationPipeline, files, sample_rate=22050,
             "width_upmix": float(got["width"]),
             "width_target": float(want["width"]),
         })
-    if not rows:
-        return {"num_files": 0}
-    return {k: round(float(np.mean([r[k] for r in rows])), 3)
-            for k in rows[0]} | {"num_files": len(rows)}
+    return _mean_rows(rows, ndigits=3)
 
 
 def main(argv=None):

@@ -42,6 +42,12 @@ def temporal_consistency_loss(stereo, window: int = 512, hop: int = 256):
     side/(mid+side), computed over RMS energies of 512-sample windows."""
     t = stereo.shape[1]
     num_windows = (t - window) // hop + 1
+    if num_windows < 2:
+        # fewer than two windows (T < window + hop): jnp.diff over the
+        # window axis would be empty and mean(empty) = NaN, silently
+        # poisoning the combined stereo loss and every gradient. T is a
+        # static shape, so this is a trace-time branch, not lax.cond.
+        return jnp.zeros(())
     idx = (jnp.arange(num_windows) * hop)[:, None] + jnp.arange(window)[None, :]
     lw = stereo[:, :, 0][:, idx]  # [B, W, window]
     rw = stereo[:, :, 1][:, idx]
@@ -64,16 +70,21 @@ def stereo_balance_loss(output, target, threshold: float = 0.5):
     return jnp.mean(jnp.maximum(jnp.abs(diff) - threshold, 0.0))
 
 
-def decorrelation_loss(output):
-    """Squared Pearson correlation of L and R."""
-    left = output[:, :, 0]
-    right = output[:, :, 1]
+def _lr_correlation(x):
+    """Per-item Pearson correlation of L and R -> [B] (signed). One
+    definition shared by the loss, the stats-match loss and the
+    monitoring metric so they cannot silently diverge."""
+    left, right = x[:, :, 0], x[:, :, 1]
     ln = (left - left.mean(axis=1, keepdims=True)) / (
         left.std(axis=1, keepdims=True) + _EPS)
     rn = (right - right.mean(axis=1, keepdims=True)) / (
         right.std(axis=1, keepdims=True) + _EPS)
-    corr = jnp.mean(ln * rn, axis=1)
-    return jnp.mean(corr**2)
+    return jnp.mean(ln * rn, axis=1)
+
+
+def decorrelation_loss(output):
+    """Squared Pearson correlation of L and R."""
+    return jnp.mean(_lr_correlation(output) ** 2)
 
 
 def low_frequency_centering_loss(output, n_fft: int = 2048,
@@ -99,11 +110,7 @@ def stereo_stats_match_loss(output, target):
     """
     def stats(x):
         left, right = x[:, :, 0], x[:, :, 1]
-        ln = (left - left.mean(axis=1, keepdims=True)) / (
-            left.std(axis=1, keepdims=True) + _EPS)
-        rn = (right - right.mean(axis=1, keepdims=True)) / (
-            right.std(axis=1, keepdims=True) + _EPS)
-        corr = jnp.mean(ln * rn, axis=1)  # [B], signed
+        corr = _lr_correlation(x)  # [B], signed
         mid_e = jnp.mean(jnp.square((left + right) / 2.0), axis=1)
         side_e = jnp.mean(jnp.square((left - right) / 2.0), axis=1)
         width = side_e / (mid_e + side_e + _EPS)  # [B]
@@ -119,11 +126,8 @@ def stereo_metrics(output):
     """Monitoring metrics: |L/R correlation| and width = side/(mid+side)."""
     left = output[:, :, 0]
     right = output[:, :, 1]
-    ln = (left - left.mean(axis=1, keepdims=True)) / (
-        left.std(axis=1, keepdims=True) + _EPS)
-    rn = (right - right.mean(axis=1, keepdims=True)) / (
-        right.std(axis=1, keepdims=True) + _EPS)
-    correlation = jnp.abs(jnp.mean(ln * rn))
+    # mean over (B, T) of ln*rn == mean over B of per-item corr (equal T)
+    correlation = jnp.abs(jnp.mean(_lr_correlation(output)))
     mid = (left + right) / 2.0
     side = (left - right) / 2.0
     mid_e = jnp.mean(mid**2)

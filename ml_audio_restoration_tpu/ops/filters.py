@@ -73,15 +73,21 @@ def butter_bank(order: int, f_lo: float, f_hi: float, sample_rate: float,
     return np.stack(soss), np.stack(zis)
 
 
-def bank_select(bank, freq, f_lo: float, f_hi: float):
-    """Pick the nearest bank entry for a (traced) cutoff frequency."""
-    soss, zis = jnp.asarray(bank[0]), jnp.asarray(bank[1])
-    num = soss.shape[0]
-    idx = jnp.clip(
+def bank_index(num: int, freq, f_lo: float, f_hi: float):
+    """Nearest grid index for a (traced) cutoff over a `num`-point linspace
+    in [f_lo, f_hi] — the one quantization rule every coefficient bank
+    (SOS and FIR) shares."""
+    return jnp.clip(
         jnp.round((freq - f_lo) / (f_hi - f_lo) * (num - 1)).astype(jnp.int32),
         0,
         num - 1,
     )
+
+
+def bank_select(bank, freq, f_lo: float, f_hi: float):
+    """Pick the nearest bank entry for a (traced) cutoff frequency."""
+    soss, zis = jnp.asarray(bank[0]), jnp.asarray(bank[1])
+    idx = bank_index(soss.shape[0], freq, f_lo, f_hi)
     return soss[idx], zis[idx]
 
 
