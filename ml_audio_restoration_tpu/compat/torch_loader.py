@@ -28,10 +28,29 @@ def load_state_dict(path):
     trainer dict and a bare state_dict)."""
     import torch
 
-    ckpt = torch.load(str(path), map_location="cpu", weights_only=False)
+    try:
+        # tensors-only checkpoints (everything the reference trainer writes)
+        # load without the arbitrary-code-execution surface of full pickle
+        ckpt = torch.load(str(path), map_location="cpu", weights_only=True)
+    except Exception:
+        import warnings
+
+        warnings.warn(f"{path}: not loadable with weights_only=True — "
+                      f"falling back to full unpickling (runs code from "
+                      f"the file; only do this for trusted checkpoints)")
+        ckpt = torch.load(str(path), map_location="cpu", weights_only=False)
     sd = ckpt.get("model_state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
-    return {k: v.detach().cpu().numpy() for k, v in sd.items()
-            if hasattr(v, "detach")}
+    out = {}
+    for k, v in sd.items():
+        if hasattr(v, "detach"):
+            out[k] = v.detach().cpu().numpy()
+        elif isinstance(v, np.ndarray):  # re-saved/exported as numpy
+            out[k] = v
+    if not out:
+        raise ValueError(
+            f"{path}: no tensor entries found in checkpoint (keys: "
+            f"{list(sd)[:8]}...) — is this a model state_dict?")
+    return out
 
 
 def _conv(sd, prefix):
@@ -72,8 +91,15 @@ def _double_block(sd, prefix):
     return {"c1": c1_p, "c2": c2_p}, {"c1": c1_s, "c2": c2_s}
 
 
-def convert_denoiser(sd, num_levels: int = 3):
+def convert_denoiser(sd, num_levels: int | None = None):
     params, state = {}, {}
+    if num_levels is None:
+        # auto-detect the U-Net depth like the sibling converters do —
+        # hardcoding 3 would silently TRUNCATE a deeper checkpoint into a
+        # structurally-valid-but-wrong pytree
+        num_levels = 0
+        while f"encoder.{num_levels}.0.weight" in sd:
+            num_levels += 1
     enc_p, enc_s = [], []
     for i in range(num_levels):
         p, s = _double_block(sd, f"encoder.{i}")

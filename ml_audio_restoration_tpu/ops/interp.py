@@ -14,7 +14,15 @@ import jax.numpy as jnp
 
 def interp_linear(x, out_len: int):
     """Resize [B, T, C] -> [B, out_len, C] with align_corners=False linear
-    interpolation (half-pixel centers, edge clamped)."""
+    interpolation (half-pixel centers, edge clamped).
+
+    Positions are deliberately computed in FLOAT32, matching torch's CPU
+    kernel for float tensors (it does NOT use double for the source-index
+    math): at a non-dyadic 3x scale over 100k samples, float32 positions
+    deviate 0.002 from torch while float64 positions deviate 0.031 — the
+    "more precise" math is the less parity-faithful one. Dyadic factors
+    (the SR 2x/4x paths) are exact either way.
+    """
     t = x.shape[1]
     scale = t / out_len
     src = (jnp.arange(out_len) + 0.5) * scale - 0.5

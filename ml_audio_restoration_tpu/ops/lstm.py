@@ -130,9 +130,19 @@ def lstm(x, params, *, unroll: int = 8, impl: str = "auto", carry=None,
     ) + bias
     w_hh = params["w_hh"]
 
+    if impl not in ("auto", "pallas", "scan"):
+        raise ValueError(f"impl must be auto|pallas|scan, got {impl!r}")
     if impl == "auto":
         impl = "scan"
-    if impl == "pallas" and carry is None and not return_carry:
+    if impl == "pallas" and (carry is not None or return_carry):
+        # the kernel has no carry I/O: falling through to the scan
+        # SILENTLY would make an A/B 'measure' pallas while running scan
+        import warnings
+
+        warnings.warn("impl='pallas' does not support carry/return_carry; "
+                      "running the scan implementation")
+        impl = "scan"
+    if impl == "pallas":
         return lstm_recurrence_fast(gates_tm.swapaxes(0, 1),
                                     w_hh).astype(x.dtype)
     return lstm_recurrence_scan(gates_tm, w_hh, unroll=unroll, carry=carry,

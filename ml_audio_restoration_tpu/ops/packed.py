@@ -72,6 +72,8 @@ def unpack(xp, r: int, c: int, t: int | None = None):
     """[B, Tp, r*C] -> [B, Tp*r (sliced to t), C]. Pure reshape (+slice)."""
     b, tp, rc = xp.shape
     assert rc == r * c, (rc, r, c)
+    if t is not None:  # catch caller bookkeeping bugs (wrong r) here, not
+        assert t <= tp * r, (t, tp, r)  # as a later silent short tensor
     x = xp.reshape(b, tp * r, c)
     return x if t is None or t == tp * r else x[:, :t, :]
 
@@ -302,6 +304,9 @@ def packed_conv_r(xp, w, b=None, *, r_in: int, r_out: int, padding: int,
     w0 = w[0] if isinstance(w, (list, tuple)) else w
     k = int(w0.shape[0])
     if r_in > r_out:
+        # the transpose path has no shared_input plumbing; a silent drop
+        # would trace a grouped conv against an ungrouped input
+        assert not shared_input, "shared_input unsupported on r_in > r_out"
         wf = (tuple(wg[::-1] for wg in w)
               if isinstance(w, (list, tuple)) else w[::-1])
         return packed_conv_transpose(

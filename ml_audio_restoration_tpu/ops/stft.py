@@ -93,18 +93,45 @@ def istft(spec, n_fft: int, hop: int, *, window=None, length: int | None = None)
     """Inverse STFT (overlap-add with window-square normalization).
 
     spec: [B, frames, n_fft//2+1] -> [B, length]
+
+    TPU note: when hop divides n_fft (every window this package uses), the
+    overlap-add is k = n_fft/hop shifted adds over hop-sized segments — no
+    scatter (TPU scatters serialize, CLAUDE.md; a 120-s spectrogram would
+    scatter ~21M elements). The window-square normalization is
+    data-independent, so it is built with host numpy and embedded as a
+    constant. A custom traced window or hop∤n_fft falls back to the
+    scatter formulation.
     """
+    import numpy as np
+
+    win_np = None
     if window is None:
-        window = hann_window(n_fft, jnp.float32)
+        win_np = _hann_cache(n_fft)
+        window = jnp.asarray(win_np)
     frames = jnp.fft.irfft(spec, n=n_fft, axis=-1) * window
     b, nf, _ = frames.shape
     total = n_fft + hop * (nf - 1)
-    out = jnp.zeros((b, total), frames.dtype)
-    norm = jnp.zeros((total,), frames.dtype)
-    idx = jnp.arange(nf)[:, None] * hop + jnp.arange(n_fft)[None, :]
-    out = out.at[:, idx.reshape(-1)].add(frames.reshape(b, -1))
-    norm = norm.at[idx.reshape(-1)].add(jnp.tile(window**2, (nf,)))
-    out = out / jnp.maximum(norm, 1e-8)
+    if n_fft % hop == 0 and win_np is not None:
+        k = n_fft // hop
+        segs = frames.reshape(b, nf, k, hop)
+        out = jnp.zeros((b, nf + k - 1, hop), frames.dtype)
+        for s in range(k):  # k is small (4 at the torch-default 75% overlap)
+            out = out + jnp.pad(segs[:, :, s, :],
+                                ((0, 0), (s, k - 1 - s), (0, 0)))
+        out = out.reshape(b, total)
+        w2 = win_np.astype(np.float64) ** 2
+        norm = np.zeros((nf + k - 1, hop))
+        for s in range(k):
+            norm[s:s + nf] += w2[s * hop:(s + 1) * hop]
+        out = out / jnp.asarray(np.maximum(norm.reshape(total), 1e-8),
+                                frames.dtype)
+    else:
+        out = jnp.zeros((b, total), frames.dtype)
+        norm = jnp.zeros((total,), frames.dtype)
+        idx = jnp.arange(nf)[:, None] * hop + jnp.arange(n_fft)[None, :]
+        out = out.at[:, idx.reshape(-1)].add(frames.reshape(b, -1))
+        norm = norm.at[idx.reshape(-1)].add(jnp.tile(window**2, (nf,)))
+        out = out / jnp.maximum(norm, 1e-8)
     pad = n_fft // 2
     out = out[:, pad:total - pad]
     if length is not None:
