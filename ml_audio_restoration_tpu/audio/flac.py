@@ -355,6 +355,10 @@ def _decode_subframe(br: _BitReader, block_size: int, bps: int) -> np.ndarray:
     if br.read(1):
         wasted = br.read_unary() + 1
     ebps = bps - wasted
+    if ebps <= 0 or ebps > 33:  # mirror flacio.cpp's validation: a corrupt
+        # wasted-bits count would otherwise die as a bare 'negative shift
+        # count' deep inside read_signed
+        raise ValueError(f"FLAC: invalid effective bps {ebps}")
     if stype == 0:  # CONSTANT
         val = br.read_signed(ebps)
         out = np.full(block_size, val, np.int64)
@@ -423,6 +427,8 @@ def _decode_frame(data: bytes, offset: int, info: FlacInfo, verify: bool):
     if verify and _crc8(data[offset:header_end]) != crc8:
         raise ValueError("FLAC: frame header CRC-8 mismatch")
 
+    if ss_code and ss_code not in _SAMPLE_SIZE_CODES:
+        raise ValueError(f"FLAC: reserved sample-size code {ss_code}")
     bps = _SAMPLE_SIZE_CODES[ss_code] if ss_code else info.bits
     first_sample = coded if variable else coded * info.block_size
 
@@ -468,6 +474,14 @@ def read_flac(path, start: int = 0, frames: int = -1, always_2d: bool = True,
     data = Path(path).read_bytes()
     info = _parse_metadata(data)
     total = info.frames
+    if total == 0:
+        # STREAMINFO total_samples == 0 means UNKNOWN length (streamed
+        # encode), not an empty file — silently returning zero samples
+        # would feed empty chunks into the data loader with no error
+        raise ValueError(
+            f"{path}: FLAC STREAMINFO declares unknown length "
+            f"(total_samples=0, a streamed encode); re-encode with a "
+            f"known length")
     start = max(0, min(start, total))
     n = total - start if frames < 0 else min(frames, total - start)
 
@@ -774,6 +788,14 @@ def write_flac(path, data: np.ndarray, sample_rate: int, *, bits: int = 16,
         samples = np.clip(np.round(data * lim), -lim, lim - 1).astype(np.int64)
     else:
         samples = data.astype(np.int64)
+        lim = 1 << (bits - 1)
+        if samples.size and (samples.max() >= lim or samples.min() < -lim):
+            # integer input wider than `bits` would wrap modulo 2^bits in
+            # both the bitstream and the MD5 — a spec-valid file of garbage
+            raise ValueError(
+                f"write_flac: integer samples exceed {bits}-bit range "
+                f"[{-lim}, {lim - 1}] (got min {samples.min()}, max "
+                f"{samples.max()}); scale or pass a wider bits=")
 
     # STREAMINFO MD5: interleaved little-endian samples, bits/8 bytes each
     md5 = hashlib.md5()

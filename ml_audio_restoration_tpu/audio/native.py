@@ -23,13 +23,24 @@ def _build() -> bool:
     srcs = [_NATIVE_DIR / "wavio.cpp", _NATIVE_DIR / "flacio.cpp"]
     if not all(s.exists() for s in srcs):
         return False
+    # link to a unique temp name, then rename: linking at the final path
+    # (a) truncates an inode that may still be dlopen'd (clobbering live
+    # mappings), and (b) races concurrent processes (DataLoader workers)
+    # whose mid-link CDLL would read a half-written ELF and silently pin
+    # themselves to the slow pure-Python codec. rename is atomic.
+    tmp = _LIB_PATH.with_suffix(f".so.build{os.getpid()}")
     try:
         subprocess.run(
             ["g++", "-O3", "-std=c++17", "-fPIC", "-Wall", "-pthread",
-             "-shared", "-o", str(_LIB_PATH)] + [str(s) for s in srcs],
+             "-shared", "-o", str(tmp)] + [str(s) for s in srcs],
             check=True, capture_output=True, timeout=120)
-        return _LIB_PATH.exists()
+        os.replace(tmp, _LIB_PATH)
+        return True
     except (OSError, subprocess.SubprocessError):
+        try:
+            tmp.unlink(missing_ok=True)
+        except OSError:
+            pass
         return False
 
 
@@ -48,13 +59,18 @@ def load_library():
     except OSError:
         return None
     if not hasattr(lib, "wavio_has_flac"):
-        # stale pre-FLAC build: rebuild once and reload
+        # stale pre-FLAC build: rebuild (to a NEW inode — the old handle
+        # stays mapped; `del lib` never dlcloses) and reload. Re-check the
+        # symbol: glibc can dedup a CDLL of the same path to the stale
+        # handle unless the inode actually changed.
         del lib
         if not _build():
             return None
         try:
             lib = ctypes.CDLL(str(_LIB_PATH))
         except OSError:
+            return None
+        if not hasattr(lib, "wavio_has_flac"):
             return None
 
     lib.wavio_info.argtypes = [
@@ -114,7 +130,10 @@ def read(path, start: int = 0, frames: int = -1, mono: bool = False):
     start = max(0, min(start, total))
     n = total - start if frames < 0 else min(frames, total - start)
     ch = 1 if mono else meta["channels"]
-    out = np.empty(n * ch, np.float32)
+    # zeros, not empty: a decoder returning fewer samples than counted
+    # (crafted seektable, gap in frame numbering) must surface silence,
+    # never uninitialized process memory as audio
+    out = np.zeros(n * ch, np.float32)
     got = lib.wavio_read(str(path).encode(), start, n, int(mono),
                          out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
     if got < 0:

@@ -266,6 +266,10 @@ bool DecodeSubframe(BitReader* br, uint32_t block_size, int bps,
     for (uint32_t i = 0; i < block_size; ++i) buf[i] = br->ReadSigned(ebps);
   } else if (stype >= 8 && stype <= 12) {  // FIXED
     const int order = static_cast<int>(stype - 8);
+    // same guard the LPC path has: without it a crafted 1-sample block
+    // with order 4 writes warmup samples past the block buffer (heap
+    // overflow) before DecodeResidual's partition check can reject it
+    if (static_cast<uint32_t>(order) > block_size) return false;
     for (int i = 0; i < order; ++i) buf[i] = br->ReadSigned(ebps);
     if (!DecodeResidual(br, block_size, order, buf + order)) return false;
     switch (order) {
@@ -428,6 +432,7 @@ int InfoFile(const char* path, int32_t* sample_rate, int32_t* channels,
   StreamInfo si;
   rc = ParseMetadata(d, &si);
   if (rc != 0) return rc;
+  if (si.total == 0) return -26;  // unknown length: Python handles it
   *sample_rate = static_cast<int32_t>(si.sample_rate);
   *channels = si.channels;
   *frames = si.total;
@@ -443,6 +448,10 @@ int64_t ReadFile(const char* path, int64_t start, int64_t frames, int mono,
   StreamInfo si;
   rc = ParseMetadata(d, &si);
   if (rc != 0) return rc;
+  // STREAMINFO total_samples == 0 means UNKNOWN length (streamed encode),
+  // not an empty file: bail to the Python decoder rather than silently
+  // returning zero samples
+  if (si.total == 0) return -26;
 
   if (start < 0) start = 0;
   if (start > si.total) start = si.total;
@@ -480,6 +489,13 @@ int64_t ReadFile(const char* path, int64_t start, int64_t frames, int mono,
     const int64_t lo = f_lo > start ? f_lo : start;
     const int64_t hi = f_hi < end ? f_hi : end;
     if (hi > lo) {
+      if (lo > written_hi) {
+        // gap before this frame (stale/crafted seekpoint, non-contiguous
+        // frame numbering): zero-fill so the caller never reads
+        // uninitialized buffer memory counted as "written"
+        for (int64_t i = written_hi; i < lo; ++i)
+          for (int c = 0; c < out_ch; ++c) out[(i - start) * out_ch + c] = 0.f;
+      }
       const int nch = static_cast<int>(fr.ch.size());
       for (int64_t i = lo; i < hi; ++i) {
         const int64_t src = i - f_lo;

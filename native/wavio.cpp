@@ -285,9 +285,13 @@ int wavio_write_pcm16(const char* path, const float* data, int64_t frames,
     if (v < -32768.0f) v = -32768.0f;
     buf[i] = static_cast<int16_t>(lrintf(v));
   }
-  fwrite(buf.data(), 2, buf.size(), f);
-  if (payload & 1) fputc(0, f);
-  fclose(f);
+  // short write (ENOSPC/EIO) or a failed flush at close must NOT report
+  // success: the caller would record a truncated WAV as a good restore
+  const size_t wrote = fwrite(buf.data(), 2, buf.size(), f);
+  int pad_ok = 1;
+  if (payload & 1) pad_ok = (fputc(0, f) != EOF);
+  const int close_ok = (fclose(f) == 0);
+  if (wrote != buf.size() || !pad_ok || !close_ok) return -11;
   return 0;
 }
 

@@ -243,3 +243,57 @@ class TestFrameworkPaths:
         f = AudioFile(id="1", name="x.flac", download_url="u", duration=60,
                       sample_rate=44100, channels=2, format="flac")
         assert s.is_eligible(f)
+
+
+class TestValidationHardening:
+    def test_unknown_length_streaminfo_raises(self, tmp_path, stereo_signal):
+        """STREAMINFO total_samples == 0 means UNKNOWN length per spec,
+        not an empty file: both decoders must refuse rather than silently
+        return zero samples into the data loader."""
+        sig, sr = stereo_signal
+        p = tmp_path / "x.flac"
+        write_flac(p, sig[:8192, :1], sr)
+        raw = bytearray(p.read_bytes())
+        # sample_rate(20)+channels(3)+bits(5)+total(36) = bytes 18..25;
+        # zero the low 36 bits (total_samples), keep the top 28
+        v = int.from_bytes(raw[18:26], "big")
+        raw[18:26] = (v & ~((1 << 36) - 1)).to_bytes(8, "big")
+        p2 = tmp_path / "unknown_len.flac"
+        p2.write_bytes(bytes(raw))
+        with pytest.raises(ValueError, match="unknown length"):
+            read_flac(p2)
+        assert native.read(str(p2)) is None  # native bails, never 0 samples
+        assert native.info(str(p2)) is None
+
+    def test_write_flac_rejects_out_of_range_ints(self, tmp_path):
+        """Integer input wider than `bits` would wrap modulo 2^bits in the
+        bitstream AND the MD5 — must raise, not write spec-valid garbage."""
+        bad = np.array([[40000], [-40000]], np.int32)  # outside int16
+        with pytest.raises(ValueError, match="exceed 16-bit"):
+            write_flac(tmp_path / "bad.flac", bad, 22050, bits=16)
+        ok = np.array([[32767], [-32768]], np.int16)  # boundary is fine
+        write_flac(tmp_path / "ok.flac", ok, 22050, bits=16)
+
+    def test_corrupt_fixed_order_rejected(self, tmp_path, stereo_signal):
+        """A frame whose subframe order exceeds its block size must be
+        rejected by BOTH decoders (C++: heap-overflow guard), surfacing
+        as a decode error, not a crash."""
+        sig, sr = stereo_signal
+        p = tmp_path / "x.flac"
+        write_flac(p, sig[:4096, :1], sr)
+        raw = bytearray(p.read_bytes())
+        # brute-mutate the first frame's bytes; the decode must never
+        # crash the process (ValueError / error-code rejection only)
+        from ml_audio_restoration_tpu.audio.flac import _parse_metadata
+        info = _parse_metadata(bytes(raw))
+        base = info.first_frame_offset
+        for delta in range(64):
+            mut = bytearray(raw)
+            mut[base + (delta % 16)] ^= 1 << (delta // 16 % 8)
+            pm = tmp_path / "mut.flac"
+            pm.write_bytes(bytes(mut))
+            try:
+                read_flac(pm)
+            except ValueError:
+                pass
+            native.read(str(pm))  # None or data; must not crash
