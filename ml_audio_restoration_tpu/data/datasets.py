@@ -79,18 +79,25 @@ class _MonoBatchReadMixin:
                 str(p).lower().endswith((".wav", ".flac")) for p in paths):
             return [self[i] for i in indices]
         starts = []
+        lengths = []
         for p in paths:
             meta = native.info(p)
             if meta is None or meta["sample_rate"] != self.sample_rate:
                 return [self[i] for i in indices]
             max_start = max(meta["frames"] - self.chunk_size, 0)
             starts.append(int(self.rng.integers(0, max_start + 1)))
+            lengths.append(min(meta["frames"], self.chunk_size))
         batch = native.read_batch_mono(paths, starts, self.chunk_size,
                                        threads=threads)
         if batch is None:
             return [self[i] for i in indices]
-        # -20 dB RMS normalize + clip guard, vectorized over the batch
-        rms = np.sqrt(np.mean(batch**2, axis=1, keepdims=True))
+        # -20 dB RMS normalize + clip guard, vectorized over the batch.
+        # RMS over each row's TRUE decoded length: files shorter than the
+        # chunk are zero-padded by read_batch_mono, and averaging the pad
+        # into the RMS would over-amplify them relative to the per-item
+        # path (_chunk normalizes BEFORE padding).
+        lens = np.maximum(np.asarray(lengths, np.float32)[:, None], 1.0)
+        rms = np.sqrt(np.sum(batch**2, axis=1, keepdims=True) / lens)
         gain = np.where(rms == 0, 1.0, 10 ** (-20 / 20) / np.maximum(rms, 1e-12))
         batch = batch * gain
         peak = np.max(np.abs(batch), axis=1, keepdims=True)

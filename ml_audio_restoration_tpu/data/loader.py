@@ -108,9 +108,13 @@ class DataLoader:
                 put(e)
 
         t = threading.Thread(target=worker, daemon=True)
-        t.start()
 
         def gen():
+            # started HERE, not in __iter__: an iterator that is created but
+            # never advanced never runs this body, so its finally (the stop
+            # flag) would never fire and an eagerly-started worker would spin
+            # on the full queue forever
+            t.start()
             try:
                 while True:
                     item = q.get()

@@ -131,6 +131,11 @@ def sosfiltfilt(sos, x, zi=None, padlen: int | None = None):
         padlen = 3 * (2 * n_sections + 1)
     if zi is None:
         raise ValueError("pass zi from butter_sos / scipy.signal.sosfilt_zi")
+    if x.shape[-1] <= padlen:
+        # scipy raises here too; the odd-extension slices below would
+        # silently produce short/empty output otherwise
+        raise ValueError(
+            f"input length {x.shape[-1]} must exceed padlen {padlen}")
     zi = jnp.asarray(zi)
 
     left = 2 * x[..., :1] - x[..., padlen:0:-1]
@@ -186,6 +191,9 @@ def filtfilt(b, a, x, zi=None, padlen: int | None = None):
     a = jnp.asarray(a)
     if padlen is None:
         padlen = 3 * max(b.shape[0], a.shape[0])
+    if x.shape[-1] <= padlen:
+        raise ValueError(
+            f"input length {x.shape[-1]} must exceed padlen {padlen}")
     if zi is None:
         zi = _lfilter_zi_jnp(b, a)
 

@@ -234,3 +234,20 @@ def test_mixed_dataset_contrastive_pairs(tmp_path, wav_dir):
     # pairs are opposite-type
     assert syn["contrastive_pair_is_synthetic"] == 0.0
     assert real["contrastive_pair_is_synthetic"] == 1.0
+
+
+def test_loader_unstarted_iterator_starts_no_thread(wav_dir):
+    """iter(loader) alone must not start the prefetch worker: an iterator
+    that is never advanced never runs the generator body (so its finally/
+    stop flag never fires), and an eagerly-started worker would spin on the
+    bounded queue forever."""
+    import threading
+
+    ds = RestorationDataset(wav_dir, chunk_duration=0.5)
+    loader = DataLoader(ds, batch_size=2)
+    before = threading.active_count()
+    it = iter(loader)
+    assert threading.active_count() == before
+    batch = next(it)  # first advance starts the worker and yields
+    assert batch["clean"].shape[0] == 2
+    it.close()

@@ -126,3 +126,26 @@ def test_dataset_batch_path_matches_per_item(tmp_path, rng):
         assert it["clean"].shape == (1, 11025)
         rms = float(np.sqrt((it["clean"] ** 2).mean()))
         assert 0.05 < rms < 0.3  # -20 dB normalize applied
+
+
+def test_dataset_batch_path_short_file_gain_matches_per_item(tmp_path):
+    """A file SHORTER than the chunk must get the same -20 dB gain on the
+    native batch path as on the per-item path: _chunk normalizes over the
+    true length BEFORE padding, so getitems must not average the zero pad
+    into the RMS."""
+    from ml_audio_restoration_tpu.data import RestorationDataset
+    from ml_audio_restoration_tpu.audio import save_audio
+
+    d = tmp_path / "raw"
+    t = np.arange(5000) / 22050.0  # 5000 frames << 0.5 s chunk (11025)
+    save_audio(d / "short.wav",
+               (0.5 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)[None],
+               22050)
+    ds = RestorationDataset(d, chunk_duration=0.5)
+    batch_item = ds.getitems([0])[0]["clean"]
+    per_item = RestorationDataset(d, chunk_duration=0.5)[0]["clean"]
+    assert batch_item.shape == per_item.shape == (1, 11025)
+    np.testing.assert_allclose(batch_item, per_item, atol=2e-4)
+    # gain really is -20 dB over the REAL samples
+    rms = float(np.sqrt((batch_item[:, :5000] ** 2).mean()))
+    assert abs(rms - 0.1) < 0.01

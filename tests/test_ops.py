@@ -277,3 +277,18 @@ class TestPallasLSTM:
         g = jax.grad(loss)(p)
         assert all(np.isfinite(_np(v)).all()
                    for v in jax.tree_util.tree_leaves(g))
+
+
+def test_filtfilt_rejects_short_input():
+    """scipy parity: inputs not longer than padlen raise instead of
+    silently returning truncated/empty output."""
+    import pytest as _pytest
+    from ml_audio_restoration_tpu import ops
+
+    x = jnp.ones((1, 10), jnp.float32)
+    sos, zi = ops.butter_sos(4, 2500.0, 22050.0, "highpass")
+    with _pytest.raises(ValueError, match="padlen"):
+        ops.sosfiltfilt(jnp.asarray(sos), x, zi=jnp.asarray(zi))
+    b, a, _ = ops.butter_coeffs(4, 100.0, 22050.0, "lowpass")
+    with _pytest.raises(ValueError, match="padlen"):
+        ops.filtfilt(jnp.asarray(b), jnp.asarray(a), x)
