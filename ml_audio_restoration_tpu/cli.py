@@ -5,7 +5,9 @@
     python -m ml_audio_restoration_tpu.cli serve --port 8000 [...]
     python -m ml_audio_restoration_tpu.cli train denoiser --data-dir ... [...]
     python -m ml_audio_restoration_tpu.cli analyze recording.wav
-    python -m ml_audio_restoration_tpu.cli bench [...]
+    python -m ml_audio_restoration_tpu.cli evaluate --eval-dir data/eval [...]
+
+(The xRT benchmark is the repo-root `python bench.py`, not a subcommand.)
 
 Surface parity: `restore` mirrors the reference CLI
 (/root/reference/src/inference.py:111-143 — positional input/output,
@@ -615,6 +617,22 @@ def _cmd_analyze(args):
     return 0
 
 
+def _add_evaluate(sub):
+    p = sub.add_parser(
+        "evaluate",
+        help="objective quality metrics (SNR/SI-SDR/LSD) for checkpoints")
+    from . import evaluate as _ev
+
+    _ev.add_arguments(p)
+    return p
+
+
+def _cmd_evaluate(args):
+    from . import evaluate as _ev
+
+    return _ev.run(args)
+
+
 def _add_acquire(sub):
     p = sub.add_parser("acquire",
                        help="download eligible stereo training data")
@@ -661,6 +679,7 @@ def main(argv=None):
     _add_serve(sub)
     _add_train(sub)
     _add_analyze(sub)
+    _add_evaluate(sub)
     _add_acquire(sub)
 
     args = parser.parse_args(argv)
@@ -678,6 +697,8 @@ def main(argv=None):
         return _cmd_train(args)
     if args.command == "analyze":
         return _cmd_analyze(args)
+    if args.command == "evaluate":
+        return _cmd_evaluate(args)
     if args.command == "acquire":
         return _cmd_acquire(args)
     parser.error(f"unknown command {args.command}")

@@ -131,16 +131,24 @@ def evaluate_stereo(pipe: RestorationPipeline, files, sample_rate=22050,
     return _mean_rows(rows, ndigits=3)
 
 
-def main(argv=None):
-    p = argparse.ArgumentParser(description="evaluate trained checkpoints")
+def add_arguments(p):
+    """Shared flag set for the standalone entry and `cli evaluate`."""
     p.add_argument("--eval-dir", required=True)
     p.add_argument("--denoiser", default=None)
     p.add_argument("--super-res", default=None)
     p.add_argument("--stereo", default=None)
     p.add_argument("--stereo-eval-dir", default=None)
     p.add_argument("--seconds", type=float, default=8.0)
-    args = p.parse_args(argv)
+    return p
 
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="evaluate trained checkpoints")
+    args = add_arguments(p).parse_args(argv)
+    return run(args)
+
+
+def run(args):
     files = find_audio_files(args.eval_dir)
     results = {}
     if args.denoiser:

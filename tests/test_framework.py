@@ -481,3 +481,23 @@ def test_measured_presets_load_and_run(data_dir, tmp_path):
     fast.train.log_dir = str(tmp_path / "runs")
     history = fast and train_from_config(fast, steps_per_epoch=1)
     assert np.isfinite(history["train_loss"][0])
+
+
+def test_cli_evaluate_smoke(data_dir, tmp_path, capsys):
+    """`cli evaluate` surfaces the evaluation module: valid JSON report with
+    the denoiser section."""
+    import json
+
+    from ml_audio_restoration_tpu.cli import main
+    from ml_audio_restoration_tpu.compat import save_pth
+    from ml_audio_restoration_tpu.models import denoiser
+
+    params, state = denoiser.init(jax.random.PRNGKey(0))
+    pth = tmp_path / "d.pth"
+    save_pth(pth, "denoiser", params, state)
+    rc = main(["evaluate", "--eval-dir", str(data_dir),
+               "--denoiser", str(pth), "--seconds", "1.0"])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out)
+    assert report["denoiser"]["num_files"] >= 1
+    assert np.isfinite(report["denoiser"]["snr_restored"])
