@@ -96,6 +96,12 @@ class TrainConfig:
     # contrastive loss over mixed-dataset pairs (reference stubs this with a
     # TODO, semi_supervised.py:200-203; 0 = parity with the stub)
     contrastive_weight: float = 0.0
+    # exponential moving average of the weights (no reference counterpart;
+    # 0 = off = parity). When >0 (e.g. 0.999) the trainer maintains EMA
+    # params inside the jitted step and uses them for validation, audio
+    # rendering, and test outputs — the standard eval-the-averaged-model
+    # practice. Raw params keep training/checkpointing as before.
+    ema_decay: float = 0.0
     # numerics: f32 params; bf16 compute is the TPU analogue of AMP
     compute_dtype: str = "float32"
     # data-parallel mesh axis size (1 = single chip)

@@ -95,11 +95,18 @@ class Trainer:
             learning_rate=self.cfg.learning_rate)
         opt_state = self.tx.init(model_params)
 
-        self.state = replicate(self.mesh, {
+        state = {
             "params": model_params,
             "model_state": model_state,
             "opt_state": opt_state,
-        })
+        }
+        if self.cfg.ema_decay > 0:
+            # distinct host copies so params/ema never alias one device
+            # buffer (the train step donates `state`; an aliased buffer
+            # appearing as two donated leaves is an XLA error)
+            state["ema_params"] = jax.tree_util.tree_map(
+                lambda x: np.array(x), model_params)
+        self.state = replicate(self.mesh, state)
 
         # host-side progress
         self.epoch = 0
@@ -254,6 +261,11 @@ class Trainer:
             new_state = {"params": new_params,
                          "model_state": new_model_state,
                          "opt_state": new_opt}
+            if "ema_params" in state:
+                d = jnp.float32(self.cfg.ema_decay)
+                new_state["ema_params"] = jax.tree_util.tree_map(
+                    lambda e, p: d * e + (1.0 - d) * p,
+                    state["ema_params"], new_params)
         else:
             loss, (parts, _, out) = self._loss(
                 state["params"], state["model_state"], inputs, targets,
@@ -312,6 +324,17 @@ class Trainer:
             self.global_step += 1
         return float(total) / max(n, 1)
 
+    def eval_state(self):
+        """State used for validation/rendering/test outputs: the EMA-averaged
+        weights when ema_decay > 0 (evaluate-the-averaged-model practice),
+        else the live params. Same pytree structure either way, so the
+        jitted eval/render programs are shared."""
+        if "ema_params" in self.state:
+            st = dict(self.state)
+            st["params"] = st["ema_params"]
+            return st
+        return self.state
+
     def validate(self, key) -> float:
         if self.val_loader is None:
             return 0.0
@@ -319,7 +342,7 @@ class Trainer:
         n = 0
         for i, batch in enumerate(self.val_loader):
             batch = shard_batch(self.mesh, batch)
-            _, metrics = self._eval_step(self.state, batch,
+            _, metrics = self._eval_step(self.eval_state(), batch,
                                          jax.random.fold_in(key, i))
             total = total + metrics["loss"]
             n += 1
@@ -454,7 +477,8 @@ class Trainer:
         if batch is None:
             return
         batch = shard_batch(self.mesh, batch)
-        inputs, targets, out = self._render_step(self.state, batch, key)
+        inputs, targets, out = self._render_step(self.eval_state(), batch,
+                                                 key)
         if self.logger is None:
             return
         for tag, arr in (("degraded", inputs), ("clean", targets),
@@ -492,6 +516,8 @@ class Trainer:
             # plateau_patience extra epochs vs ReduceLROnPlateau semantics
             "plateau_wait": np.asarray(self._plateau_wait),
         }
+        if "ema_params" in self.state:
+            payload["ema_params"] = self.state["ema_params"]
         def retain():
             # retention must run only AFTER the new checkpoint's atomic
             # rename lands: deleting the older epoch checkpoints while the
@@ -540,6 +566,13 @@ class Trainer:
             "model_state": payload["model_state"],
             "opt_state": opt_state,
         }
+        if self.cfg.ema_decay > 0:
+            # resume from a pre-EMA checkpoint re-seeds the average from the
+            # loaded params (a checkpoint's ema_params are ignored when the
+            # feature is off — the state structure must match the config)
+            state["ema_params"] = jax.tree_util.tree_map(
+                lambda x: np.array(x),
+                payload.get("ema_params", payload["params"]))
         epoch = int(payload["epoch"])
         global_step = int(payload["global_step"])
         best_val_loss = float(payload["best_val_loss"])
@@ -637,8 +670,9 @@ def render_test_outputs(trainer: Trainer, suffix: str,
     # mesh-committed params into the pipeline would compile a multi-process
     # SPMD program that only rank 0 enters (deadlock). device_get works
     # per-process because params/state are replicated.
-    stage = jax.device_get((trainer.state["params"],
-                            trainer.state["model_state"]))
+    eval_state = trainer.eval_state()
+    stage = jax.device_get((eval_state["params"],
+                            eval_state["model_state"]))
     if trainer.model_name == "denoiser":
         pipe.denoiser = stage
     elif trainer.model_name == "super_resolution":

@@ -592,3 +592,71 @@ def test_val_batch_rounded_to_shard_granularity(tmp_path, monkeypatch):
     with pytest.raises(RuntimeError, match="stop-before-train"):
         trainer_mod.train_from_config(cfg)
     assert seen["val_bs"] == 4  # 6 clamped down to the 4-way granularity
+
+
+def test_ema_tracks_weights_and_drives_eval(tmp_path):
+    """ema_decay > 0: the train step maintains an exact exponential moving
+    average of the params, validation/rendering use it (eval_state), the
+    checkpoint round-trips it, and a pre-EMA checkpoint re-seeds the
+    average from the loaded params."""
+    params, state = denoiser.init(jax.random.PRNGKey(0))
+    loader = DataLoader(ToyDataset(n=4), batch_size=4, num_workers=1, seed=0)
+    cfg = TrainConfig(model="denoiser", learning_rate=1e-3, num_epochs=1,
+                      ema_decay=0.9, checkpoint_dir=str(tmp_path))
+    tr = Trainer("denoiser", params, state, loader, None, config=cfg,
+                 artifact_config=_quiet_artifacts())
+
+    # manual replay: ema_{t+1} = d*ema_t + (1-d)*params_{t+1}
+    want_ema = jax.tree_util.tree_map(np.asarray, tr.state["params"])
+    for i, batch in enumerate(DataLoader(ToyDataset(n=4), batch_size=4,
+                                         num_workers=1, seed=0)):
+        from ml_audio_restoration_tpu.parallel import shard_batch
+
+        b = shard_batch(tr.mesh, batch)
+        key = jax.random.fold_in(jax.random.PRNGKey(1), i)
+        tr.state, _ = tr._train_step(tr.state, b, key)
+        want_ema = jax.tree_util.tree_map(
+            lambda e, p: 0.9 * e + 0.1 * np.asarray(p),
+            want_ema, tr.state["params"])
+
+    got = jax.tree_util.tree_map(np.asarray, tr.state["ema_params"])
+    flat_g = jax.tree_util.tree_leaves(got)
+    flat_w = jax.tree_util.tree_leaves(want_ema)
+    for g, w in zip(flat_g, flat_w):
+        np.testing.assert_allclose(g, w, atol=1e-6)
+    # ema differs from the live params and eval_state serves it
+    p0 = jax.tree_util.tree_leaves(tr.state["params"])[0]
+    e0 = jax.tree_util.tree_leaves(tr.state["ema_params"])[0]
+    assert not np.allclose(np.asarray(p0), np.asarray(e0))
+    es = tr.eval_state()
+    assert es["params"] is tr.state["ema_params"]
+
+    # checkpoint round-trip preserves the average (fresh init per trainer:
+    # the donated train step consumed the first trainer's input buffers)
+    tr.save_checkpoint("best_model.msgpack")
+    params2, state2 = denoiser.init(jax.random.PRNGKey(7))
+    tr2 = Trainer("denoiser", params2, state2, loader, None, config=cfg,
+                  artifact_config=_quiet_artifacts())
+    tr2.load_checkpoint("best_model.msgpack")
+    for g, w in zip(jax.tree_util.tree_leaves(tr2.state["ema_params"]),
+                    flat_g):
+        np.testing.assert_allclose(np.asarray(g), w, atol=1e-7)
+
+    # pre-EMA checkpoint (ema off at save time) re-seeds ema = params
+    cfg_off = TrainConfig(model="denoiser", num_epochs=1,
+                          checkpoint_dir=str(tmp_path / "off"))
+    params3, state3 = denoiser.init(jax.random.PRNGKey(8))
+    tr3 = Trainer("denoiser", params3, state3, loader, None, config=cfg_off,
+                  artifact_config=_quiet_artifacts())
+    assert "ema_params" not in tr3.state
+    tr3.save_checkpoint("best_model.msgpack")
+    params4, state4 = denoiser.init(jax.random.PRNGKey(9))
+    tr4 = Trainer("denoiser", params4, state4, loader, None,
+                  config=TrainConfig(model="denoiser", num_epochs=1,
+                                     ema_decay=0.9,
+                                     checkpoint_dir=str(tmp_path / "off")),
+                  artifact_config=_quiet_artifacts())
+    tr4.load_checkpoint("best_model.msgpack")
+    for e, p in zip(jax.tree_util.tree_leaves(tr4.state["ema_params"]),
+                    jax.tree_util.tree_leaves(tr4.state["params"])):
+        np.testing.assert_array_equal(np.asarray(e), np.asarray(p))
