@@ -96,6 +96,10 @@ class TrainConfig:
     # contrastive loss over mixed-dataset pairs (reference stubs this with a
     # TODO, semi_supervised.py:200-203; 0 = parity with the stub)
     contrastive_weight: float = 0.0
+    # global-norm gradient clipping before Adam (no reference counterpart;
+    # 0 = off = parity). Standard guard for loss spikes from extreme
+    # synthesized artifacts (pop amplitudes are drawn per item).
+    max_grad_norm: float = 0.0
     # exponential moving average of the weights (no reference counterpart;
     # 0 = off = parity). When >0 (e.g. 0.999) the trainer maintains EMA
     # params inside the jitted step and uses them for validation, audio

@@ -90,8 +90,19 @@ class Trainer:
         self.mesh = make_mesh(data_parallel=self.cfg.data_parallel)
         self.logger = logger
 
-        # optimizer with a host-mutable learning rate (plateau scheduling)
-        self.tx = optax.inject_hyperparams(optax.adam)(
+        # optimizer with a host-mutable learning rate (plateau scheduling).
+        # Optional global-norm clipping is chained INSIDE the injected
+        # factory so opt_state.hyperparams["learning_rate"] stays at the
+        # top level either way (the plateau scheduler mutates it there).
+        if self.cfg.max_grad_norm > 0:
+            clip = self.cfg.max_grad_norm
+
+            def _base(learning_rate):
+                return optax.chain(optax.clip_by_global_norm(clip),
+                                   optax.adam(learning_rate))
+        else:
+            _base = optax.adam
+        self.tx = optax.inject_hyperparams(_base)(
             learning_rate=self.cfg.learning_rate)
         opt_state = self.tx.init(model_params)
 

@@ -660,3 +660,44 @@ def test_ema_tracks_weights_and_drives_eval(tmp_path):
     for e, p in zip(jax.tree_util.tree_leaves(tr4.state["ema_params"]),
                     jax.tree_util.tree_leaves(tr4.state["params"])):
         np.testing.assert_array_equal(np.asarray(e), np.asarray(p))
+
+
+def test_max_grad_norm_clips_and_huge_bound_is_identity(tmp_path):
+    """max_grad_norm: a tiny bound changes the first update; a bound that
+    never triggers matches the unclipped trainer to float rounding (optax
+    scales by max/maximum(norm, max), so the no-op is a *1.0-epsilon
+    multiply, not an exact identity), and the plateau scheduler's
+    hyperparam path still works through the chained optimizer."""
+    from ml_audio_restoration_tpu.parallel import shard_batch
+
+    def one_step(max_norm):
+        params, state = denoiser.init(jax.random.PRNGKey(0))
+        loader = DataLoader(ToyDataset(n=4), batch_size=4, num_workers=1,
+                            seed=0)
+        cfg = TrainConfig(model="denoiser", learning_rate=1e-3, num_epochs=1,
+                          max_grad_norm=max_norm,
+                          checkpoint_dir=str(tmp_path))
+        tr = Trainer("denoiser", params, state, loader, None, config=cfg,
+                     artifact_config=_quiet_artifacts())
+        batch = shard_batch(tr.mesh, next(iter(loader)))
+        tr.state, _ = tr._train_step(tr.state, batch, jax.random.PRNGKey(1))
+        return tr
+
+    base = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(np.asarray, one_step(0.0).state["params"]))
+    huge = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(np.asarray, one_step(1e9).state["params"]))
+    tiny_tr = one_step(1e-4)
+    tiny = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(np.asarray, tiny_tr.state["params"]))
+    for b, h in zip(base, huge):
+        np.testing.assert_allclose(b, h, rtol=1e-4, atol=1e-8)
+    assert any(not np.allclose(b, t) for b, t in zip(base, tiny))
+    # plateau LR mutation path works on the chained opt state
+    tiny_tr.best_val_loss = 0.0
+    for _ in range(tiny_tr.cfg.plateau_patience + 1):
+        tiny_tr._plateau_step(1.0)
+    assert tiny_tr.lr < 1e-3
+    got = float(np.asarray(
+        tiny_tr.state["opt_state"].hyperparams["learning_rate"]))
+    assert abs(got - tiny_tr.lr) < 1e-9  # f32 storage of the hyperparam
