@@ -633,6 +633,73 @@ def _cmd_evaluate(args):
     return _ev.run(args)
 
 
+def _add_export(sub):
+    p = sub.add_parser(
+        "export",
+        help="export a checkpoint to a reference-format .pth "
+             "(loadable by the upstream PyTorch project)")
+    p.add_argument("checkpoint", help=".msgpack (self-describing) or .pth")
+    p.add_argument("output", help="output .pth path")
+    p.add_argument("--model",
+                   choices=["denoiser", "super_resolution",
+                            "stereo_separator"],
+                   default=None,
+                   help="model family (auto-detected from native "
+                        ".msgpack checkpoints; required for .pth input)")
+    p.add_argument("--ema", action="store_true",
+                   help="export the EMA-averaged weights (checkpoint must "
+                        "have been trained with ema_decay > 0)")
+    return p
+
+
+def _cmd_export(args):
+    from .compat import save_pth
+
+    src = str(args.checkpoint)
+    if src.endswith(".pth"):
+        if args.model is None:
+            print("error: --model is required for .pth input "
+                  "(.pth state_dicts are not self-describing)",
+                  file=sys.stderr)
+            return 2
+        if args.ema:
+            print("error: --ema needs a native .msgpack checkpoint "
+                  "(reference .pth files carry no EMA weights)",
+                  file=sys.stderr)
+            return 2
+        from .compat import load_model
+
+        name = args.model
+        params, state = load_model(src, name)
+        epoch = 0
+    else:
+        from .train.checkpoints import load_checkpoint
+
+        ckpt = load_checkpoint(src)
+        name = ckpt.get("model_name", args.model)
+        if isinstance(name, bytes):
+            name = name.decode()
+        name = str(name) if name else args.model
+        if args.model and name != args.model:
+            print(f"error: checkpoint is for model {name!r}, not "
+                  f"{args.model!r}", file=sys.stderr)
+            return 2
+        if args.ema:
+            if "ema_params" not in ckpt:
+                print("error: checkpoint carries no ema_params "
+                      "(trained with ema_decay == 0)", file=sys.stderr)
+                return 2
+            params = ckpt["ema_params"]
+        else:
+            params = ckpt["params"]
+        state = ckpt["model_state"]
+        epoch = int(ckpt.get("epoch", 0))
+    save_pth(args.output, name, params, state, epoch=epoch)
+    print(f"exported {name} -> {args.output}"
+          + (" (EMA weights)" if args.ema else ""))
+    return 0
+
+
 def _add_acquire(sub):
     p = sub.add_parser("acquire",
                        help="download eligible stereo training data")
@@ -680,6 +747,7 @@ def main(argv=None):
     _add_train(sub)
     _add_analyze(sub)
     _add_evaluate(sub)
+    _add_export(sub)
     _add_acquire(sub)
 
     args = parser.parse_args(argv)
@@ -699,6 +767,8 @@ def main(argv=None):
         return _cmd_analyze(args)
     if args.command == "evaluate":
         return _cmd_evaluate(args)
+    if args.command == "export":
+        return _cmd_export(args)
     if args.command == "acquire":
         return _cmd_acquire(args)
     parser.error(f"unknown command {args.command}")

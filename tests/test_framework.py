@@ -501,3 +501,43 @@ def test_cli_evaluate_smoke(data_dir, tmp_path, capsys):
     report = json.loads(capsys.readouterr().out)
     assert report["denoiser"]["num_files"] >= 1
     assert np.isfinite(report["denoiser"]["snr_restored"])
+
+
+def test_cli_export_roundtrip_and_ema(tmp_path, capsys):
+    """`cli export`: a trained native checkpoint exports to a .pth the torch
+    converter loads back bit-identically; --ema exports the averaged
+    weights; mismatched --model and missing ema fail with rc 2."""
+    from ml_audio_restoration_tpu.cli import main
+    from ml_audio_restoration_tpu.compat import load_model
+    from ml_audio_restoration_tpu.models import denoiser
+    from ml_audio_restoration_tpu.train import checkpoints as ckpt
+
+    params, state = denoiser.init(jax.random.PRNGKey(0))
+    ema = jax.tree_util.tree_map(lambda x: np.asarray(x) * 0.5, params)
+    src = tmp_path / "best_model.msgpack"
+    ckpt.save_checkpoint(src, {
+        "params": params, "model_state": state, "ema_params": ema,
+        "epoch": np.asarray(3), "model_name": "denoiser"})
+
+    out = tmp_path / "d.pth"
+    assert main(["export", str(src), str(out)]) == 0
+    got_p, got_s = load_model(out, "denoiser")
+    for a, b in zip(jax.tree_util.tree_leaves(got_p),
+                    jax.tree_util.tree_leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    out_ema = tmp_path / "d_ema.pth"
+    assert main(["export", str(src), str(out_ema), "--ema"]) == 0
+    got_e, _ = load_model(out_ema, "denoiser")
+    for a, b in zip(jax.tree_util.tree_leaves(got_e),
+                    jax.tree_util.tree_leaves(ema)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    assert main(["export", str(src), str(out), "--model",
+                 "stereo_separator"]) == 2
+    src2 = tmp_path / "noema.msgpack"
+    ckpt.save_checkpoint(src2, {
+        "params": params, "model_state": state,
+        "epoch": np.asarray(1), "model_name": "denoiser"})
+    assert main(["export", str(src2), str(out), "--ema"]) == 2
+    capsys.readouterr()
