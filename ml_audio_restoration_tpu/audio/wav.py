@@ -124,6 +124,11 @@ def read_wav(path, start: int = 0, frames: int = -1,
                                                        info.frames - start)
         f.seek(info.data_offset + start * bpf)
         raw = f.read(n * bpf)
+    # a data chunk shorter than its declared size (truncated copy) leaves a
+    # partial trailing frame; decode the whole frames like the native codec
+    # does instead of tripping numpy's buffer-size/reshape errors
+    if len(raw) % bpf:
+        raw = raw[:len(raw) // bpf * bpf]
     data = _decode(raw, info)
     if not always_2d and info.channels == 1:
         data = data[:, 0]

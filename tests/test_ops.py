@@ -292,3 +292,21 @@ def test_filtfilt_rejects_short_input():
     b, a, _ = ops.butter_coeffs(4, 100.0, 22050.0, "lowpass")
     with _pytest.raises(ValueError, match="padlen"):
         ops.filtfilt(jnp.asarray(b), jnp.asarray(a), x)
+
+
+def test_read_wav_truncated_file_decodes_whole_frames(tmp_path):
+    """A WAV whose data chunk is cut off mid-frame (truncated copy) decodes
+    its complete frames like the native codec, instead of raising numpy
+    buffer/reshape errors."""
+    from ml_audio_restoration_tpu.audio import read_wav, write_wav
+
+    x = np.linspace(-0.5, 0.5, 400, dtype=np.float32).reshape(200, 2)
+    p = tmp_path / "t.wav"
+    write_wav(p, x, 22050, subtype="PCM_24")
+    blob = p.read_bytes()
+    # cut mid-frame: drop the last 4 bytes (frame = 6 bytes at 24-bit stereo)
+    trunc = tmp_path / "trunc.wav"
+    trunc.write_bytes(blob[:-4])
+    got, sr = read_wav(trunc)
+    assert sr == 22050 and got.shape == (199, 2)
+    np.testing.assert_allclose(got, x[:199], atol=2e-7)
