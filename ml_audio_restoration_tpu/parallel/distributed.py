@@ -145,4 +145,6 @@ def broadcast_from_primary(s: str, maxlen: int = 256) -> str:
     b = s.encode("utf-8")[:maxlen]
     buf[:len(b)] = np.frombuffer(b, np.uint8)
     out = np.asarray(multihost_utils.broadcast_one_to_all(buf))
-    return bytes(out).rstrip(b"\x00").decode("utf-8")
+    # errors="replace": a maxlen truncation can split a multibyte UTF-8
+    # sequence; every rank must still decode the same string, not raise
+    return bytes(out).rstrip(b"\x00").decode("utf-8", errors="replace")
