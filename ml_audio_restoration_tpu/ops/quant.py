@@ -362,11 +362,18 @@ def calibrate(forward, batches) -> dict:
 def save_scales_file(path, scales: dict):
     """THE scales-file format (stage -> point -> per-channel scales), shared
     by RestorationPipeline and StreamingRestorer — one writer so the
-    documented interchangeability of their files can't drift."""
-    import json
+    documented interchangeability of their files can't drift.
 
-    with open(path, "w") as fh:
+    Written atomically (tmp + rename): `cli serve` persists scales at
+    shutdown and auto-loads the file on the next start — a crash mid-write
+    must not leave truncated JSON that poisons every later daemon start."""
+    import json
+    import os
+
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
         json.dump(scales, fh, indent=1, sort_keys=True)
+    os.replace(tmp, path)
     return path
 
 

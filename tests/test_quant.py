@@ -440,3 +440,19 @@ def test_disabled_sr_stage_does_not_recalibrate_every_restore(rng_module):
         pipe.restore(a)
     assert pipe._int8_version == version, \
         "scales discarded+recalibrated despite full coverage"
+
+
+def test_scales_file_roundtrip_atomic(tmp_path):
+    """save_scales_file writes via tmp+rename: the target is either the old
+    or the new complete JSON (cli serve persists at shutdown and auto-loads
+    on the next start — truncated JSON would poison every later start), and
+    no .tmp litter is left behind."""
+    from ml_audio_restoration_tpu.ops.quant import (load_scales_file,
+                                                    save_scales_file)
+
+    path = tmp_path / "scales.json"
+    save_scales_file(path, {"denoiser": {"in": [0.1, 0.2]}})
+    save_scales_file(path, {"denoiser": {"in": [0.3]}, "stereo": {"in": [1.0]}})
+    assert load_scales_file(path) == {"denoiser": {"in": [0.3]},
+                                      "stereo": {"in": [1.0]}}
+    assert [p.name for p in tmp_path.iterdir()] == ["scales.json"]
