@@ -58,6 +58,11 @@ class DataConfig:
     chunk_duration: float = 2.0
     val_split: float = 0.1
     synthetic_ratio: float = 0.7
+    # opt-in fix for the reproduced upstream quirk (PARITY.md "Known
+    # upstream quirks"): files whose native rate differs from sample_rate
+    # yield native-rate training chunks (with a warning). True = seek-read
+    # a rate-scaled window and resample it to sample_rate.
+    resample_chunks: bool = False
     artifacts: ArtifactConfig = field(default_factory=ArtifactConfig)
 
 

@@ -34,11 +34,17 @@ class ChunkDataset:
 
     def __init__(self, data_dir, sample_rate: int = 22050,
                  chunk_duration: float = 2.0, mono: bool = True,
-                 extensions=None, seed: int = 0):
+                 extensions=None, seed: int = 0,
+                 resample_chunks: bool = False):
         self.data_dir = Path(data_dir)
         self.sample_rate = sample_rate
         self.chunk_size = int(sample_rate * chunk_duration)
         self.mono = mono
+        # opt-in fix for the reproduced upstream seek-path quirk: a file
+        # whose native rate differs from `sample_rate` yields native-rate
+        # chunks (with a warning) unless this is True — then the window is
+        # rate-scaled and resampled (audio/io.py::load_audio_chunk)
+        self.resample_chunks = resample_chunks
         self.files = find_audio_files(
             self.data_dir,
             extensions=extensions or (".wav", ".mp3", ".flac", ".ogg"))
@@ -52,7 +58,8 @@ class ChunkDataset:
     def _chunk(self, path, mono=None):
         audio = load_audio_chunk(path, self.chunk_size, self.rng,
                                  self.sample_rate,
-                                 mono=self.mono if mono is None else mono)
+                                 mono=self.mono if mono is None else mono,
+                                 resample_chunks=self.resample_chunks)
         audio = np.asarray(normalize_audio(audio), np.float32)
         if audio.shape[-1] < self.chunk_size:
             audio = np.pad(audio,

@@ -743,20 +743,25 @@ def train_from_config(cfg: Config, steps_per_epoch: Optional[int] = None,
         if dataset_kind == "mixed":
             dataset = MixedRestorationDataset(
                 d.data_dir, d.degraded_dir, d.sample_rate, d.chunk_duration,
-                synthetic_ratio=d.synthetic_ratio)
+                synthetic_ratio=d.synthetic_ratio,
+                resample_chunks=d.resample_chunks)
         elif dataset_kind == "adaptive":
             dataset = AdaptiveArtifactDataset(
-                d.data_dir, d.degraded_dir, d.sample_rate, d.chunk_duration)
+                d.data_dir, d.degraded_dir, d.sample_rate, d.chunk_duration,
+                resample_chunks=d.resample_chunks)
         else:
             dataset = RestorationDataset(d.data_dir, d.sample_rate,
-                                         d.chunk_duration)
+                                         d.chunk_duration,
+                                         resample_chunks=d.resample_chunks)
         model_kwargs = dataclasses.asdict(cfg.denoiser)
     elif name == "super_resolution":
         dataset = SuperResolutionDataset(d.data_dir,
-                                         chunk_duration=d.chunk_duration)
+                                         chunk_duration=d.chunk_duration,
+                                         resample_chunks=d.resample_chunks)
         model_kwargs = dataclasses.asdict(cfg.super_resolution)
     elif name == "stereo_separator":
-        dataset = StereoDataset(d.data_dir, d.sample_rate, d.chunk_duration)
+        dataset = StereoDataset(d.data_dir, d.sample_rate, d.chunk_duration,
+                                resample_chunks=d.resample_chunks)
         model_kwargs = dataclasses.asdict(cfg.stereo_separator)
     else:
         raise ValueError(f"unknown model {name!r}")

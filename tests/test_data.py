@@ -187,6 +187,46 @@ class TestDatasets:
         assert len(batches) == 2
         assert batches[0]["clean"].shape == (2, 1, int(0.5 * SR))
 
+    def test_resample_chunks_opt_in(self, tmp_path):
+        """A 2x-rate file in the corpus: default keeps the upstream quirk
+        (native-rate seek chunk + warning); resample_chunks=True yields a
+        correctly-resampled chunk with no warning. Plumbed through
+        ChunkDataset -> load_audio_chunk (DataConfig.resample_chunks)."""
+        import warnings
+
+        d = tmp_path / "mixed_rate"
+        t = np.arange(3 * 2 * SR) / (2 * SR)  # 3 s at 2x the corpus rate
+        save_audio(d / "hi.wav",
+                   (0.3 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)[None],
+                   2 * SR)
+
+        ds = RestorationDataset(d, sample_rate=SR, chunk_duration=1.0)
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            item = ds[0]
+        assert any("native rate" in str(w.message) or "file rate"
+                   in str(w.message) for w in caught)
+        # quirk behavior: chunk_size frames of NATIVE-rate audio — 1 s of
+        # output covers only 0.5 s of source, so the 440 Hz tone reads as
+        # 220 Hz in the corpus timebase
+        assert item["clean"].shape == (1, SR)
+
+        ds2 = RestorationDataset(d, sample_rate=SR, chunk_duration=1.0,
+                                 resample_chunks=True)
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            item2 = ds2[0]
+        assert not caught
+        assert item2["clean"].shape == (1, SR)
+        # the resampled chunk preserves the true pitch: dominant bin at
+        # 440 Hz, vs 220 Hz on the quirk path
+        def peak_hz(x):
+            spec = np.abs(np.fft.rfft(x[0]))
+            return np.fft.rfftfreq(x.shape[-1], 1 / SR)[int(np.argmax(spec))]
+
+        assert abs(peak_hz(item2["clean"]) - 440) < 5
+        assert abs(peak_hz(item["clean"]) - 220) < 5
+
     def test_loader_propagates_errors(self, wav_dir):
         class Broken(RestorationDataset):
             getitems = None  # force the per-item path
