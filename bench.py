@@ -19,17 +19,98 @@ The headline full-pipeline number is reported on BOTH bases every run.
 """
 from __future__ import annotations
 
+import copy
 import dataclasses
 import json
 import os
+import signal
 import statistics
 import sys
 import tempfile
+import threading
 import time
 
 import numpy as np
 
 sys.path.insert(0, ".")
+
+
+# ------------------------------------------------------- kill-proof record
+# VERDICT r03 item 1: the round-3 driver record was lost to an external
+# timeout kill (rc=124, parsed: null) because the single JSON line printed
+# only at the very end of main(). The record is now INDESTRUCTIBLE:
+#   * `_RECORD` is a module-level best-known-so-far record, re-printed
+#     (flushed) at every milestone — the driver parses the LAST parseable
+#     line of the tail, so a kill at any point leaves the latest complete
+#     snapshot;
+#   * SIGTERM/SIGINT handlers dump the record and _exit (covers a polite
+#     `timeout` kill while the main thread is running Python);
+#   * a daemon WATCHDOG thread dumps + _exits at a self-imposed deadline —
+#     the only protection that works while the main thread is wedged inside
+#     a C-level jax/relay call, where Python signal handlers cannot run;
+#   * worst-case defaults are cut so a cold run self-bounds well inside any
+#     plausible external timeout (backend wait 240 s, hard budget 360 s,
+#     watchdog = wait + hard + 120 s; all env-overridable for long local
+#     measurement sessions).
+
+_RECORD: dict = {
+    "metric": "full_pipeline_xrt",
+    "value": 0.0,
+    "unit": "audio_sec/sec/chip",
+    "vs_baseline": 0.0,
+    "extra": {"partial": "killed before first measurement"},
+}
+_FINISHED = False
+
+
+def _print_record():
+    """Print the current best-known record as one flushed JSON line.
+
+    The record's nested dicts are mutated by the main thread while the
+    watchdog/signal paths print from another context, so serialize a deep
+    copy and retry on a mid-iteration mutation race; the last resort is a
+    minimal record without `extra` (still parseable)."""
+    for attempt in range(3):
+        try:
+            print(json.dumps(copy.deepcopy(_RECORD)), flush=True)
+            return
+        except RuntimeError:
+            continue
+    print(json.dumps({k: _RECORD[k] for k in
+                      ("metric", "value", "unit", "vs_baseline")}),
+          flush=True)
+
+
+def _publish(xrt: float | None = None):
+    """Update the headline value (if given) and re-print the record."""
+    if xrt is not None and xrt > 0:
+        _RECORD["value"] = round(xrt, 2)
+        _RECORD["vs_baseline"] = round(xrt / 200.0, 3)
+    _RECORD["extra"].pop("partial", None)
+    if not _FINISHED:
+        _RECORD["extra"]["provisional"] = True
+    _print_record()
+
+
+def _emergency_dump(signum, frame):  # pragma: no cover - signal path
+    _RECORD.setdefault("extra", {})["partial"] = f"killed by signal {signum}"
+    _print_record()
+    os._exit(0)
+
+
+def _arm_watchdog(deadline_s: float):
+    """Self-terminate with a record before any external kill can strike.
+    Runs on its own thread so it fires even when the main thread is stuck
+    inside a non-returning C call (hung relay RPC)."""
+    def run():
+        time.sleep(deadline_s)
+        if not _FINISHED:
+            _RECORD.setdefault("extra", {})["partial"] = (
+                f"watchdog dump at {int(deadline_s)}s")
+            _print_record()
+            os._exit(0)
+
+    threading.Thread(target=run, daemon=True, name="bench-watchdog").start()
 
 
 def _ensure_backend(max_wait_s: float):
@@ -59,7 +140,11 @@ def _ensure_backend(max_wait_s: float):
 
     deadline = time.time() + max_wait_s
     while True:
-        if ready():
+        # never let one probe attempt outlive the whole wait budget (the
+        # kill-proofing contract: a cold run self-bounds) — a relay that
+        # takes longer than the budget to answer is treated as an outage
+        # and the run proceeds on the labeled CPU fallback
+        if ready(timeout_s=min(300.0, max(5.0, deadline - time.time()))):
             return None
         if time.time() > deadline:
             import jax
@@ -245,8 +330,22 @@ def _streaming_throughput(stages, batch: int = 16, block_s: float = 1.0,
 
 
 def main():
-    backend_fallback = _ensure_backend(
-        float(os.environ.get("MLAR_BENCH_BACKEND_WAIT_S", "900")))
+    signal.signal(signal.SIGTERM, _emergency_dump)
+    signal.signal(signal.SIGINT, _emergency_dump)
+
+    # worst-case-bounded defaults (VERDICT r03 item 1): a cold run must fit
+    # inside any plausible external timeout. Extras degrade to one traced
+    # device-span run each past the soft budget and are skipped (recorded)
+    # past the hard budget, so the cut budgets cost completeness only on a
+    # congested relay — where wall numbers were weather anyway.
+    backend_wait_s = float(os.environ.get("MLAR_BENCH_BACKEND_WAIT_S", "240"))
+    hard_budget_default = float(
+        os.environ.get("MLAR_BENCH_HARD_BUDGET_S", "360"))
+    _arm_watchdog(float(os.environ.get(
+        "MLAR_BENCH_WATCHDOG_S",
+        str(backend_wait_s + hard_budget_default + 120.0))))
+
+    backend_fallback = _ensure_backend(backend_wait_s)
 
     import jax
 
@@ -268,8 +367,8 @@ def main():
     # soft budget: once exceeded, remaining extras switch from multi-
     # iteration wall timing to one traced device-span run each (they are
     # never skipped); the hard budget stops everything but the summary
-    budget_s = float(os.environ.get("MLAR_BENCH_BUDGET_S", "600"))
-    hard_budget_s = float(os.environ.get("MLAR_BENCH_HARD_BUDGET_S", "2400"))
+    budget_s = float(os.environ.get("MLAR_BENCH_BUDGET_S", "180"))
+    hard_budget_s = hard_budget_default
     t_start = time.perf_counter()
 
     def elapsed():
@@ -290,7 +389,11 @@ def main():
     extra = {"device": str(jax.devices()[0]), "audio_seconds": seconds}
     if backend_fallback:
         extra["backend_fallback"] = backend_fallback
+    # from here on the live `extra` dict IS the record's extra: any kill /
+    # watchdog dump carries everything measured so far
+    _RECORD["extra"] = extra
     bases: dict = {}
+    extra["bases"] = bases
 
     # relay congestion probe: a trivial matmul round trip is ~1 s on an idle
     # relay and >30 s during congestion; when congested, wall numbers are
@@ -328,10 +431,18 @@ def main():
         return seconds / w, "wall"
 
     # ---------------------------------------------------------- headline
+    # on a congested relay every extra wall restore is minutes of pure
+    # relay weather, so the window shrinks to ONE timed iteration and the
+    # device-span trace carries the headline instead
     full = RestorationPipeline(**stages, config=cfg)
-    times1 = _time_pipeline(full, audio, sr, warmup=2, iters=5)
+    times1 = _time_pipeline(full, audio, sr,
+                            warmup=1 if congested else 2,
+                            iters=1 if congested else 4)
     wall = min(times1)
     extra["full_pipeline_wall_s"] = round(wall, 4)
+    # first full-pipeline measurement lands -> provisional record on stdout
+    # immediately (the driver parses the tail's last JSON line)
+    _publish(seconds / wall)
     # device-basis headline: stable round-over-round even on a bad relay day
     # (sum of module spans — the slab path runs several programs per call)
     try:
@@ -339,6 +450,8 @@ def main():
         dev_ms = sum(s for s in spans if s > 1.0) or max(spans)
         extra["device_full_pipeline_ms"] = round(dev_ms, 1)
         extra["device_full_pipeline_xrt"] = round(seconds / (dev_ms / 1e3), 1)
+        if congested:
+            _publish(max(seconds / wall, extra["device_full_pipeline_xrt"]))
     except RuntimeError:
         pass  # CPU backend (no device plane)
 
@@ -347,6 +460,8 @@ def main():
     # overwritten key): a missing number with no skip marker would read as
     # a regression in round-over-round comparisons
     skipped: list = []
+
+    extra["skipped"] = skipped  # live-linked: kill-time dumps carry it
 
     def budget_ok(label: str) -> bool:
         if elapsed() > hard_budget_s:
@@ -366,6 +481,7 @@ def main():
         xrt, basis = measure_pipeline(pipe)
         extra[f"{name}_xrt"] = round(xrt, 1)
         bases[f"{name}_xrt"] = basis
+    _publish()
 
     # bf16 serving mode: measured max deviation vs f32 is ~1.5e-4 end-to-end,
     # well inside the <=1e-3 parity bar, so it is a valid headline config
@@ -373,11 +489,10 @@ def main():
     if budget_ok("bf16_full_pipeline_xrt"):
         bf16_cfg = dataclasses.replace(cfg, compute_dtype="bfloat16")
         bf16 = RestorationPipeline(**stages, config=bf16_cfg)
-        # skip the wall window when even the wall HEADLINE will be device-
-        # basis (probe > 20): its 5 full restores would be pure relay
-        # weather, each potentially minutes of hard budget. In the 5-20 s
-        # band it still runs — w16 remains a wall-headline candidate there.
-        times16 = (None if probe_s > 20.0
+        # skip the wall window when the headline will be device-basis
+        # anyway (congested relay): its full restores would be pure relay
+        # weather, each potentially minutes of hard budget
+        times16 = (None if congested
                    else _time_pipeline(bf16, audio, sr, warmup=1, iters=4))
         w16 = min(times16) if times16 else float("inf")
         xrt16, basis = measure_pipeline(bf16, wall_times=times16)
@@ -387,6 +502,20 @@ def main():
         out16, _ = bf16.restore(audio, sr)
         bf16_dev = float(np.abs(np.asarray(out32) - np.asarray(out16)).max())
         extra["bf16_max_dev_vs_f32"] = bf16_dev
+        # always record the bf16 DEVICE span too (one traced restore): the
+        # final headline's weather-promotion needs a device-basis candidate
+        # for the usual winning config even when the probe looked calm
+        try:
+            spans16 = _device_spans(lambda: _sync(bf16.restore(audio, sr)[0]))
+            dev16_ms = sum(s for s in spans16 if s > 1.0) or max(spans16)
+            extra["bf16_device_full_pipeline_ms"] = round(dev16_ms, 1)
+            extra["bf16_device_full_pipeline_xrt"] = round(
+                seconds / (dev16_ms / 1e3), 1)
+        except RuntimeError:
+            pass  # CPU backend
+    # provisional upgrade: a parity-satisfying bf16 wall win is the usual
+    # final headline — reflect it in the kill-time record immediately
+    _publish(seconds / w16 if (bf16_dev <= 1e-3 and w16 < wall) else None)
 
     # throughput mode: 0.25 s internal stereo windows (8x fewer sequential
     # LSTM steps; quality-free on a trained model per the PERFORMANCE.md
@@ -425,6 +554,7 @@ def main():
         xrt, basis = measure_pipeline(sp)
         extra["fast_serve_src_xrt"] = round(xrt, 1)
         bases["fast_serve_src_xrt"] = basis
+    _publish()
 
     # coalesced short-request serving (restore_many — the HTTP daemon's
     # dynamic batching): K short recordings through ONE combined chunk-batch
@@ -457,6 +587,51 @@ def main():
         except RuntimeError:
             skipped.append("no device plane at coalesce_speedup")
 
+    # serving latency (VERDICT r03 item 6): short-burst p50/p99 over the
+    # REAL HTTP daemon — decode -> queue -> device -> D2H -> encode, the
+    # number a deployment SLO would track (the 30-min soak's counterpart,
+    # docs/PERFORMANCE.md "Serving soak"). Latency is wall by nature; under
+    # congestion it falls back to the device span of one request-sized
+    # program (a labeled floor) so the record never goes missing. The 10-s
+    # request reuses the coalesce extra's compiled program when that ran.
+    if budget_ok("serve_latency_p50_ms"):
+        req_audio = _make_audio(10.0, sr)
+        if basis_now() == "wall":
+            from ml_audio_restoration_tpu.audio.wav import encode_wav
+            from ml_audio_restoration_tpu.pipeline.server import (
+                RestorationServer, restore_over_http)
+
+            clip = encode_wav(req_audio[0][:, None], sr)
+            srv = RestorationServer(full).start()
+            try:
+                # first request compiles the request-sized program (cached
+                # if the coalesce extra already ran it)
+                restore_over_http(srv.host, srv.port, clip, timeout=870)
+                lats = []
+                for _ in range(12):
+                    t0 = time.monotonic()
+                    restore_over_http(srv.host, srv.port, clip, timeout=120)
+                    lats.append((time.monotonic() - t0) * 1e3)
+                lats.sort()
+                extra["serve_latency_p50_ms"] = round(
+                    statistics.median(lats), 1)
+                extra["serve_latency_p99_ms"] = round(lats[-1], 1)
+                extra["serve_latency_requests"] = len(lats)
+                bases["serve_latency_p50_ms"] = "wall"
+            finally:
+                srv.shutdown()
+        else:
+            try:
+                _sync(full.restore(req_audio, sr)[0])
+                spans = _device_spans(
+                    lambda: _sync(full.restore(req_audio, sr)[0]))
+                dev_ms = sum(s for s in spans if s > 1.0) or max(spans)
+                extra["serve_latency_p50_ms"] = round(dev_ms, 1)
+                extra["serve_latency_p99_ms"] = round(dev_ms, 1)
+                bases["serve_latency_p50_ms"] = "device"
+            except RuntimeError:
+                skipped.append("no device plane at serve_latency_p50_ms")
+
     # training throughput, all three families (BASELINE config 5 is the
     # denoiser one: batch 2, 2-s chunks, combined time-MSE + spectral loss;
     # on-device degradation included for the denoiser)
@@ -467,14 +642,21 @@ def main():
             continue  # not break: every skipped label must be RECORDED
         extra[tag], bases[tag] = _train_throughput(fam, basis_now())
 
-    # batch-16 denoiser wall train throughput: the desynced train loop
-    # (device-side loss accumulation, VERDICT r02 item 2) should land wall
-    # throughput near the device-side table (docs/PERFORMANCE.md: 540
-    # audio-s/s at batch 16)
-    if budget_ok("train_denoiser_b16_audio_sec_per_sec"):
-        (extra["train_denoiser_b16_audio_sec_per_sec"],
-         bases["train_denoiser_b16_audio_sec_per_sec"]) = _train_throughput(
-            "denoiser", basis_now(), batch=16, steps=12)
+    # batch-16 train throughput, ALL THREE families (VERDICT r03 item 9 —
+    # round 3 had the denoiser only): the honest fast-config number. The
+    # desynced train loop (device-side loss accumulation, VERDICT r02
+    # item 2) should land wall throughput near the device-side table
+    # (docs/PERFORMANCE.md: denoiser 540 audio-s/s at batch 16).
+    for fam, tag in [
+        ("denoiser", "train_denoiser_b16_audio_sec_per_sec"),
+        ("super_resolution", "train_sr_b16_audio_sec_per_sec"),
+        ("stereo_separator", "train_stereo_b16_audio_sec_per_sec"),
+    ]:
+        if not budget_ok(tag):
+            continue  # not break: every skipped label must be RECORDED
+        extra[tag], bases[tag] = _train_throughput(
+            fam, basis_now(), batch=16, steps=12)
+    _publish()
 
     # concurrent-stream serving: B live streams batched through one compiled
     # streaming step (pipeline/streaming.py)
@@ -511,7 +693,8 @@ def main():
     # across windows (bf16 qualifies while its deviation stays <=1e-3);
     # the median across both windows is also reported so round-over-round
     # deltas can be attributed to code, not relay weather
-    times2 = _time_pipeline(full, audio, sr, warmup=1, iters=5)
+    times2 = (times1 if congested else
+              _time_pipeline(full, audio, sr, warmup=1, iters=4))
     wall2 = min(times2)
     extra["full_pipeline_wall_s_second_window"] = round(wall2, 4)
     extra["f32_full_pipeline_xrt"] = round(seconds / min(wall, wall2), 2)
@@ -526,37 +709,47 @@ def main():
                                 else "float32")
     xrt = seconds / wall
     extra["headline_basis"] = "wall"
-    # On a congested relay (probe >> idle; dispatch round trips dominated by
-    # the shared dev tunnel, not the chip) the wall headline measures relay
-    # weather, not the hardware: report the device-span headline instead —
+    # On a congested relay (dispatch round trips dominated by the shared dev
+    # tunnel, not the chip) the wall headline measures relay weather, not
+    # the hardware: report the device-span headline instead —
     # CLAUDE.md/PERFORMANCE.md: "on a directly-attached host the device
     # number is the real one" — with both numbers and the basis recorded.
-    if probe_s > 20.0:
+    # Promotion triggers on the probe (> 5 s) OR on the OUTCOME: the probe
+    # is a point sample and the relay drifts mid-run — a measured run had
+    # probe 1.18 s yet every wall restore inflated ~3x (110x wall vs 591x
+    # device). A wall headline below half the device-basis headline is
+    # relay latency by construction (calm-relay dispatch+sync overhead is
+    # ~25-100 ms per restore, far under the 2x bar at these program sizes).
+    dev_candidates = [(extra.get("device_full_pipeline_xrt", 0.0),
+                       "float32")]
+    if bf16_dev <= 1e-3:
         # carry the config label WITH the value: comparing rounded values
         # after the fact mislabels f32/bf16 ties
-        dev_candidates = [(extra.get("device_full_pipeline_xrt", 0.0),
-                           "float32")]
-        if (bf16_dev <= 1e-3
-                and bases.get("bf16_full_pipeline_xrt") == "device"):
-            dev_candidates.append(
-                (extra.get("bf16_full_pipeline_xrt", 0.0), "bfloat16"))
-        dev_xrt, dev_config = max(dev_candidates, key=lambda p: p[0])
-        if dev_xrt > xrt:
-            xrt = dev_xrt
-            extra["headline_basis"] = "device"
-            extra["headline_config"] = dev_config
-    if skipped:
-        extra["skipped"] = skipped
+        dev_candidates.append(
+            (extra.get("bf16_device_full_pipeline_xrt",
+                       extra.get("bf16_full_pipeline_xrt", 0.0)
+                       if bases.get("bf16_full_pipeline_xrt") == "device"
+                       else 0.0), "bfloat16"))
+    dev_xrt, dev_config = max(dev_candidates, key=lambda p: p[0])
+    if (congested or xrt < 0.5 * dev_xrt) and dev_xrt > xrt:
+        xrt = dev_xrt
+        extra["headline_basis"] = "device"
+        extra["headline_config"] = dev_config
+    if not skipped:
+        extra.pop("skipped", None)
     extra["bases"] = bases
 
-    print(json.dumps({
-        "metric": "full_pipeline_xrt",
-        "value": round(xrt, 2),
-        "unit": "audio_sec/sec/chip",
-        "vs_baseline": round(xrt / 200.0, 3),
-        "extra": extra,
-    }))
+    global _FINISHED
+    _FINISHED = True
+    extra.pop("provisional", None)
+    _publish(xrt)
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BaseException as e:  # noqa: BLE001 - the record must survive
+        if not isinstance(e, SystemExit):
+            _RECORD.setdefault("extra", {})["partial"] = f"exception: {e!r}"
+            _print_record()
+        raise

@@ -83,24 +83,50 @@ def lstm_recurrence_scan(gates_x, w_hh, *, unroll: int = 8, carry=None,
 
 
 @jax.custom_vjp
-def lstm_recurrence_fast(gates_x, w_hh):
-    """Pallas forward; scan-derived backward."""
+def lstm_recurrence_fast(gates_x, w_hh, h0, c0):
+    """Pallas forward (with carry I/O); scan-derived backward."""
     from .pallas.lstm import lstm_recurrence_pallas
 
-    return lstm_recurrence_pallas(gates_x, w_hh)
+    out, (hf, cf) = lstm_recurrence_pallas(gates_x, w_hh, (h0, c0))
+    return out, hf, cf
 
 
-def _fast_fwd(gates_x, w_hh):
-    return lstm_recurrence_fast(gates_x, w_hh), (gates_x, w_hh)
+def _fast_fwd(gates_x, w_hh, h0, c0):
+    return (lstm_recurrence_fast(gates_x, w_hh, h0, c0),
+            (gates_x, w_hh, h0, c0))
 
 
 def _fast_bwd(residuals, g):
-    gates_x, w_hh = residuals
-    _, vjp = jax.vjp(lambda gx, w: lstm_recurrence_scan(gx, w), gates_x, w_hh)
+    gates_x, w_hh, h0, c0 = residuals
+
+    def f(gx, w, h, c):
+        out, (hf, cf) = lstm_recurrence_scan(gx, w, carry=(h, c),
+                                             return_carry=True)
+        return out, hf, cf
+
+    _, vjp = jax.vjp(f, gates_x, w_hh, h0, c0)
     return vjp(g)
 
 
 lstm_recurrence_fast.defvjp(_fast_fwd, _fast_bwd)
+
+
+# 'auto' resolves here. The scan is the measured winner in BOTH production
+# regimes (batch inference AND streaming carry — see lstm() and
+# ops/pallas/lstm.py docstrings); ablation scripts flip this to re-run the
+# A/B without threading an impl kwarg through every model/pipeline layer.
+_DEFAULT_IMPL = "scan"
+
+
+def set_default_impl(impl: str) -> str:
+    """Set what impl='auto' resolves to ('scan' | 'pallas'); returns the
+    previous value. Ablation hook (scripts/profile_streaming_ablate.py) —
+    production code leaves this alone."""
+    global _DEFAULT_IMPL
+    if impl not in ("scan", "pallas"):
+        raise ValueError(f"impl must be scan|pallas, got {impl!r}")
+    prev, _DEFAULT_IMPL = _DEFAULT_IMPL, impl
+    return prev
 
 
 def lstm(x, params, *, unroll: int = 8, impl: str = "auto", carry=None,
@@ -108,13 +134,16 @@ def lstm(x, params, *, unroll: int = 8, impl: str = "auto", carry=None,
     """Run a single-layer unidirectional LSTM over [B, T, C] -> [B, T, H].
 
     Initial hidden/cell state is zero (the reference passes no state across
-    chunks — stereo_separator.py:107).
+    chunks — stereo_separator.py:107) unless `carry` supplies one.
 
-    impl: 'auto', 'pallas', 'scan'. Measured on v5e at the production shape
-    [60, 88200, 128]: pallas 117 ms vs scan 106 ms — the recurrence is
-    latency-bound on the dependent h@W_hh chain, not on loop overhead, so
-    'auto' resolves to the scan (which also compiles ~200x faster); the
-    kernel remains selectable for future tuning.
+    impl: 'auto', 'pallas', 'scan'. Measured on v5e in both regimes —
+    batch inference at the production shape [60, 88200, 128]: pallas
+    117 ms vs scan 106 ms; streaming carry (batch-16 1-s blocks): pallas
+    40.0 ms vs scan 37.5 ms per feed — the recurrence is latency-bound on
+    the dependent h@W_hh chain, not on loop overhead, so 'auto' resolves
+    to the scan (which also compiles ~200x faster); the kernel remains
+    selectable and now supports carry I/O, so every path (including
+    streaming) runs under either impl.
     """
     bias = params["b_ih"] + params["b_hh"]
     # Input projection for the whole sequence: one MXU-sized matmul, emitted
@@ -133,18 +162,19 @@ def lstm(x, params, *, unroll: int = 8, impl: str = "auto", carry=None,
     if impl not in ("auto", "pallas", "scan"):
         raise ValueError(f"impl must be auto|pallas|scan, got {impl!r}")
     if impl == "auto":
-        impl = "scan"
-    if impl == "pallas" and (carry is not None or return_carry):
-        # the kernel has no carry I/O: falling through to the scan
-        # SILENTLY would make an A/B 'measure' pallas while running scan
-        import warnings
-
-        warnings.warn("impl='pallas' does not support carry/return_carry; "
-                      "running the scan implementation")
-        impl = "scan"
+        impl = _DEFAULT_IMPL
     if impl == "pallas":
-        return lstm_recurrence_fast(gates_tm.swapaxes(0, 1),
-                                    w_hh).astype(x.dtype)
+        b = x.shape[0]
+        h_dim = w_hh.shape[0]
+        h0, c0 = carry if carry is not None else (
+            jnp.zeros((b, h_dim), x.dtype), jnp.zeros((b, h_dim), x.dtype))
+        out, hf, cf = lstm_recurrence_fast(
+            gates_tm.swapaxes(0, 1), w_hh,
+            h0.astype(jnp.float32), c0.astype(jnp.float32))
+        out = out.astype(x.dtype)
+        if return_carry:
+            return out, (hf.astype(x.dtype), cf.astype(x.dtype))
+        return out
     return lstm_recurrence_scan(gates_tm, w_hh, unroll=unroll, carry=carry,
                                 return_carry=return_carry, time_major=True)
 

@@ -1,16 +1,21 @@
 #!/usr/bin/env python
-"""Device-time A/B of the STREAMING step's grouped dual decoder.
+"""Device-time A/B of the STREAMING step's contested levers.
 
 Measured 2026-08-18 (TPU v5e, batch 16 x 1-s blocks): grouped 40.0 ms vs
 ungrouped 37.24 ms device per feed — the plain-layout grouped decoder LOSES
 ~7% in the streaming regime too, which is why streaming.py ships the legacy
 two-stack decode (docs/PERFORMANCE.md "Grouped dual decoders"). Configs:
 
-  stream_ungrouped — StreamingRestorer(packed=True), the production path:
-                     legacy two-stack decode
-  stream_grouped   — same, with the decode monkeypatched to
-                     stereo_separator.decode_grouped (denoiser/SR stay
-                     packed, so decoder grouping is the ONLY difference)
+  stream_ungrouped   — StreamingRestorer(packed=True), the production path:
+                       legacy two-stack decode
+  stream_grouped     — same, with the decode monkeypatched to
+                       stereo_separator.decode_grouped (denoiser/SR stay
+                       packed, so decoder grouping is the ONLY difference)
+  stream_lstm_scan   — explicit lax.scan LSTM recurrence (the default)
+  stream_lstm_pallas — the Pallas kernel WITH carry I/O (ops/pallas/lstm.py)
+                       in the streaming regime it previously could not run:
+                       per-block scan re-entry overhead was the hypothesis
+                       the kernel could beat (VERDICT r03 item 8)
 
 Usage: python scripts/profile_streaming_ablate.py [batch] [block_seconds]
 Prints one JSON line per config with per-feed device ms (xplane module
@@ -53,15 +58,21 @@ def main(argv=None):
     blocks = [(rng.normal(size=(batch, n)) * 0.1).astype(np.float32)
               for _ in range(4)]
 
+    from ml_audio_restoration_tpu.ops import lstm as lstm_mod
+
     grouped_decode = stereo_separator.decode_grouped
 
-    for name in ("stream_ungrouped", "stream_grouped"):
+    for name in ("stream_ungrouped", "stream_grouped",
+                 "stream_lstm_scan", "stream_lstm_pallas"):
         saved = None
+        prev_impl = None
         if name == "stream_grouped":
             # force the grouped decoder through the production call site
             stereo_separator.decode, saved = (
                 lambda p, s, h: (grouped_decode(p, s, h), s),
                 stereo_separator.decode)
+        elif name.startswith("stream_lstm_"):
+            prev_impl = lstm_mod.set_default_impl(name.rsplit("_", 1)[1])
         try:
             s = StreamingRestorer(**stages, batch=batch)
             for b in blocks[:3]:          # compile + warm steady state
@@ -85,6 +96,8 @@ def main(argv=None):
         finally:
             if saved is not None:
                 stereo_separator.decode = saved
+            if prev_impl is not None:
+                lstm_mod.set_default_impl(prev_impl)
     return 0
 
 

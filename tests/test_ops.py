@@ -260,8 +260,32 @@ class TestPallasLSTM:
         gates = jnp.asarray(
             rng.normal(size=(3, 300, 32)).astype(np.float32) * 0.3)
         w_hh = jnp.asarray(rng.normal(size=(8, 32)).astype(np.float32) * 0.2)
+        want, (wh, wc) = lstm_recurrence_scan(gates, w_hh, return_carry=True)
+        got, (gh, gc) = lstm_recurrence_pallas(gates, w_hh, block_t=64,
+                                               interpret=True)
+        np.testing.assert_allclose(_np(got), _np(want), atol=1e-6)
+        # the final carry is captured at the TRUE step 299, not the padded
+        # step 319 (zero-gate padding keeps advancing the recurrence)
+        np.testing.assert_allclose(_np(gh), _np(wh), atol=1e-6)
+        np.testing.assert_allclose(_np(gc), _np(wc), atol=1e-6)
+
+    def test_carry_io_block_continuity(self, rng):
+        """Feeding a sequence in two halves with threaded carry must equal
+        the single-shot run — the streaming engine's exactness contract
+        (pipeline/streaming.py) under the kernel impl."""
+        from ml_audio_restoration_tpu.ops.lstm import lstm_recurrence_scan
+        from ml_audio_restoration_tpu.ops.pallas.lstm import (
+            lstm_recurrence_pallas)
+
+        gates = jnp.asarray(
+            rng.normal(size=(2, 200, 32)).astype(np.float32) * 0.3)
+        w_hh = jnp.asarray(rng.normal(size=(8, 32)).astype(np.float32) * 0.2)
         want = lstm_recurrence_scan(gates, w_hh)
-        got = lstm_recurrence_pallas(gates, w_hh, block_t=64, interpret=True)
+        a, ca = lstm_recurrence_pallas(gates[:, :90], w_hh, block_t=64,
+                                       interpret=True)
+        b, _ = lstm_recurrence_pallas(gates[:, 90:], w_hh, ca, block_t=64,
+                                      interpret=True)
+        got = jnp.concatenate([a, b], axis=1)
         np.testing.assert_allclose(_np(got), _np(want), atol=1e-6)
 
     def test_scan_impl_grads_flow(self, rng):
