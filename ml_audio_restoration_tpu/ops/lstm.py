@@ -111,10 +111,11 @@ def _fast_bwd(residuals, g):
 lstm_recurrence_fast.defvjp(_fast_fwd, _fast_bwd)
 
 
-# 'auto' resolves here. The scan is the measured winner in BOTH production
-# regimes (batch inference AND streaming carry — see lstm() and
-# ops/pallas/lstm.py docstrings); ablation scripts flip this to re-run the
-# A/B without threading an impl kwarg through every model/pipeline layer.
+# 'auto' resolves here. The scan wins batch inference (the models' apply
+# paths); the STREAMING engine passes impl='pallas' explicitly on TPU
+# where the kernel wins 26% (see lstm() and ops/pallas/lstm.py
+# docstrings). Ablation scripts flip this to re-run the A/B without
+# threading an impl kwarg through every model/pipeline layer.
 _DEFAULT_IMPL = "scan"
 
 
@@ -136,14 +137,14 @@ def lstm(x, params, *, unroll: int = 8, impl: str = "auto", carry=None,
     Initial hidden/cell state is zero (the reference passes no state across
     chunks — stereo_separator.py:107) unless `carry` supplies one.
 
-    impl: 'auto', 'pallas', 'scan'. Measured on v5e in both regimes —
-    batch inference at the production shape [60, 88200, 128]: pallas
-    117 ms vs scan 106 ms; streaming carry (batch-16 1-s blocks): pallas
-    40.0 ms vs scan 37.5 ms per feed — the recurrence is latency-bound on
-    the dependent h@W_hh chain, not on loop overhead, so 'auto' resolves
-    to the scan (which also compiles ~200x faster); the kernel remains
-    selectable and now supports carry I/O, so every path (including
-    streaming) runs under either impl.
+    impl: 'auto', 'pallas', 'scan'. Measured on v5e: batch inference at
+    the production shape [60, 88200, 128] has pallas 117 ms vs scan
+    106 ms (latency-bound on the dependent h@W_hh chain; scan entry cost
+    amortizes over 88k steps), so 'auto' resolves to the scan — which
+    also compiles ~200x faster. In the STREAMING carry regime the kernel
+    WINS (29.55 vs 37.23 ms per batch-16 1-s feed, +26%) and
+    StreamingRestorer selects it explicitly on TPU
+    (docs/PERFORMANCE.md "Pallas LSTM in the streaming regime").
     """
     bias = params["b_ih"] + params["b_hh"]
     # Input projection for the whole sequence: one MXU-sized matmul, emitted

@@ -20,12 +20,17 @@ measured on v5e) on a recurrence whose per-step math is tiny
 
 Selectable via ops.lstm.lstm(impl='pallas'); the scan path is the
 CPU/autodiff/default path (bit-compatible gate order i,f,g,o). Measured
-v5e A/Bs — batch inference [60, 88200, 128]: pallas 117 ms vs scan 106 ms;
-streaming carry regime (batch-16 1-s blocks, the hypothesis that per-block
-scan re-entry overhead could favor the kernel): pallas 40.0 ms vs scan
-37.5 ms device per feed (scripts/profile_streaming_ablate.py --lstm-impl).
-The recurrence is latency-bound on the dependent h@W_hh chain in both
-regimes, so 'auto' resolves to the scan everywhere.
+v5e A/Bs (scripts/profile_streaming_ablate.py, 2026-08-20):
+- batch inference [60, 88200, 128]: pallas 117 ms vs scan 106 ms — the
+  recurrence is latency-bound; the scan's entry cost amortizes over 88k
+  steps, so 'auto' stays scan there;
+- STREAMING carry regime (batch-16 1-s blocks): pallas 29.55 ms vs scan
+  37.23 ms device per feed (+26%, 541 vs 429 realtime streams),
+  bit-identical output — the per-feed scan re-entry cost does NOT
+  amortize over ~2.7k steps, and the kernel's VMEM-resident carry makes
+  block re-entry free. ADOPTED: StreamingRestorer auto-selects this
+  kernel on TPU (pipeline/streaming.py, docs/PERFORMANCE.md "Pallas LSTM
+  in the streaming regime").
 """
 from __future__ import annotations
 

@@ -69,7 +69,8 @@ class StreamingRestorer:
                  source_rate: bool = False,
                  quantize_int8: bool = False,
                  int8_scales=None,
-                 mesh=None):
+                 mesh=None,
+                 lstm_impl: Optional[str] = None):
         """context/lookahead in input-rate samples; both must exceed the conv
         receptive field (~400 samples for the default models). batch = number
         of concurrent lockstep streams. mid_exact mirrors
@@ -99,7 +100,15 @@ class StreamingRestorer:
         batch across devices (batch must divide evenly); each feed then
         runs one SPMD step over all chips, outputs gathered to host. Per
         stream the computation is unchanged (streams are independent), so
-        sharded output bit-matches unsharded."""
+        sharded output bit-matches unsharded.
+        lstm_impl: 'pallas' | 'scan' | None (auto). The streaming regime is
+        the one place the Pallas LSTM kernel WINS: short per-block
+        sequences pay lax.scan re-entry overhead every feed, and the
+        carry-I/O kernel measured 29.6 vs 37.2 ms device per batch-16 1-s
+        feed (+26%, 541 vs 429 realtime streams; bit-identical output —
+        scripts/profile_streaming_ablate.py, 2026-08-20). Auto selects the
+        kernel on TPU backends and the scan elsewhere (the kernel needs
+        Mosaic; batch inference stays scan per the same measurement)."""
         self.denoiser = denoiser
         self.super_resolution = super_resolution
         self.stereo = stereo
@@ -108,6 +117,18 @@ class StreamingRestorer:
         self.packed = bool(packed)
         self.source_rate = bool(source_rate)
         self.quantize_int8 = bool(quantize_int8)
+        if lstm_impl not in (None, "pallas", "scan"):
+            raise ValueError(
+                f"lstm_impl must be pallas|scan|None, got {lstm_impl!r}")
+        if lstm_impl is None:
+            import jax
+
+            # kernel on TPU (the measured streaming win), scan elsewhere
+            # (Mosaic-only; CPU tests and the virtual-device dryrun take
+            # the bit-compatible scan)
+            lstm_impl = ("pallas" if jax.devices()[0].platform == "tpu"
+                         else "scan")
+        self.lstm_impl = lstm_impl
         self._int8_scales = None
         self._int8_version = 0
         self._int8_ready = False  # gates not yet run on a drained window
@@ -244,7 +265,7 @@ class StreamingRestorer:
             new_feats = feats[:, ctx * g:(ctx + n) * g, :]
             lstm_out, new_carries = stacked_lstm(
                 new_feats, st[0]["lstm"], carries=carries,
-                return_carries=True)
+                return_carries=True, impl=self.lstm_impl)
             # Decoders are centered convs: they need LSTM outputs on BOTH
             # sides of the emitted region. Left side comes from the carried
             # decoder-history buffer; right side from a speculative LSTM run
@@ -252,7 +273,8 @@ class StreamingRestorer:
             # frames will be consumed for real next block).
             future_feats = feats[:, (ctx + n) * g:, :]
             lstm_future = stacked_lstm(future_feats, st[0]["lstm"],
-                                       carries=new_carries)
+                                       carries=new_carries,
+                                       impl=self.lstm_impl)
             dec_hist = carries[-1]  # [1, ctx*g, H]
             dec_in = jnp.concatenate([dec_hist, lstm_out, lstm_future],
                                      axis=1)

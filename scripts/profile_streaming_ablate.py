@@ -58,7 +58,13 @@ def main(argv=None):
     blocks = [(rng.normal(size=(batch, n)) * 0.1).astype(np.float32)
               for _ in range(4)]
 
-    from ml_audio_restoration_tpu.ops import lstm as lstm_mod
+    # NOTE: ops/__init__ re-exports the lstm FUNCTION under the same name
+    # as the submodule, shadowing it even for `import pkg.ops.lstm as m`
+    # (the as-binding reads the parent attribute) — importlib returns the
+    # actual module
+    import importlib
+
+    lstm_mod = importlib.import_module("ml_audio_restoration_tpu.ops.lstm")
 
     grouped_decode = stereo_separator.decode_grouped
 

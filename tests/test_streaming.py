@@ -340,3 +340,20 @@ def test_feed_rejects_wrong_shapes_batch_one(stages):
         s.feed(np.zeros((2, 512, 1), np.float32))
     out = s.feed(np.zeros(1024, np.float32))  # 1-D still fine
     assert out.shape[0] >= 1
+
+
+def test_lstm_impl_auto_resolves_by_backend(stages):
+    """lstm_impl=None picks the Pallas kernel only on TPU backends (the
+    measured +26% streaming win, docs/PERFORMANCE.md "Pallas LSTM in the
+    streaming regime") and the scan on CPU; an explicit impl is honored and
+    an unknown one rejected. On-TPU output equality pallas-vs-scan is
+    pinned on the real backend (bit-identical, 2026-08-20) — here the CPU
+    resolution plus the interpret-mode kernel tests cover the contract."""
+    s = StreamingRestorer(**stages, batch=2)
+    assert s.lstm_impl == "scan"  # tests always run on the CPU backend
+    s2 = StreamingRestorer(**stages, batch=2, lstm_impl="scan")
+    assert s2.lstm_impl == "scan"
+    out = s2.feed(np.zeros((2, 4096), np.float32))
+    assert out.shape[0] == 2
+    with pytest.raises(ValueError, match="lstm_impl"):
+        StreamingRestorer(**stages, lstm_impl="cudnn")
