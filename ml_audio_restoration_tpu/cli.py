@@ -183,6 +183,10 @@ def _add_stream(sub):
                         "PCM in this format from stdin, write restored "
                         "interleaved PCM to stdout (headerless, at "
                         "sample-rate x upscale); status goes to stderr")
+    p.add_argument("--lstm-impl", choices=["pallas", "scan"], default=None,
+                   help="LSTM recurrence implementation (default: the "
+                        "Pallas kernel on TPU — measured +26%% per feed — "
+                        "and the scan elsewhere)")
     return p
 
 
@@ -303,7 +307,7 @@ def _cmd_stream(args):
         int8_scales=(args.int8_scales
                      if args.int8_scales and os.path.exists(args.int8_scales)
                      else None),
-        mesh=mesh)
+        mesh=mesh, lstm_impl=args.lstm_impl)
     block = max(1, int(round(args.block_seconds * args.sample_rate)))
     if pipe:
         rc = _stream_pipe(args, restorer, block)
@@ -359,6 +363,10 @@ def _add_serve(sub):
     p.add_argument("--stream-slots", type=int, default=16,
                    help="concurrent stream connections (the batched "
                         "restorer's lockstep batch size)")
+    p.add_argument("--lstm-impl", choices=["pallas", "scan"], default=None,
+                   help="streaming LSTM implementation (default: the "
+                        "Pallas kernel on TPU — measured +26%% per feed — "
+                        "and the scan elsewhere)")
     p.add_argument("--block-seconds", type=float, default=0.5,
                    help="stream block clock (output latency ~ block + "
                         "lookahead)")
@@ -489,7 +497,7 @@ def _cmd_serve(args):
             quantize_int8=args.int8,
             int8_scales=(args.int8_scales if args.int8_scales
                          and os.path.exists(args.int8_scales) else None),
-            mesh=mesh)
+            mesh=mesh, lstm_impl=args.lstm_impl)
         block = max(1, int(round(args.block_seconds * config.sample_rate)))
         if args.warmup:
             sinfo = restorer.warmup(block)

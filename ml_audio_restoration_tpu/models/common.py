@@ -65,13 +65,24 @@ def fold_conv_bn(conv_p, bn_p, bn_s, eps: float = 1e-5):
     conv(x, w, b) then BN == conv(x, w*g, (b-mean)*g + beta) with
     g = scale*rsqrt(var+eps). The transform touches only the (tiny) weights,
     eliminating a full elementwise pass over the activation tensor — on TPU
-    that pass is pure HBM traffic the conv epilogue doesn't need."""
+    that pass is pure HBM traffic the conv epilogue doesn't need.
+
+    Dtype contract: the fold is computed in f32 (it involves rsqrt over
+    running variances) and the result is cast to the CONV WEIGHT's dtype,
+    so bf16-cast params + f32 BN state — the Trainer's AMP eval path, which
+    casts params but keeps model_state in f32 — fold to bf16 weights
+    instead of silently promoting to f32 and crashing the conv on mixed
+    dtypes. (The serving pipeline casts params AND state together, which
+    already agreed; computing in f32 only tightens that path.)"""
     import jax.numpy as jnp
     from jax import lax
 
-    g = bn_p["scale"] * lax.rsqrt(bn_s["var"] + eps)
-    w = conv_p["w"] * g  # [k, in, out] * [out]
-    b = (conv_p["b"] - bn_s["mean"]) * g + bn_p["bias"]
+    w_dtype = conv_p["w"].dtype
+    f32 = jnp.float32
+    g = bn_p["scale"].astype(f32) * lax.rsqrt(bn_s["var"].astype(f32) + eps)
+    w = (conv_p["w"].astype(f32) * g).astype(w_dtype)  # [k, in, out] * [out]
+    b = ((conv_p["b"].astype(f32) - bn_s["mean"].astype(f32)) * g
+         + bn_p["bias"].astype(f32)).astype(w_dtype)
     return w, b
 
 

@@ -213,6 +213,32 @@ def test_bf16_compute_training_step():
     assert leaf.dtype == jnp.float32
 
 
+@pytest.mark.parametrize("model_name,module,ds", [
+    ("denoiser", denoiser, lambda: ToyDataset(n=8)),
+    ("stereo_separator", stereo_separator,
+     lambda: ToyDataset(n=8, key="stereo", ch=2, chunk=1024)),
+])
+def test_bf16_validation_runs(model_name, module, ds):
+    """Regression (round 4): compute_dtype='bfloat16' WITH a val_loader.
+    The eval path folds BN into the conv weights (fold_conv_bn); with
+    bf16-cast params against f32 BN running stats the fold silently
+    promoted the folded weights to f32 and the conv crashed on mixed
+    dtypes — bf16 training with validation (e.g. the stereo fast-train
+    preset on real data) was unusable. fold_conv_bn now computes in f32
+    and emits at the conv weight's dtype."""
+    dataset = ds()
+    if model_name == "stereo_separator":
+        dataset.pairing = "mono_target_stereo"
+    params, state = module.init(jax.random.PRNGKey(0))
+    cfg = TrainConfig(model=model_name, compute_dtype="bfloat16")
+    tr = Trainer(model_name, params, state,
+                 DataLoader(dataset, batch_size=4, num_workers=1, seed=0),
+                 DataLoader(dataset, batch_size=4, num_workers=1, seed=1),
+                 config=cfg, artifact_config=_quiet_artifacts())
+    assert np.isfinite(tr.train_epoch(jax.random.PRNGKey(1)))
+    assert np.isfinite(tr.validate(jax.random.PRNGKey(2)))
+
+
 # ------------------------------------------------------------- multi-host
 # Multi-host correctness is simulated by injecting process index/count:
 # the real jax.distributed path differs only in where those numbers come
