@@ -82,20 +82,31 @@ def main(argv=None):
         cfg_path.write_text(yaml.safe_dump(overlay))
 
         jsonl = log_dir / "stereo_separator" / "stereo_separator.jsonl"
+
+        def epochs_done() -> int:
+            # the jsonl FILE exists from trainer setup (before the compile
+            # epoch finishes) — only a logged epoch_duration proves a
+            # completed epoch, so the budget clock keys on that
+            if not jsonl.exists():
+                return 0
+            return sum(1 for line in jsonl.read_text().splitlines()
+                       if '"Time/epoch_duration"' in line)
+
         proc = subprocess.Popen(
             [sys.executable, "-m", "ml_audio_restoration_tpu.cli", "train",
              "stereo_separator", "--config", str(cfg_path)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
         t_spawn = time.monotonic()
-        # budget clock starts at the first logged epoch (compile excluded)
-        while not jsonl.exists():
+        # budget clock starts at the first COMPLETED epoch (the one-time
+        # remote compile is excluded from both arms)
+        while epochs_done() == 0:
             if proc.poll() is not None:
                 out = proc.stdout.read()
                 raise SystemExit(f"{arm}: trainer died before first epoch:\n"
                                  f"{out[-3000:]}")
-            if time.monotonic() - t_spawn > 1200:
+            if time.monotonic() - t_spawn > 1500:
                 proc.kill()
-                raise SystemExit(f"{arm}: no epoch after 1200 s (compile "
+                raise SystemExit(f"{arm}: no epoch after 1500 s (compile "
                                  "stuck or relay outage)")
             time.sleep(2.0)
         t0 = time.monotonic()
@@ -107,8 +118,7 @@ def main(argv=None):
                 proc.wait(timeout=900)  # interrupt ckpt + final validation
             except subprocess.TimeoutExpired:
                 proc.kill()
-        epochs = sum(1 for line in jsonl.read_text().splitlines()
-                     if '"train_loss"' in line or '"loss"' in line)
+        epochs = epochs_done()
 
         ckpts = sorted(ckpt_dir.rglob("*.msgpack"),
                        key=lambda p: p.stat().st_mtime)
