@@ -470,6 +470,15 @@ def main():
             return False
         return True
 
+    def record_error(label, e):
+        # one extra failing (a compile error on an exotic shape, a relay
+        # hiccup) must cost ONLY that extra, never the rest of the record —
+        # the round-3 lesson generalized: rc=124 lost a whole round's
+        # record; an uncaught per-extra exception would lose the tail
+        skipped.append(f"error at {label}: {type(e).__name__}: "
+                       f"{str(e)[:160]}")
+        _publish()
+
     for name, kwargs in [
         ("denoise_only", dict(denoiser=stages["denoiser"])),
         ("super_res_only", dict(super_resolution=stages["super_resolution"])),
@@ -477,16 +486,20 @@ def main():
     ]:
         if not budget_ok(name):
             continue  # not break: every skipped label must be RECORDED
-        pipe = RestorationPipeline(**kwargs, config=cfg)
-        xrt, basis = measure_pipeline(pipe)
-        extra[f"{name}_xrt"] = round(xrt, 1)
-        bases[f"{name}_xrt"] = basis
+        try:
+            pipe = RestorationPipeline(**kwargs, config=cfg)
+            xrt, basis = measure_pipeline(pipe)
+            extra[f"{name}_xrt"] = round(xrt, 1)
+            bases[f"{name}_xrt"] = basis
+        except RuntimeError as e:
+            record_error(name, e)
     _publish()
 
     # bf16 serving mode: measured max deviation vs f32 is ~1.5e-4 end-to-end,
     # well inside the <=1e-3 parity bar, so it is a valid headline config
     bf16_dev, w16 = 1.0, float("inf")
     if budget_ok("bf16_full_pipeline_xrt"):
+      try:
         bf16_cfg = dataclasses.replace(cfg, compute_dtype="bfloat16")
         bf16 = RestorationPipeline(**stages, config=bf16_cfg)
         # skip the wall window when the headline will be device-basis
@@ -513,6 +526,8 @@ def main():
                 seconds / (dev16_ms / 1e3), 1)
         except RuntimeError:
             pass  # CPU backend
+      except RuntimeError as e:
+        record_error("bf16_full_pipeline_xrt", e)
     # provisional upgrade: a parity-satisfying bf16 wall win is the usual
     # final headline — reflect it in the kill-time record immediately
     _publish(seconds / w16 if (bf16_dev <= 1e-3 and w16 < wall) else None)
@@ -521,39 +536,51 @@ def main():
     # LSTM steps; quality-free on a trained model per the PERFORMANCE.md
     # sweep — identical eval metrics, <=0.011 deviation vs full windows)
     if budget_ok("stereo_subchunk_xrt"):
-        fast_cfg = dataclasses.replace(cfg, stereo_chunk_seconds=0.25)
-        fast = RestorationPipeline(**stages, config=fast_cfg)
-        xrt, basis = measure_pipeline(fast)
-        extra["stereo_subchunk_xrt"] = round(xrt, 1)
-        bases["stereo_subchunk_xrt"] = basis
+        try:
+            fast_cfg = dataclasses.replace(cfg, stereo_chunk_seconds=0.25)
+            fast = RestorationPipeline(**stages, config=fast_cfg)
+            xrt, basis = measure_pipeline(fast)
+            extra["stereo_subchunk_xrt"] = round(xrt, 1)
+            bases["stereo_subchunk_xrt"] = basis
+        except RuntimeError as e:
+            record_error("stereo_subchunk_xrt", e)
 
     # the config/fast_serve.yaml preset (bf16 + 0.25 s stereo windows +
     # packed convs) and its int8 variant (config/fast_serve_int8.yaml —
     # quantized conv stacks, packed scope; auto-calibrates on the warmup
     # call). Quality-neutral on trained checkpoints per docs/RESULTS.md.
+    fs_cfg = dataclasses.replace(cfg, compute_dtype="bfloat16",
+                                 stereo_chunk_seconds=0.25)
     if budget_ok("fast_serve_xrt"):
-        fs_cfg = dataclasses.replace(cfg, compute_dtype="bfloat16",
-                                     stereo_chunk_seconds=0.25)
-        fs = RestorationPipeline(**stages, config=fs_cfg)
-        xrt, basis = measure_pipeline(fs)
-        extra["fast_serve_xrt"] = round(xrt, 1)
-        bases["fast_serve_xrt"] = basis
+        try:
+            fs = RestorationPipeline(**stages, config=fs_cfg)
+            xrt, basis = measure_pipeline(fs)
+            extra["fast_serve_xrt"] = round(xrt, 1)
+            bases["fast_serve_xrt"] = basis
+        except RuntimeError as e:
+            record_error("fast_serve_xrt", e)
     if budget_ok("fast_serve_int8_xrt"):
-        q_cfg = dataclasses.replace(fs_cfg, quantize_int8=True)
-        qp = RestorationPipeline(**stages, config=q_cfg)
-        xrt, basis = measure_pipeline(qp)
-        extra["fast_serve_int8_xrt"] = round(xrt, 1)
-        bases["fast_serve_int8_xrt"] = basis
+        try:
+            q_cfg = dataclasses.replace(fs_cfg, quantize_int8=True)
+            qp = RestorationPipeline(**stages, config=q_cfg)
+            xrt, basis = measure_pipeline(qp)
+            extra["fast_serve_int8_xrt"] = round(xrt, 1)
+            bases["fast_serve_int8_xrt"] = basis
+        except RuntimeError as e:
+            record_error("fast_serve_int8_xrt", e)
 
     # source-rate stereo (config/fast_serve_src.yaml): the side is
     # predicted at the pre-SR rate — half the LSTM steps, measured 1708x
     # device-side (docs/PERFORMANCE.md "Source-rate stereo")
     if budget_ok("fast_serve_src_xrt"):
-        src_cfg = dataclasses.replace(fs_cfg, stereo_source_rate=True)
-        sp = RestorationPipeline(**stages, config=src_cfg)
-        xrt, basis = measure_pipeline(sp)
-        extra["fast_serve_src_xrt"] = round(xrt, 1)
-        bases["fast_serve_src_xrt"] = basis
+        try:
+            src_cfg = dataclasses.replace(fs_cfg, stereo_source_rate=True)
+            sp = RestorationPipeline(**stages, config=src_cfg)
+            xrt, basis = measure_pipeline(sp)
+            extra["fast_serve_src_xrt"] = round(xrt, 1)
+            bases["fast_serve_src_xrt"] = basis
+        except RuntimeError as e:
+            record_error("fast_serve_src_xrt", e)
     _publish()
 
     # coalesced short-request serving (restore_many — the HTTP daemon's
@@ -603,7 +630,8 @@ def main():
 
             clip = encode_wav(req_audio[0][:, None], sr)
             srv = RestorationServer(full).start()
-            try:
+            try:  # noqa: SIM105
+              try:
                 # first request compiles the request-sized program (cached
                 # if the coalesce extra already ran it)
                 restore_over_http(srv.host, srv.port, clip, timeout=870)
@@ -618,6 +646,8 @@ def main():
                 extra["serve_latency_p99_ms"] = round(lats[-1], 1)
                 extra["serve_latency_requests"] = len(lats)
                 bases["serve_latency_p50_ms"] = "wall"
+              except (RuntimeError, OSError) as e:
+                record_error("serve_latency_p50_ms", e)
             finally:
                 srv.shutdown()
         else:
@@ -640,7 +670,10 @@ def main():
                      ("stereo_separator", "train_stereo_audio_sec_per_sec")]:
         if not budget_ok(tag):
             continue  # not break: every skipped label must be RECORDED
-        extra[tag], bases[tag] = _train_throughput(fam, basis_now())
+        try:
+            extra[tag], bases[tag] = _train_throughput(fam, basis_now())
+        except RuntimeError as e:
+            record_error(tag, e)
 
     # batch-16 train throughput, ALL THREE families (VERDICT r03 item 9 —
     # round 3 had the denoiser only): the honest fast-config number. The
@@ -654,17 +687,23 @@ def main():
     ]:
         if not budget_ok(tag):
             continue  # not break: every skipped label must be RECORDED
-        extra[tag], bases[tag] = _train_throughput(
-            fam, basis_now(), batch=16, steps=12)
+        try:
+            extra[tag], bases[tag] = _train_throughput(
+                fam, basis_now(), batch=16, steps=12)
+        except RuntimeError as e:
+            record_error(tag, e)
     _publish()
 
     # concurrent-stream serving: B live streams batched through one compiled
     # streaming step (pipeline/streaming.py)
     if budget_ok("streaming_streams_at_realtime"):
-        stream_stats, basis = _streaming_throughput(stages,
-                                                    basis=basis_now())
-        extra.update(stream_stats)
-        bases["streaming_streams_at_realtime"] = basis
+        try:
+            stream_stats, basis = _streaming_throughput(stages,
+                                                        basis=basis_now())
+            extra.update(stream_stats)
+            bases["streaming_streams_at_realtime"] = basis
+        except RuntimeError as e:
+            record_error("streaming_streams_at_realtime", e)
 
     # multi-file directory serving: decode(i+1) and write(i-1) are pipelined
     # around the device running file i (pipeline/restore.py
@@ -681,12 +720,15 @@ def main():
         for i in range(n_files):
             save_audio(ddir / "in" / f"f{i}.wav", _make_audio(seconds, sr),
                        sr)
-        t0 = time.perf_counter()
-        full.restore_directory(ddir / "in", ddir / "out")
-        w = time.perf_counter() - t0
-        extra["directory_serve_xrt"] = round(n_files * seconds / w, 1)
-        extra["directory_files"] = n_files
-        bases["directory_serve_xrt"] = "wall"
+        try:
+            t0 = time.perf_counter()
+            full.restore_directory(ddir / "in", ddir / "out")
+            w = time.perf_counter() - t0
+            extra["directory_serve_xrt"] = round(n_files * seconds / w, 1)
+            extra["directory_files"] = n_files
+            bases["directory_serve_xrt"] = "wall"
+        except RuntimeError as e:
+            record_error("directory_serve_xrt", e)
 
     # re-measure at the end: the shared dev relay drifts by >50% between
     # minutes, so the headline is the best parity-satisfying configuration

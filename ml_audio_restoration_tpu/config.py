@@ -173,6 +173,12 @@ class PipelineConfig:
     # in slabs of this many chunks (bounded HBM, one compile reused) and the
     # slab outputs crossfaded — bit-exact vs single-shot
     max_chunks_per_program: int = 64
+    # LSTM recurrence implementation for the stereo stage: None routes by
+    # backend — the fused Pallas kernel on TPU (measured round 4: +27%
+    # f32 full windows BIT-IDENTICAL to the scan, +13–17% on the bf16
+    # presets at ~2e-4 dev — docs/PERFORMANCE.md "Pallas LSTM in batch
+    # serving"), lax.scan elsewhere. 'scan'/'pallas' force one.
+    lstm_impl: Optional[str] = None
 
 
 @dataclass

@@ -117,10 +117,14 @@ def decode(params, state, h, train: bool = False,
 
 
 def apply(params, state, x, train: bool = False,
-          axis_name: str | None = None):
-    """x: [B, T, 1] -> ([B, T, 2], new_state). Channel order: (L, R)."""
+          axis_name: str | None = None, lstm_impl: str = "auto"):
+    """x: [B, T, 1] -> ([B, T, 2], new_state). Channel order: (L, R).
+
+    lstm_impl: recurrence implementation ('auto'|'scan'|'pallas') — the
+    serving pipeline routes to the Pallas kernel on TPU where it measured
+    faster (ops/lstm.py::lstm docstring); training keeps 'auto' (scan)."""
     h, new_state = encode(params, state, x, train, axis_name)
-    h = stacked_lstm(h, params["lstm"])  # [B, T, H] — already channels-last
+    h = stacked_lstm(h, params["lstm"], impl=lstm_impl)  # [B, T, H]
     stereo, (left_s, right_s) = decode(params, state, h, train, axis_name)
     new_state["left"], new_state["right"] = left_s, right_s
     return stereo, new_state
@@ -172,12 +176,12 @@ def decode_grouped(params, state, h):
                   jnp.concatenate([bfl, bfr]), padding=3, groups=2)
 
 
-def apply_grouped(params, state, x):
+def apply_grouped(params, state, x, lstm_impl: str = "auto"):
     """Eval-mode apply() with the grouped dual decoder (plain layout).
     x: [B, T, 1] -> [B, T, 2]. Ablation-only — see decode_grouped's
     measured-outcome note; production paths use apply()/apply_packed()."""
     h, _ = encode(params, state, x, train=False)
-    h = stacked_lstm(h, params["lstm"])
+    h = stacked_lstm(h, params["lstm"], impl=lstm_impl)
     return decode_grouped(params, state, h)
 
 
@@ -313,7 +317,8 @@ def _decoder_apply_packed(p, s, h, t, q=None, name: str = "dec"):
                  padding=3, t_in=t)
 
 
-def apply_packed(params, state, x, q=None, grouped: bool | None = None):
+def apply_packed(params, state, x, q=None, grouped: bool | None = None,
+                 lstm_impl: str = "auto"):
     """Eval-mode apply() with the packed encoder/decoder stages; the LSTM
     recurrence itself is untouched (it is latency-bound, not traffic-bound —
     docs/PERFORMANCE.md) and runs in the parameter dtype even under int8
@@ -335,7 +340,7 @@ def apply_packed(params, state, x, q=None, grouped: bool | None = None):
     t = x.shape[1]
     h = encode_packed(params, state, x, q=q)
     h = h.astype(params["lstm"][0]["w_hh"].dtype)
-    h = stacked_lstm(h, params["lstm"])
+    h = stacked_lstm(h, params["lstm"], impl=lstm_impl)
     if grouped:
         return _decoders_apply_packed_grouped(params, state, h, t, q=q)
     hq = q.quantize_in("lstm_out", h.astype(jnp.float32) if q.quantized

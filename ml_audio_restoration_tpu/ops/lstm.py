@@ -83,39 +83,47 @@ def lstm_recurrence_scan(gates_x, w_hh, *, unroll: int = 8, carry=None,
 
 
 @jax.custom_vjp
-def lstm_recurrence_fast(gates_x, w_hh, h0, c0):
-    """Pallas forward (with carry I/O); scan-derived backward."""
+def lstm_recurrence_fast(gates_tm, w_hh, h0, c0):
+    """Pallas forward (with carry I/O); scan-derived backward.
+
+    Takes TIME-MAJOR gates [T, B, 4H] — the projection's natural output —
+    so the kernel consumes them without a transpose pair."""
     from .pallas.lstm import lstm_recurrence_pallas
 
-    out, (hf, cf) = lstm_recurrence_pallas(gates_x, w_hh, (h0, c0))
+    out, (hf, cf) = lstm_recurrence_pallas(gates_tm, w_hh, (h0, c0),
+                                           time_major=True)
     return out, hf, cf
 
 
-def _fast_fwd(gates_x, w_hh, h0, c0):
-    return (lstm_recurrence_fast(gates_x, w_hh, h0, c0),
-            (gates_x, w_hh, h0, c0))
+def _fast_fwd(gates_tm, w_hh, h0, c0):
+    return (lstm_recurrence_fast(gates_tm, w_hh, h0, c0),
+            (gates_tm, w_hh, h0, c0))
 
 
 def _fast_bwd(residuals, g):
-    gates_x, w_hh, h0, c0 = residuals
+    gates_tm, w_hh, h0, c0 = residuals
 
     def f(gx, w, h, c):
         out, (hf, cf) = lstm_recurrence_scan(gx, w, carry=(h, c),
-                                             return_carry=True)
+                                             return_carry=True,
+                                             time_major=True)
         return out, hf, cf
 
-    _, vjp = jax.vjp(f, gates_x, w_hh, h0, c0)
+    _, vjp = jax.vjp(f, gates_tm, w_hh, h0, c0)
     return vjp(g)
 
 
 lstm_recurrence_fast.defvjp(_fast_fwd, _fast_bwd)
 
 
-# 'auto' resolves here. The scan wins batch inference (the models' apply
-# paths); the STREAMING engine passes impl='pallas' explicitly on TPU
-# where the kernel wins 26% (see lstm() and ops/pallas/lstm.py
-# docstrings). Ablation scripts flip this to re-run the A/B without
-# threading an impl kwarg through every model/pipeline layer.
+# 'auto' resolves here. The scan is the safe default (CPU-runnable,
+# and training must not take the kernel: its custom VJP recomputes the
+# scan forward, so kernel-under-grad pays BOTH forwards). Production
+# INFERENCE paths pass impl='pallas' explicitly on TPU, where the
+# round-4 kernel wins every measured serve regime (+13–30% device,
+# scripts/profile_serve_lstm_ablate.py) and streaming (+26%). Ablation
+# scripts flip this to re-run the A/Bs without threading an impl kwarg
+# through every model/pipeline layer.
 _DEFAULT_IMPL = "scan"
 
 
@@ -137,14 +145,15 @@ def lstm(x, params, *, unroll: int = 8, impl: str = "auto", carry=None,
     Initial hidden/cell state is zero (the reference passes no state across
     chunks — stereo_separator.py:107) unless `carry` supplies one.
 
-    impl: 'auto', 'pallas', 'scan'. Measured on v5e: batch inference at
-    the production shape [60, 88200, 128] has pallas 117 ms vs scan
-    106 ms (latency-bound on the dependent h@W_hh chain; scan entry cost
-    amortizes over 88k steps), so 'auto' resolves to the scan — which
-    also compiles ~200x faster. In the STREAMING carry regime the kernel
-    WINS (29.55 vs 37.23 ms per batch-16 1-s feed, +26%) and
-    StreamingRestorer selects it explicitly on TPU
-    (docs/PERFORMANCE.md "Pallas LSTM in the streaming regime").
+    impl: 'auto', 'pallas', 'scan'. Measured on v5e (round 4, after the
+    kernel gained native-dtype gate streaming + VMEM-budgeted blocks):
+    the kernel wins EVERY serve regime — full-window f32 +27%
+    bit-identical, full-window bf16 +30%, sub-chunked bf16 presets
+    +13–17% (scripts/profile_serve_lstm_ablate.py) — and streaming
+    +26%. The serving pipeline and StreamingRestorer select it
+    explicitly on TPU; 'auto' stays the scan (CPU backends, autodiff —
+    the custom VJP's backward recomputes the scan forward, so training
+    under the kernel would pay both forwards).
     """
     bias = params["b_ih"] + params["b_hh"]
     # Input projection for the whole sequence: one MXU-sized matmul, emitted
@@ -170,7 +179,7 @@ def lstm(x, params, *, unroll: int = 8, impl: str = "auto", carry=None,
         h0, c0 = carry if carry is not None else (
             jnp.zeros((b, h_dim), x.dtype), jnp.zeros((b, h_dim), x.dtype))
         out, hf, cf = lstm_recurrence_fast(
-            gates_tm.swapaxes(0, 1), w_hh,
+            gates_tm, w_hh,
             h0.astype(jnp.float32), c0.astype(jnp.float32))
         out = out.astype(x.dtype)
         if return_carry:

@@ -20,17 +20,27 @@ measured on v5e) on a recurrence whose per-step math is tiny
 
 Selectable via ops.lstm.lstm(impl='pallas'); the scan path is the
 CPU/autodiff/default path (bit-compatible gate order i,f,g,o). Measured
-v5e A/Bs (scripts/profile_streaming_ablate.py, 2026-08-20):
-- batch inference [60, 88200, 128]: pallas 117 ms vs scan 106 ms — the
-  recurrence is latency-bound; the scan's entry cost amortizes over 88k
-  steps, so 'auto' stays scan there;
-- STREAMING carry regime (batch-16 1-s blocks): pallas 29.55 ms vs scan
-  37.23 ms device per feed (+26%, 541 vs 429 realtime streams),
+v5e A/Bs:
+- STREAMING carry regime (batch-16 1-s blocks,
+  scripts/profile_streaming_ablate.py, 2026-08-20): pallas 29.55 ms vs
+  scan 37.23 ms device per feed (+26%, 541 vs 429 realtime streams),
   bit-identical output — the per-feed scan re-entry cost does NOT
   amortize over ~2.7k steps, and the kernel's VMEM-resident carry makes
   block re-entry free. ADOPTED: StreamingRestorer auto-selects this
-  kernel on TPU (pipeline/streaming.py, docs/PERFORMANCE.md "Pallas LSTM
-  in the streaming regime").
+  kernel on TPU (pipeline/streaming.py).
+- BATCH SERVING (scripts/profile_serve_lstm_ablate.py, 2026-08-20,
+  after native-dtype gate streaming + VMEM-budgeted block sizing): the
+  kernel wins every regime — packed f32 full windows 203.6 -> 160.8 ms
+  /120 s (+27%, max dev 0.0 — the scan's per-block XLA dispatch, gates
+  repack, and per-step fusion HBM round trips all disappear), packed
+  bf16 161.0 -> 124.3 (+30%), fast_serve 109.5 -> 93.3 (+17%),
+  fast_serve_src 70.2 -> 62.1 (+13%). ADOPTED: the serving pipeline
+  routes the stereo stage to the kernel on TPU at effective batch >= 8
+  (restore.py; whole-file batch-1 parity mode keeps the scan — the
+  kernel pads batch to 8, which would 8x the gates traffic).
+  (The round-3 tie at [60, 88200, 128] — 117 vs 106 ms — was the OLD
+  kernel, whose always-f32 staging materialized a second gates copy.)
+docs/PERFORMANCE.md "Pallas LSTM" sections hold the tables.
 """
 from __future__ import annotations
 
@@ -56,9 +66,13 @@ def _lstm_kernel(gx_ref, whh_ref, h0_ref, c0_ref, out_ref, hf_ref, cf_ref,
     base = pl.program_id(0) * block_t
 
     def step(t, _):
-        h = h_ref[:]
+        # state lives f32 in scratch; the h @ W_hh matmul runs at the
+        # GATES dtype (bf16 on the bf16 serve path — single-pass MXU,
+        # matching the scan path's own bf16 recurrence math) with f32
+        # accumulation
+        h = h_ref[:].astype(whh_ref.dtype)
         g = jnp.dot(h, whh_ref[:], preferred_element_type=jnp.float32)
-        g = g + gx_ref[t]
+        g = g + gx_ref[t].astype(jnp.float32)
         i = jax.nn.sigmoid(g[:, :hidden])
         f = jax.nn.sigmoid(g[:, hidden:2 * hidden])
         gg = jnp.tanh(g[:, 2 * hidden:3 * hidden])
@@ -67,7 +81,7 @@ def _lstm_kernel(gx_ref, whh_ref, h0_ref, c0_ref, out_ref, hf_ref, cf_ref,
         h = o * jnp.tanh(c)
         c_ref[:] = c
         h_ref[:] = h
-        out_ref[t] = h
+        out_ref[t] = h.astype(out_ref.dtype)
 
         # capture the carry at the TRUE last step: the grid is padded to a
         # block_t multiple, and the padded steps (zero gates) keep advancing
@@ -82,24 +96,59 @@ def _lstm_kernel(gx_ref, whh_ref, h0_ref, c0_ref, out_ref, hf_ref, cf_ref,
     jax.lax.fori_loop(0, block_t, step, 0)
 
 
-def lstm_recurrence_pallas(gates_x, w_hh, carry=None, *, block_t: int = 64,
-                           interpret: bool = False):
+def _auto_block_t(bp: int, g4: int, h_dim: int, itemsize: int) -> int:
+    """Largest block_t in {64, ..., 1} whose VMEM working set fits a ~8 MB
+    budget inside the ~16 MB scoped-VMEM limit. Accounted per grid step:
+    gates-in + out blocks (x2 — Pallas double-buffers grid blocks), plus
+    the resident w_hh / carry-in / scratch state (f32). At the streaming
+    shape (bp=16, f32) this picks 64 (the measured +26% config); at the
+    bf16 batch-640 serve shape it picks 8 (the measured serve-A/B
+    config); at the f32 batch-640 sub-chunked shape it reaches 4 —
+    block_t=8 there measured a 16.25 MB
+    scoped allocation against the 16 MB limit (bench 2026-08-20), which
+    is why the budget prices every buffer, not just the gates."""
+    budget = 8 * 1024 * 1024
+    resident = (h_dim * g4 + 6 * bp * h_dim) * 4  # w_hh + h0/c0/hf/cf/scratch
+    for bt in (64, 32, 16, 8, 4, 2, 1):
+        working = 2 * bt * bp * (g4 + h_dim) * itemsize + resident
+        if working <= budget or bt == 1:
+            return bt
+    return 1
+
+
+def lstm_recurrence_pallas(gates_x, w_hh, carry=None, *, block_t: int = 0,
+                           time_major: bool = False, interpret: bool = False):
     """Run the LSTM recurrence over precomputed gates.
 
-    gates_x: [B, T, 4H] (x @ W_ih + b already applied)
+    gates_x: [B, T, 4H] (x @ W_ih + b already applied), or [T, B, 4H] when
+      time_major=True — the projection emits time-major, so passing it
+      through directly avoids a pair of cancelling transposes
     w_hh: [H, 4H]
     carry: optional (h0, c0), each [B, H] (zeros when None)
+    block_t: grid block length in steps; 0 = auto-size to the VMEM budget
     -> ([B, T, H], (h_f, c_f)) — the state after the final true step
+
+    Dtype contract: gates stream through VMEM at THEIR dtype (bf16 gates =
+    half the HBM traffic of the old always-f32 staging, and exactly the
+    same values — the f32 upcast of a bf16 gate is lossless) and the output
+    is written at the gates dtype (the callers cast to it anyway). The
+    (h, c) state is f32 in VMEM scratch and f32 across carry I/O.
     """
-    b, t, g4 = gates_x.shape
+    if time_major:
+        t, b, g4 = gates_x.shape
+    else:
+        b, t, g4 = gates_x.shape
     h_dim = g4 // 4
     bp = _round_up(b, 8)
+    dtype = gates_x.dtype
+    if block_t <= 0:
+        block_t = _auto_block_t(bp, g4, h_dim, jnp.dtype(dtype).itemsize)
     tp = _round_up(t, block_t)
 
-    gx = jnp.transpose(gates_x, (1, 0, 2)).astype(jnp.float32)  # [T, B, 4H]
+    gx = gates_x if time_major else jnp.transpose(gates_x, (1, 0, 2))
     if bp != b or tp != t:
         gx = jnp.pad(gx, ((0, tp - t), (0, bp - b), (0, 0)))
-    w_hh = w_hh.astype(jnp.float32)
+    w_hh = w_hh.astype(dtype)
     if carry is None:
         h0 = jnp.zeros((bp, h_dim), jnp.float32)
         c0 = jnp.zeros((bp, h_dim), jnp.float32)
@@ -128,7 +177,7 @@ def lstm_recurrence_pallas(gates_x, w_hh, carry=None, *, block_t: int = 64,
             state_spec,
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((tp, bp, h_dim), jnp.float32),
+            jax.ShapeDtypeStruct((tp, bp, h_dim), dtype),
             jax.ShapeDtypeStruct((bp, h_dim), jnp.float32),
             jax.ShapeDtypeStruct((bp, h_dim), jnp.float32),
         ],

@@ -113,7 +113,7 @@ def stereo_sub_cfg(cfg: PipelineConfig, stage_len: int, f: int,
 
 
 def apply_stereo(st, x, sub_cfg, packed: bool = False, q=None,
-                 grouped: bool = False):
+                 grouped: bool = False, lstm_impl: str = "auto"):
     """Stereo stage over [N, T2, 1] -> [N, T2, 2], optionally re-framed into
     shorter internal LSTM windows with crossfade overlap-add (sub_cfg from
     stereo_sub_cfg; None = whole-window). `packed` routes the encoder/
@@ -129,14 +129,27 @@ def apply_stereo(st, x, sub_cfg, packed: bool = False, q=None,
     no production caller passes it; grouping pays only inside apply_packed
     (docs/PERFORMANCE.md "Grouped dual decoders")."""
     stage_len = sub_cfg[0] if sub_cfg is not None else x.shape[1]
+    # the Pallas recurrence pads batch to a multiple of 8: below 8 rows
+    # (whole-file parity mode serves ONE chunk) the pad would multiply the
+    # gates-buffer traffic up to 8x — gate on the effective LSTM batch
+    if lstm_impl == "pallas":
+        eff_batch = x.shape[0] * (num_chunks(x.shape[1], sub_cfg[0],
+                                             sub_cfg[1])
+                                  if sub_cfg is not None else 1)
+        if eff_batch < 8:
+            lstm_impl = "auto"
     if q is not None and stage_len % 4 == 0:
-        run = lambda p, s, v: stereo_mod.apply_packed(p, s, v, q=q)
+        run = lambda p, s, v: stereo_mod.apply_packed(p, s, v, q=q,
+                                                      lstm_impl=lstm_impl)
     elif packed and stage_len % 4 == 0:
-        run = stereo_mod.apply_packed
+        run = lambda p, s, v: stereo_mod.apply_packed(p, s, v,
+                                                      lstm_impl=lstm_impl)
     elif grouped:
-        run = stereo_mod.apply_grouped
+        run = lambda p, s, v: stereo_mod.apply_grouped(p, s, v,
+                                                       lstm_impl=lstm_impl)
     else:
-        run = lambda p, s, v: stereo_mod.apply(p, s, v)[0]
+        run = lambda p, s, v: stereo_mod.apply(p, s, v,
+                                               lstm_impl=lstm_impl)[0]
     if sub_cfg is None:
         return run(st[0], st[1], x)
     sub, sub_hop, sub_ov = sub_cfg
@@ -220,7 +233,7 @@ class RestorationPipeline:
         return (self._stages_key(), self.mesh,
                 self.config.compute_dtype, self.config.stereo_chunk_seconds,
                 self.config.stereo_mid_exact, self.config.stereo_source_rate,
-                self.config.packed_convs,
+                self.config.packed_convs, self.config.lstm_impl,
                 self.config.quantize_int8, self.config.int8_scope,
                 self._int8_version)
 
@@ -283,6 +296,16 @@ class RestorationPipeline:
         # cancel its quantization win (docs/PERFORMANCE.md "int8"), while
         # the denoiser/SR int8 win (~8 ms/120 s) is window-independent.
         int8_stereo = int8 and sub_cfg is None
+        # LSTM recurrence impl: the fused Pallas kernel on TPU (round-4
+        # serve A/B, scripts/profile_serve_lstm_ablate.py: wins every
+        # serve regime, bit-identical in f32), the scan elsewhere (the
+        # kernel is Mosaic/TPU-only). apply_stereo additionally falls
+        # back to the scan below an effective batch of 8 (whole-file
+        # mode) where the kernel's batch padding would inflate traffic.
+        devs = (self.mesh.devices.flat if self.mesh is not None
+                else jax.devices())
+        lstm_impl = self.config.lstm_impl or (
+            "pallas" if devs[0].platform == "tpu" else "auto")
 
         def cast(tree):
             if tree is None or dtype == jnp.float32:
@@ -329,7 +352,8 @@ class RestorationPipeline:
                     st, v.astype(jnp.float32 if int8_stereo else dtype)
                     if int8 else v, sub_cfg, packed=packed_stereo,
                     q=(QuantCtx(scales["stereo"], scope)
-                       if int8_stereo else None))
+                       if int8_stereo else None),
+                    lstm_impl=lstm_impl)
 
             side = None
             if has_st and src_rate:

@@ -143,8 +143,16 @@ class StagedRestorationPipeline:
                     # the bit-identical-to-plain contract
                     sub = stereo_sub_cfg(cfg, t, f,
                                          sample_rate=sample_rate)
+                    # same recurrence routing as the plain pipeline
+                    # (Pallas on TPU — bit-identical in f32, so the
+                    # staged == single-device contract holds)
+                    impl = cfg.lstm_impl or (
+                        "pallas"
+                        if self.placement["stereo"].platform == "tpu"
+                        else "auto")
                     y = apply_stereo(tree, x, sub,
-                                     packed=cfg.packed_convs and sub is None)
+                                     packed=cfg.packed_convs and sub is None,
+                                     lstm_impl=impl)
                 elif pk and name in ("denoiser", "super_resolution"):
                     y = mod.apply_packed(tree[0], tree[1], x)
                 else:

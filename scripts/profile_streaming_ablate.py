@@ -58,29 +58,24 @@ def main(argv=None):
     blocks = [(rng.normal(size=(batch, n)) * 0.1).astype(np.float32)
               for _ in range(4)]
 
-    # NOTE: ops/__init__ re-exports the lstm FUNCTION under the same name
-    # as the submodule, shadowing it even for `import pkg.ops.lstm as m`
-    # (the as-binding reads the parent attribute) — importlib returns the
-    # actual module
-    import importlib
-
-    lstm_mod = importlib.import_module("ml_audio_restoration_tpu.ops.lstm")
-
     grouped_decode = stereo_separator.decode_grouped
 
     for name in ("stream_ungrouped", "stream_grouped",
                  "stream_lstm_scan", "stream_lstm_pallas"):
         saved = None
-        prev_impl = None
+        impl = None
         if name == "stream_grouped":
             # force the grouped decoder through the production call site
             stereo_separator.decode, saved = (
                 lambda p, s, h: (grouped_decode(p, s, h), s),
                 stereo_separator.decode)
         elif name.startswith("stream_lstm_"):
-            prev_impl = lstm_mod.set_default_impl(name.rsplit("_", 1)[1])
+            # StreamingRestorer auto-selects the kernel on TPU since the
+            # round-4 adoption, overriding the module default — force the
+            # arm through the constructor, not set_default_impl
+            impl = name.rsplit("_", 1)[1]
         try:
-            s = StreamingRestorer(**stages, batch=batch)
+            s = StreamingRestorer(**stages, batch=batch, lstm_impl=impl)
             for b in blocks[:3]:          # compile + warm steady state
                 _sync(s.feed(b))
             logdir = tempfile.mkdtemp(prefix=f"{name}_")
@@ -102,8 +97,6 @@ def main(argv=None):
         finally:
             if saved is not None:
                 stereo_separator.decode = saved
-            if prev_impl is not None:
-                lstm_mod.set_default_impl(prev_impl)
     return 0
 
 

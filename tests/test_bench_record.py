@@ -1,0 +1,94 @@
+"""The bench record must be kill-proof (VERDICT r03 item 1).
+
+Round 3's driver record was lost to an external `timeout` kill (rc=124,
+parsed: null) because bench.py printed its single JSON line only at the
+very end of main(). These tests pin the two recovery paths that make the
+record indestructible:
+
+* SIGTERM mid-run -> the signal handler dumps the best-known record;
+* a wedged main thread -> the watchdog thread dumps at its own deadline.
+
+Both run bench.py as a real subprocess (the signal/watchdog machinery is
+process-level) and kill it long before any backend work happens, so they
+are cheap: the contract is "ANY kill at ANY point leaves a parseable
+record", and the earliest window is the hardest case.
+"""
+from __future__ import annotations
+
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _last_record(stdout: str) -> dict:
+    """The driver's parse: last parseable JSON line of the tail."""
+    rec = None
+    for line in stdout.splitlines():
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            rec = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+    assert rec is not None, f"no parseable JSON line in:\n{stdout[-2000:]}"
+    return rec
+
+
+def _assert_valid(rec: dict):
+    assert rec["metric"] == "full_pipeline_xrt"
+    assert isinstance(rec["value"], (int, float))
+    assert rec["unit"] == "audio_sec/sec/chip"
+    assert isinstance(rec["vs_baseline"], (int, float))
+
+
+def _env(**extra):
+    env = dict(os.environ)
+    env.update(extra)
+    return env
+
+
+def test_sigterm_leaves_parseable_record():
+    # A polite external `timeout` kill: SIGTERM while bench is still
+    # probing the backend. The handler must dump a parseable record.
+    p = subprocess.Popen(
+        [sys.executable, "bench.py", "2"], cwd=REPO,
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        env=_env(MLAR_BENCH_BACKEND_WAIT_S="600"))
+    try:
+        time.sleep(3.0)  # signal handlers are armed first thing in main()
+        p.send_signal(signal.SIGTERM)
+        out, _ = p.communicate(timeout=60)
+    finally:
+        if p.poll() is None:
+            p.kill()
+            p.wait()
+    rec = _last_record(out)
+    _assert_valid(rec)
+    assert p.returncode == 0
+
+
+def test_watchdog_dumps_before_external_deadline():
+    # A wedged main thread (hung relay RPC) cannot run Python signal
+    # handlers; the daemon watchdog must self-terminate with a record.
+    p = subprocess.Popen(
+        [sys.executable, "bench.py", "2"], cwd=REPO,
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        env=_env(MLAR_BENCH_BACKEND_WAIT_S="600",
+                 MLAR_BENCH_WATCHDOG_S="2"))
+    try:
+        out, _ = p.communicate(timeout=90)
+    finally:
+        if p.poll() is None:
+            p.kill()
+            p.wait()
+    rec = _last_record(out)
+    _assert_valid(rec)
+    assert "watchdog" in json.dumps(rec.get("extra", {}))
+    assert p.returncode == 0

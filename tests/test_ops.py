@@ -288,6 +288,44 @@ class TestPallasLSTM:
         got = jnp.concatenate([a, b], axis=1)
         np.testing.assert_allclose(_np(got), _np(want), atol=1e-6)
 
+    def test_bf16_gates_time_major_matches_scan(self, rng):
+        """The serve-path regime (round 4): bf16 gates streamed at their
+        own dtype, time-major input straight off the projection, bf16
+        output, f32 state/carry. Values must track the f32 scan within
+        bf16 rounding, and the carry stays f32-accurate."""
+        from ml_audio_restoration_tpu.ops.lstm import lstm_recurrence_scan
+        from ml_audio_restoration_tpu.ops.pallas.lstm import (
+            lstm_recurrence_pallas)
+
+        gates = jnp.asarray(
+            rng.normal(size=(3, 150, 32)).astype(np.float32) * 0.3)
+        w_hh = jnp.asarray(rng.normal(size=(8, 32)).astype(np.float32) * 0.2)
+        want, (wh, wc) = lstm_recurrence_scan(gates, w_hh, return_carry=True)
+        got, (gh, gc) = lstm_recurrence_pallas(
+            gates.astype(jnp.bfloat16).transpose(1, 0, 2),
+            w_hh.astype(jnp.bfloat16), time_major=True, interpret=True)
+        assert got.dtype == jnp.bfloat16
+        assert gh.dtype == jnp.float32
+        np.testing.assert_allclose(
+            _np(got).astype(np.float32), _np(want), atol=0.05)
+        np.testing.assert_allclose(_np(gh), _np(wh), atol=0.05)
+        np.testing.assert_allclose(_np(gc), _np(wc), atol=0.05)
+
+    def test_auto_block_t_fits_vmem_budget(self):
+        """Auto block sizing: the streaming shape keeps the measured
+        block_t=64 config; the batch-640 serve shape (which VMEM-OOMed at
+        fixed 64) shrinks until the double-buffered working set fits."""
+        from ml_audio_restoration_tpu.ops.pallas.lstm import _auto_block_t
+
+        assert _auto_block_t(16, 256, 64, 4) == 64       # streaming, f32
+        bt = _auto_block_t(640, 256, 64, 2)              # serve, bf16
+        assert bt < 64
+        assert 2 * bt * 640 * (256 + 64) * 2 <= 8 * 1024 * 1024
+        # the f32 batch-640 sub-chunked shape that OOMed at block_t=8
+        # (16.25 MB scoped vs the 16 MB limit) must now size below 8
+        assert _auto_block_t(640, 256, 64, 4) <= 4
+        assert _auto_block_t(4096, 512, 128, 4) == 1     # floor
+
     def test_scan_impl_grads_flow(self, rng):
         import jax
         from ml_audio_restoration_tpu import ops
