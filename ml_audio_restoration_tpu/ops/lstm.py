@@ -116,14 +116,54 @@ def _fast_bwd(residuals, g):
 lstm_recurrence_fast.defvjp(_fast_fwd, _fast_bwd)
 
 
+@jax.custom_vjp
+def lstm_recurrence_train(gates_tm, w_hh, h0, c0):
+    """Training recurrence: Pallas forward AND Pallas backward (round 4).
+
+    Unlike lstm_recurrence_fast (whose backward recomputes the scan
+    forward — fine for inference, double-pay under grad), this pairs the
+    forward-train kernel (which saves the gate activations + cell
+    sequence as residuals) with a fused reverse-time backward kernel
+    that keeps the (dh, dc) carries and the dW_hh accumulator in VMEM
+    (ops/pallas/lstm.py). All-f32. Takes TIME-MAJOR gates [T, B, 4H]."""
+    from .pallas.lstm import lstm_recurrence_pallas_train
+
+    (out, (hf, cf)), _ = lstm_recurrence_pallas_train(
+        gates_tm, w_hh, (h0, c0), time_major=True)
+    return out, hf, cf
+
+
+def _train_fwd(gates_tm, w_hh, h0, c0):
+    from .pallas.lstm import lstm_recurrence_pallas_train
+
+    (out, (hf, cf)), res = lstm_recurrence_pallas_train(
+        gates_tm, w_hh, (h0, c0), time_major=True)
+    return (out, hf, cf), (res, w_hh)
+
+
+def _train_bwd(residuals, g):
+    from .pallas.lstm import lstm_recurrence_pallas_bwd
+
+    res, w_hh = residuals
+    dout, dhf, dcf = g
+    dgx_bm, dwhh, dh0, dc0 = lstm_recurrence_pallas_bwd(
+        res, w_hh, dout, (dhf, dcf))
+    # gates cotangent back in TIME-MAJOR to match the primal input
+    return (jnp.transpose(dgx_bm, (1, 0, 2)), dwhh, dh0, dc0)
+
+
+lstm_recurrence_train.defvjp(_train_fwd, _train_bwd)
+
+
 # 'auto' resolves here. The scan is the safe default (CPU-runnable,
-# and training must not take the kernel: its custom VJP recomputes the
-# scan forward, so kernel-under-grad pays BOTH forwards). Production
-# INFERENCE paths pass impl='pallas' explicitly on TPU, where the
-# round-4 kernel wins every measured serve regime (+13–30% device,
-# scripts/profile_serve_lstm_ablate.py) and streaming (+26%). Ablation
-# scripts flip this to re-run the A/Bs without threading an impl kwarg
-# through every model/pipeline layer.
+# reference-exact). Production paths pass an impl explicitly on TPU:
+# 'pallas' for inference (wins every measured serve regime, +13–30%
+# device, scripts/profile_serve_lstm_ablate.py; streaming +26%) and
+# 'pallas_train' for the stereo train step (fused forward+backward VJP,
+# 285 -> 124 ms/step, scripts/profile_train_lstm_ablate.py). Plain
+# 'pallas' must NOT be used under grad — its VJP recomputes the scan
+# forward, paying both. Ablation scripts flip this default to re-run
+# the A/Bs without threading an impl kwarg through every layer.
 _DEFAULT_IMPL = "scan"
 
 
@@ -132,8 +172,9 @@ def set_default_impl(impl: str) -> str:
     previous value. Ablation hook (scripts/profile_streaming_ablate.py) —
     production code leaves this alone."""
     global _DEFAULT_IMPL
-    if impl not in ("scan", "pallas"):
-        raise ValueError(f"impl must be scan|pallas, got {impl!r}")
+    if impl not in ("scan", "pallas", "pallas_train"):
+        raise ValueError(
+            f"impl must be scan|pallas|pallas_train, got {impl!r}")
     prev, _DEFAULT_IMPL = _DEFAULT_IMPL, impl
     return prev
 
@@ -151,9 +192,11 @@ def lstm(x, params, *, unroll: int = 8, impl: str = "auto", carry=None,
     bit-identical, full-window bf16 +30%, sub-chunked bf16 presets
     +13–17% (scripts/profile_serve_lstm_ablate.py) — and streaming
     +26%. The serving pipeline and StreamingRestorer select it
-    explicitly on TPU; 'auto' stays the scan (CPU backends, autodiff —
-    the custom VJP's backward recomputes the scan forward, so training
-    under the kernel would pay both forwards).
+    explicitly on TPU. 'pallas_train' is the TRAINING variant (fused
+    forward+backward VJP — exact scan gradients, 2.3× the stereo train
+    step; the Trainer selects it on TPU); plain 'pallas' under grad
+    would recompute the scan forward and pay both. 'auto' stays the
+    scan (CPU backends, reference-exact formulation).
     """
     bias = params["b_ih"] + params["b_hh"]
     # Input projection for the whole sequence: one MXU-sized matmul, emitted
@@ -169,16 +212,19 @@ def lstm(x, params, *, unroll: int = 8, impl: str = "auto", carry=None,
     ) + bias
     w_hh = params["w_hh"]
 
-    if impl not in ("auto", "pallas", "scan"):
-        raise ValueError(f"impl must be auto|pallas|scan, got {impl!r}")
+    if impl not in ("auto", "pallas", "pallas_train", "scan"):
+        raise ValueError(
+            f"impl must be auto|pallas|pallas_train|scan, got {impl!r}")
     if impl == "auto":
         impl = _DEFAULT_IMPL
-    if impl == "pallas":
+    if impl in ("pallas", "pallas_train"):
         b = x.shape[0]
         h_dim = w_hh.shape[0]
         h0, c0 = carry if carry is not None else (
             jnp.zeros((b, h_dim), x.dtype), jnp.zeros((b, h_dim), x.dtype))
-        out, hf, cf = lstm_recurrence_fast(
+        fast = (lstm_recurrence_train if impl == "pallas_train"
+                else lstm_recurrence_fast)
+        out, hf, cf = fast(
             gates_tm, w_hh,
             h0.astype(jnp.float32), c0.astype(jnp.float32))
         out = out.astype(x.dtype)

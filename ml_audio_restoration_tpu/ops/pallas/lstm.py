@@ -189,3 +189,250 @@ def lstm_recurrence_pallas(gates_x, w_hh, carry=None, *, block_t: int = 0,
     )(gx, w_hh, h0, c0)
     return (jnp.transpose(out[:t, :b], (1, 0, 2)),
             (hf[:b], cf[:b]))
+
+
+# --------------------------------------------------------------- training
+# Fused forward+backward recurrence kernels (round 4). The inference
+# kernel's custom VJP recomputes the scan forward, so training under it
+# pays BOTH forwards — these kernels make the kernel the cheaper path in
+# training too: the forward-train variant additionally saves the gate
+# activations and cell sequence (the residuals the backward needs), and
+# the backward kernel runs the reversed recurrence with the (dh, dc)
+# carries and the dW_hh accumulator resident in VMEM — no per-step XLA
+# dispatch, no stacked-residual gather traffic beyond one linear read of
+# each saved tensor.
+
+
+def _lstm_train_fwd_kernel(gx_ref, whh_ref, h0_ref, c0_ref,
+                           out_ref, hf_ref, cf_ref, acts_ref, cseq_ref,
+                           h_ref, c_ref, *, block_t: int, hidden: int,
+                           t_true: int):
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        h_ref[:] = h0_ref[:]
+        c_ref[:] = c0_ref[:]
+
+    base = pl.program_id(0) * block_t
+
+    def step(t, _):
+        h = h_ref[:].astype(whh_ref.dtype)
+        g = jnp.dot(h, whh_ref[:], preferred_element_type=jnp.float32)
+        g = g + gx_ref[t].astype(jnp.float32)
+        i = jax.nn.sigmoid(g[:, :hidden])
+        f = jax.nn.sigmoid(g[:, hidden:2 * hidden])
+        gg = jnp.tanh(g[:, 2 * hidden:3 * hidden])
+        o = jax.nn.sigmoid(g[:, 3 * hidden:])
+        c = f * c_ref[:] + i * gg
+        h_new = o * jnp.tanh(c)
+        acts_ref[t] = jnp.concatenate([i, f, gg, o], axis=-1)
+        cseq_ref[t] = c
+        c_ref[:] = c
+        h_ref[:] = h_new
+        out_ref[t] = h_new
+
+        @pl.when(base + t == t_true - 1)
+        def _capture():
+            hf_ref[:] = h_new
+            cf_ref[:] = c
+
+        return 0
+
+    jax.lax.fori_loop(0, block_t, step, 0)
+
+
+def _lstm_train_bwd_kernel(acts_ref, cseq_ref, cprev_ref, hprev_ref,
+                           dout_ref, whh_ref, dhf_ref, dcf_ref,
+                           dgx_ref, dh0_ref, dc0_ref, dwhh_ref,
+                           dh_ref, dc_ref, dw_ref, *, block_t: int,
+                           hidden: int, t_true: int, n_blocks: int):
+    """Reverse-time backward pass. Grid iteration k processes time block
+    n_blocks-1-k (the index_map reverses block order); within a block the
+    fori_loop walks steps in reverse. Carries (dh, dc) and the dW_hh
+    accumulator live in f32 VMEM scratch across the whole grid."""
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dh_ref[:] = jnp.zeros_like(dh_ref)
+        dc_ref[:] = jnp.zeros_like(dc_ref)
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+
+    # reversed grid: program k holds time block n_blocks-1-k
+    base = (n_blocks - 1 - pl.program_id(0)) * block_t
+
+    def step(j, _):
+        t = block_t - 1 - j
+        is_real = base + t <= t_true - 1
+
+        # at the TRUE final step the output-side carry cotangents enter
+        @pl.when(base + t == t_true - 1)
+        def _seed():
+            dh_ref[:] = dh_ref[:] + dhf_ref[:]
+            dc_ref[:] = dc_ref[:] + dcf_ref[:]
+
+        a = acts_ref[t]
+        i = a[:, :hidden]
+        f = a[:, hidden:2 * hidden]
+        gg = a[:, 2 * hidden:3 * hidden]
+        o = a[:, 3 * hidden:]
+        tc = jnp.tanh(cseq_ref[t])
+
+        dh_total = dout_ref[t] + dh_ref[:]
+        do = dh_total * tc
+        dct = dh_total * o * (1.0 - tc * tc) + dc_ref[:]
+        di = dct * gg
+        df = dct * cprev_ref[t]
+        dgg = dct * i
+        d_lin = jnp.concatenate(
+            [di * i * (1.0 - i), df * f * (1.0 - f),
+             dgg * (1.0 - gg * gg), do * o * (1.0 - o)], axis=-1)
+        d_lin = jnp.where(is_real, d_lin, jnp.zeros_like(d_lin))
+        dgx_ref[t] = d_lin
+
+        @pl.when(is_real)
+        def _carry():
+            # dh_{t-1} = d_lin @ W_hh^T ; dW_hh += h_{t-1}^T d_lin
+            dh_ref[:] = jax.lax.dot_general(
+                d_lin, whh_ref[:], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dc_ref[:] = dct * f
+            dw_ref[:] = dw_ref[:] + jax.lax.dot_general(
+                hprev_ref[t], d_lin, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        return 0
+
+    jax.lax.fori_loop(0, block_t, step, 0)
+
+    @pl.when(pl.program_id(0) == n_blocks - 1)
+    def _final():
+        dh0_ref[:] = dh_ref[:]
+        dc0_ref[:] = dc_ref[:]
+        dwhh_ref[:] = dw_ref[:]
+
+
+def _auto_block_t_train(bp: int, h_dim: int) -> int:
+    """Block sizing for the training kernels (all f32): the backward
+    streams 8H-wide inputs + 4H-wide dgx per step, double-buffered."""
+    budget = 8 * 1024 * 1024
+    resident = (h_dim * 4 * h_dim + 8 * bp * h_dim + 4 * h_dim * h_dim) * 4
+    for bt in (64, 32, 16, 8, 4, 2, 1):
+        if 2 * bt * bp * 12 * h_dim * 4 + resident <= budget or bt == 1:
+            return bt
+    return 1
+
+
+def lstm_recurrence_pallas_train(gates_x, w_hh, carry=None, *,
+                                 block_t: int = 0, time_major: bool = False,
+                                 interpret: bool = False):
+    """Forward pass that also returns the backward residuals.
+
+    Returns ((out [B,T,H] f32, (h_f, c_f)), residuals) where residuals =
+    (acts [T,B,4H], c_seq [T,B,H], h_seq_tm [T,B,H]) — everything
+    `lstm_recurrence_pallas_bwd` needs besides the caller-held inputs.
+    All-f32 (training runs the recurrence at parameter precision)."""
+    if time_major:
+        t, b, g4 = gates_x.shape
+    else:
+        b, t, g4 = gates_x.shape
+    h_dim = g4 // 4
+    bp = _round_up(b, 8)
+    if block_t <= 0:
+        block_t = _auto_block_t_train(bp, h_dim)
+    tp = _round_up(t, block_t)
+
+    gx = gates_x if time_major else jnp.transpose(gates_x, (1, 0, 2))
+    gx = gx.astype(jnp.float32)
+    if bp != b or tp != t:
+        gx = jnp.pad(gx, ((0, tp - t), (0, bp - b), (0, 0)))
+    w_hh = w_hh.astype(jnp.float32)
+    if carry is None:
+        h0 = jnp.zeros((bp, h_dim), jnp.float32)
+        c0 = jnp.zeros((bp, h_dim), jnp.float32)
+    else:
+        h0, c0 = (jnp.pad(s.astype(jnp.float32), ((0, bp - b), (0, 0)))
+                  if bp != b else s.astype(jnp.float32) for s in carry)
+
+    kernel = functools.partial(_lstm_train_fwd_kernel, block_t=block_t,
+                               hidden=h_dim, t_true=t)
+    state_spec = pl.BlockSpec((bp, h_dim), lambda i: (0, 0),
+                              memory_space=pltpu.VMEM)
+    tspec = lambda w: pl.BlockSpec((block_t, bp, w), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM)
+    out, hf, cf, acts, cseq = pl.pallas_call(
+        kernel,
+        grid=(tp // block_t,),
+        in_specs=[tspec(g4), pl.BlockSpec(memory_space=pltpu.VMEM),
+                  state_spec, state_spec],
+        out_specs=[tspec(h_dim), state_spec, state_spec,
+                   tspec(g4), tspec(h_dim)],
+        out_shape=[
+            jax.ShapeDtypeStruct((tp, bp, h_dim), jnp.float32),
+            jax.ShapeDtypeStruct((bp, h_dim), jnp.float32),
+            jax.ShapeDtypeStruct((bp, h_dim), jnp.float32),
+            jax.ShapeDtypeStruct((tp, bp, g4), jnp.float32),
+            jax.ShapeDtypeStruct((tp, bp, h_dim), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bp, h_dim), jnp.float32),
+            pltpu.VMEM((bp, h_dim), jnp.float32),
+        ],
+        interpret=interpret,
+    )(gx, w_hh, h0, c0)
+    res = (acts, cseq, out, h0, c0, t, b, block_t)
+    return (jnp.transpose(out[:t, :b], (1, 0, 2)), (hf[:b], cf[:b])), res
+
+
+def lstm_recurrence_pallas_bwd(res, w_hh, dout, dcarry=None, *,
+                               interpret: bool = False):
+    """Backward recurrence. res: from lstm_recurrence_pallas_train.
+    dout: [B, T, H] cotangent of the output; dcarry: optional (dhf, dcf).
+    Returns (dgates_x [B,T,4H], dw_hh, dh0 [B,H], dc0 [B,H])."""
+    acts, cseq, hseq, h0, c0, t, b, block_t = res
+    tp, bp, g4 = acts.shape
+    h_dim = g4 // 4
+    n_blocks = tp // block_t
+
+    # shifted sequences: step t's backward needs c_{t-1} and h_{t-1}
+    cprev = jnp.concatenate([c0[None], cseq[:-1]], axis=0)
+    hprev = jnp.concatenate([h0[None], hseq[:-1]], axis=0)
+    do_tm = jnp.transpose(dout, (1, 0, 2)).astype(jnp.float32)
+    if bp != b or tp != t:
+        do_tm = jnp.pad(do_tm, ((0, tp - t), (0, bp - b), (0, 0)))
+    if dcarry is None:
+        dhf = jnp.zeros((bp, h_dim), jnp.float32)
+        dcf = jnp.zeros((bp, h_dim), jnp.float32)
+    else:
+        dhf, dcf = (jnp.pad(s.astype(jnp.float32), ((0, bp - b), (0, 0)))
+                    if bp != b else s.astype(jnp.float32) for s in dcarry)
+    w_hh = w_hh.astype(jnp.float32)
+
+    kernel = functools.partial(_lstm_train_bwd_kernel, block_t=block_t,
+                               hidden=h_dim, t_true=t, n_blocks=n_blocks)
+    state_spec = pl.BlockSpec((bp, h_dim), lambda i: (0, 0),
+                              memory_space=pltpu.VMEM)
+    # reversed time order: grid step k gets time block n_blocks-1-k
+    rspec = lambda w: pl.BlockSpec(
+        (block_t, bp, w), lambda i: (n_blocks - 1 - i, 0, 0),
+        memory_space=pltpu.VMEM)
+    dgx, dh0, dc0, dwhh = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[rspec(g4), rspec(h_dim), rspec(h_dim), rspec(h_dim),
+                  rspec(h_dim), pl.BlockSpec(memory_space=pltpu.VMEM),
+                  state_spec, state_spec],
+        out_specs=[rspec(g4), state_spec, state_spec,
+                   pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_shape=[
+            jax.ShapeDtypeStruct((tp, bp, g4), jnp.float32),
+            jax.ShapeDtypeStruct((bp, h_dim), jnp.float32),
+            jax.ShapeDtypeStruct((bp, h_dim), jnp.float32),
+            jax.ShapeDtypeStruct((h_dim, g4), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bp, h_dim), jnp.float32),
+            pltpu.VMEM((bp, h_dim), jnp.float32),
+            pltpu.VMEM((h_dim, g4), jnp.float32),
+        ],
+        interpret=interpret,
+    )(acts, cseq, cprev, hprev, do_tm, w_hh, dhf, dcf)
+    return (jnp.transpose(dgx[:t, :b], (1, 0, 2)), dwhh,
+            dh0[:b], dc0[:b])

@@ -326,6 +326,81 @@ class TestPallasLSTM:
         assert _auto_block_t(640, 256, 64, 4) <= 4
         assert _auto_block_t(4096, 512, 128, 4) == 1     # floor
 
+    def test_train_kernels_match_scan_vjp(self, rng):
+        """The fused forward+backward training kernels (round 4) must
+        reproduce the scan's VJP exactly: dgates, dW_hh, dh0, dc0 under
+        arbitrary output AND carry cotangents, on a padded length (T not
+        a block multiple) and a padded batch (B not a multiple of 8)."""
+        import jax
+        from ml_audio_restoration_tpu.ops.lstm import lstm_recurrence_scan
+        from ml_audio_restoration_tpu.ops.pallas.lstm import (
+            lstm_recurrence_pallas_bwd, lstm_recurrence_pallas_train)
+
+        b, t, h = 3, 150, 8
+        gates = jnp.asarray(
+            rng.normal(size=(b, t, 4 * h)).astype(np.float32) * 0.3)
+        w_hh = jnp.asarray(
+            rng.normal(size=(h, 4 * h)).astype(np.float32) * 0.2)
+        h0 = jnp.asarray(rng.normal(size=(b, h)).astype(np.float32) * 0.1)
+        c0 = jnp.asarray(rng.normal(size=(b, h)).astype(np.float32) * 0.1)
+
+        def scan_fn(gx, w, hh, cc):
+            out, (hf, cf) = lstm_recurrence_scan(gx, w, carry=(hh, cc),
+                                                 return_carry=True)
+            return out, hf, cf
+
+        primal, vjp = jax.vjp(scan_fn, gates, w_hh, h0, c0)
+        dout = jnp.asarray(rng.normal(size=(b, t, h)).astype(np.float32))
+        dhf = jnp.asarray(rng.normal(size=(b, h)).astype(np.float32))
+        dcf = jnp.asarray(rng.normal(size=(b, h)).astype(np.float32))
+        want_dg, want_dw, want_dh0, want_dc0 = vjp((dout, dhf, dcf))
+
+        (out, (hf, cf)), res = lstm_recurrence_pallas_train(
+            gates, w_hh, (h0, c0), block_t=64, interpret=True)
+        np.testing.assert_allclose(_np(out), _np(primal[0]), atol=1e-6)
+        np.testing.assert_allclose(_np(hf), _np(primal[1]), atol=1e-6)
+        np.testing.assert_allclose(_np(cf), _np(primal[2]), atol=1e-6)
+
+        dg, dw, dh0, dc0 = lstm_recurrence_pallas_bwd(
+            res, w_hh, dout, (dhf, dcf), interpret=True)
+        np.testing.assert_allclose(_np(dg), _np(want_dg), atol=2e-5)
+        np.testing.assert_allclose(_np(dw), _np(want_dw), atol=2e-5)
+        np.testing.assert_allclose(_np(dh0), _np(want_dh0), atol=2e-5)
+        np.testing.assert_allclose(_np(dc0), _np(want_dc0), atol=2e-5)
+
+    def test_pallas_train_impl_grads_match_scan(self, rng):
+        """End-to-end through lstm(impl=...): grads of a scalar loss wrt
+        params and input must match between the scan and the
+        custom-VJP'd training kernels (interpret mode on CPU)."""
+        import jax
+        from ml_audio_restoration_tpu import ops
+        from ml_audio_restoration_tpu.ops.pallas import lstm as plstm
+
+        # interpret-mode shim: the production path calls the kernels with
+        # interpret=False, which cannot run on CPU
+        orig_t, orig_b = (plstm.lstm_recurrence_pallas_train,
+                          plstm.lstm_recurrence_pallas_bwd)
+        plstm.lstm_recurrence_pallas_train = lambda *a, **k: orig_t(
+            *a, **{**k, "interpret": True})
+        plstm.lstm_recurrence_pallas_bwd = lambda *a, **k: orig_b(
+            *a, **{**k, "interpret": True})
+        try:
+            p = ops.lstm_init(jax.random.PRNGKey(0), 8, 4)
+            x = jnp.asarray(
+                rng.normal(size=(2, 100, 8)).astype(np.float32) * 0.3)
+
+            def loss(params, impl):
+                return jnp.sum(ops.lstm(x, params, impl=impl) ** 2)
+
+            want = jax.grad(lambda p_: loss(p_, "scan"))(p)
+            got = jax.grad(lambda p_: loss(p_, "pallas_train"))(p)
+            for k in want:
+                np.testing.assert_allclose(_np(got[k]), _np(want[k]),
+                                           atol=2e-5, err_msg=k)
+        finally:
+            plstm.lstm_recurrence_pallas_train = orig_t
+            plstm.lstm_recurrence_pallas_bwd = orig_b
+
     def test_scan_impl_grads_flow(self, rng):
         import jax
         from ml_audio_restoration_tpu import ops
