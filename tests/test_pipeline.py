@@ -751,3 +751,22 @@ def test_stereo_sub_cfg_uses_effective_rate():
     doubled = stereo_sub_cfg(cfg, stage_len=10 ** 9, f=2, sample_rate=44100)
     assert same == base
     assert abs(doubled[0] - 2 * base[0]) <= 4  # packing-grid rounding
+
+
+def test_apply_stereo_small_batch_falls_back_from_pallas():
+    """lstm_impl='pallas' below an effective LSTM batch of 8 (whole-file
+    parity mode serves ONE chunk) must fall back to the scan: the kernel
+    pads batch to 8, which would multiply the gates-buffer traffic up to
+    8x — and on CPU the Mosaic kernel cannot run at all, so this test
+    passing IS the proof the fallback routed (restore.py::apply_stereo)."""
+    import jax
+
+    from ml_audio_restoration_tpu.models import stereo_separator
+    from ml_audio_restoration_tpu.pipeline.restore import apply_stereo
+
+    st = stereo_separator.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(3)
+    x = jnp.asarray((rng.normal(size=(1, 4096, 1)) * 0.2).astype(np.float32))
+    want = apply_stereo(st, x, None, lstm_impl="auto")
+    got = apply_stereo(st, x, None, lstm_impl="pallas")  # batch 1 -> scan
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
