@@ -328,7 +328,8 @@ def lstm_recurrence_pallas_train(gates_x, w_hh, carry=None, *,
     Returns ((out [B,T,H] f32, (h_f, c_f)), residuals) where residuals =
     (acts [T,B,4H], c_seq [T,B,H], h_seq_tm [T,B,H]) — everything
     `lstm_recurrence_pallas_bwd` needs besides the caller-held inputs.
-    All-f32 (training runs the recurrence at parameter precision)."""
+    Gates stream at their own dtype; state/residuals/grads are f32
+    (training runs the recurrence at parameter precision)."""
     if time_major:
         t, b, g4 = gates_x.shape
     else:
@@ -339,8 +340,12 @@ def lstm_recurrence_pallas_train(gates_x, w_hh, carry=None, *,
         block_t = _auto_block_t_train(bp, h_dim)
     tp = _round_up(t, block_t)
 
+    # gates stream at their OWN dtype (bf16 under AMP = half the read
+    # traffic and no materialized f32 copy; the in-kernel upcast of a
+    # bf16 value is lossless, so the math is identical to the previous
+    # eager f32 staging). Everything else — state, residuals, W_hh — is
+    # f32: training runs the recurrence at parameter precision.
     gx = gates_x if time_major else jnp.transpose(gates_x, (1, 0, 2))
-    gx = gx.astype(jnp.float32)
     if bp != b or tp != t:
         gx = jnp.pad(gx, ((0, tp - t), (0, bp - b), (0, 0)))
     w_hh = w_hh.astype(jnp.float32)
