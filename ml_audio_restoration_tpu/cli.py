@@ -167,6 +167,11 @@ def _add_stream(sub):
     p.add_argument("--stereo-source-rate", action="store_true",
                    help="stereo stage at the pre-super-res rate; implies "
                         "mid-exact semantics (see restore)")
+    p.add_argument("--dtype", choices=["float32", "bfloat16"],
+                   default="float32",
+                   help="bf16 streaming compute (params+activations; f32 "
+                        "LSTM state in-kernel, f32 output) — the feed is "
+                        "HBM-bound, measured win in docs/PERFORMANCE.md")
     p.add_argument("--int8", action="store_true",
                    help="int8 streaming (packed denoiser/SR stages; "
                         "auto-calibrates on the first window)")
@@ -307,7 +312,8 @@ def _cmd_stream(args):
         int8_scales=(args.int8_scales
                      if args.int8_scales and os.path.exists(args.int8_scales)
                      else None),
-        mesh=mesh, lstm_impl=args.lstm_impl)
+        mesh=mesh, lstm_impl=args.lstm_impl,
+        compute_dtype=args.dtype)
     block = max(1, int(round(args.block_seconds * args.sample_rate)))
     if pipe:
         rc = _stream_pipe(args, restorer, block)
@@ -497,7 +503,8 @@ def _cmd_serve(args):
             quantize_int8=args.int8,
             int8_scales=(args.int8_scales if args.int8_scales
                          and os.path.exists(args.int8_scales) else None),
-            mesh=mesh, lstm_impl=args.lstm_impl)
+            mesh=mesh, lstm_impl=args.lstm_impl,
+            compute_dtype=args.dtype or "float32")
         block = max(1, int(round(args.block_seconds * config.sample_rate)))
         if args.warmup:
             sinfo = restorer.warmup(block)

@@ -70,7 +70,8 @@ class StreamingRestorer:
                  quantize_int8: bool = False,
                  int8_scales=None,
                  mesh=None,
-                 lstm_impl: Optional[str] = None):
+                 lstm_impl: Optional[str] = None,
+                 compute_dtype: str = "float32"):
         """context/lookahead in input-rate samples; both must exceed the conv
         receptive field (~400 samples for the default models). batch = number
         of concurrent lockstep streams. mid_exact mirrors
@@ -108,11 +109,25 @@ class StreamingRestorer:
         feed (+26%, 541 vs 429 realtime streams; bit-identical output —
         scripts/profile_streaming_ablate.py, 2026-08-20). Auto selects the
         kernel on TPU backends and the scan elsewhere (the kernel needs
-        Mosaic; batch inference stays scan per the same measurement)."""
+        Mosaic; batch inference stays scan per the same measurement).
+        compute_dtype: 'float32' (default — the exact-continuity contract
+        the streaming bars are defined against) or 'bfloat16': params and
+        activations run bf16 like PipelineConfig.compute_dtype (the feed
+        is HBM-fusion-bound), LSTM state stays f32 inside the Pallas
+        kernel, carries cross feeds at bf16, emitted audio returns f32."""
         self.denoiser = denoiser
         self.super_resolution = super_resolution
         self.stereo = stereo
         self.batch = int(batch)
+        # bf16 streaming mirrors PipelineConfig.compute_dtype: params and
+        # activations run bf16 (the feed is HBM-fusion-bound), LSTM state
+        # stays f32 inside the kernel, carries cross feeds at bf16, and
+        # emitted audio returns f32. Off (f32) = the exact-continuity
+        # default the streaming bars are defined against.
+        self.compute_dtype = jnp.dtype(compute_dtype)
+        if self.compute_dtype not in (jnp.float32, jnp.bfloat16):
+            raise ValueError(
+                f"compute_dtype must be float32|bfloat16, got {compute_dtype}")
         self.mid_exact = bool(mid_exact)
         self.packed = bool(packed)
         self.source_rate = bool(source_rate)
@@ -169,9 +184,9 @@ class StreamingRestorer:
             # layer widths, so layer i's carry must match ITS w_hh
             self._lstm_carry = [
                 (jnp.zeros((self.batch, layer["w_hh"].shape[0]),
-                           jnp.float32),
+                           self.compute_dtype),
                  jnp.zeros((self.batch, layer["w_hh"].shape[0]),
-                           jnp.float32))
+                           self.compute_dtype))
                 for layer in self.stereo[0]["lstm"]
             ]
         else:
@@ -187,11 +202,16 @@ class StreamingRestorer:
             raise IndexError(f"stream {i} out of range (batch {self.batch})")
         self._in_buffer[i] = 0.0
         if self.stereo is not None:
-            mask = jnp.ones((self.batch, 1), jnp.float32).at[i, 0].set(0.0)
+            # mask at the carry dtype: an f32 mask would silently promote
+            # bf16 carries and force a recompile on the next feed
+            mask = jnp.ones((self.batch, 1),
+                            self.compute_dtype).at[i, 0].set(0.0)
             self._lstm_carry = [(h * mask, c * mask)
                                 for h, c in self._lstm_carry]
             if self._dec_hist_buf is not None:
-                self._dec_hist_buf = self._dec_hist_buf * mask[:, :, None]
+                self._dec_hist_buf = (
+                    self._dec_hist_buf
+                    * mask[:, :, None].astype(self._dec_hist_buf.dtype))
 
     # ---------------------------------------------------------------- setup
     @classmethod
@@ -216,6 +236,17 @@ class StreamingRestorer:
 
         f = self.f
         dn, sr, st = self.denoiser, self.super_resolution, self.stereo
+        dtype = self.compute_dtype
+        if dtype != jnp.float32:
+            # one bf16 copy per compiled step (params are closure
+            # constants); int8-quantized weights and BN stats ride along
+            # untouched (non-float leaves)
+            cast = lambda tree: jax.tree_util.tree_map(
+                lambda a: a.astype(dtype)
+                if jnp.issubdtype(a.dtype, jnp.floating) else a, tree)
+            dn = cast(dn) if dn is not None else None
+            sr = cast(sr) if sr is not None else None
+            st = cast(st) if st is not None else None
 
         from .restore import _denoiser_packable, _sr_packable
 
@@ -233,7 +264,7 @@ class StreamingRestorer:
             # window: [B, >= ctx + n + la, 1] raw input; emit the middle n.
             # The packed gate keys on the actual (static) window length —
             # the drain loop can pass longer windows than ctx+n+la.
-            x = window
+            x = window.astype(dtype)
             pk = packable and window.shape[1] % 4 == 0
             if int8 and pk:
                 from ..ops.quant import QuantCtx
@@ -256,9 +287,13 @@ class StreamingRestorer:
                     x = (sr_mod.apply_packed(sr[0], sr[1], x) if pk
                          else sr_mod.apply(sr[0], sr[1], x)[0])
             if st is None:
-                return carries, x[:, ctx * f:(ctx + n) * f, :]
+                return carries, x[:, ctx * f:(ctx + n) * f, :].astype(
+                    jnp.float32)
+            # int8 denoiser/SR exit in f32 (dequant epilogue) — hand the
+            # stereo stage the compute dtype, like restore.py's stack()
             feats, _ = stereo_mod.encode(
-                st[0], st[1], x_src if self.source_rate else x)
+                st[0], st[1],
+                (x_src if self.source_rate else x).astype(dtype))
             # The LSTM consumes each NEW frame exactly once; the carried
             # state supplies the past (exact). The conv context supplied the
             # feature edges.
@@ -298,18 +333,19 @@ class StreamingRestorer:
                     from ..ops.interp import upsample_linear
 
                     side = upsample_linear(side, f)
-                mid = x[:, ctx * f:(ctx + n) * f, :]
+                mid = x[:, ctx * f:(ctx + n) * f, :].astype(side.dtype)
                 side = side[:, ctx * f:(ctx + n) * f, :]
                 out = jnp.concatenate([mid + side, mid - side], axis=-1)
             else:
                 out = stereo[:, ctx * f:(ctx + n) * f, :]
                 if self.mid_exact:
-                    mid = x[:, ctx * f:(ctx + n) * f, :]
+                    mid = x[:, ctx * f:(ctx + n) * f, :].astype(out.dtype)
                     side = (out[..., 0:1] - out[..., 1:2]) * 0.5
                     out = jnp.concatenate([mid + side, mid - side], axis=-1)
             new_dec_hist = jnp.concatenate(
                 [dec_hist, lstm_out], axis=1)[:, -ctx * g:, :]
-            return new_carries[:len(st[0]["lstm"])] + [new_dec_hist], out
+            return (new_carries[:len(st[0]["lstm"])] + [new_dec_hist],
+                    out.astype(jnp.float32))
 
         if self.mesh is not None:
             # shard every argument/result leaf's leading (stream-batch)
@@ -580,5 +616,6 @@ class StreamingRestorer:
         if not hasattr(self, "_dec_hist_buf") or self._dec_hist_buf is None:
             h_dim = self.stereo[0]["lstm"][-1]["w_hh"].shape[0]
             self._dec_hist_buf = jnp.zeros(
-                (self.batch, self.context * self._g, h_dim), jnp.float32)
+                (self.batch, self.context * self._g, h_dim),
+                self.compute_dtype)
         return self._dec_hist_buf

@@ -61,9 +61,15 @@ def main(argv=None):
     grouped_decode = stereo_separator.decode_grouped
 
     for name in ("stream_ungrouped", "stream_grouped",
-                 "stream_lstm_scan", "stream_lstm_pallas"):
+                 "stream_lstm_scan", "stream_lstm_pallas",
+                 "stream_bf16", "stream_bf16_src"):
         saved = None
         impl = None
+        kwargs = {}
+        if name == "stream_bf16":
+            kwargs = {"compute_dtype": "bfloat16"}
+        elif name == "stream_bf16_src":
+            kwargs = {"compute_dtype": "bfloat16", "source_rate": True}
         if name == "stream_grouped":
             # force the grouped decoder through the production call site
             stereo_separator.decode, saved = (
@@ -75,7 +81,8 @@ def main(argv=None):
             # arm through the constructor, not set_default_impl
             impl = name.rsplit("_", 1)[1]
         try:
-            s = StreamingRestorer(**stages, batch=batch, lstm_impl=impl)
+            s = StreamingRestorer(**stages, batch=batch, lstm_impl=impl,
+                                  **kwargs)
             for b in blocks[:3]:          # compile + warm steady state
                 _sync(s.feed(b))
             logdir = tempfile.mkdtemp(prefix=f"{name}_")

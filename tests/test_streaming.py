@@ -357,3 +357,33 @@ def test_lstm_impl_auto_resolves_by_backend(stages):
     assert out.shape[0] == 2
     with pytest.raises(ValueError, match="lstm_impl"):
         StreamingRestorer(**stages, lstm_impl="cudnn")
+
+
+def test_streaming_bf16_tracks_f32_and_keeps_dtypes(stages, audio):
+    """compute_dtype='bfloat16': the emitted audio must stay f32, track
+    the f32 stream within bf16 tolerance, and the carries must come back
+    at the compute dtype (an f32/bf16 mismatch would force a retrace
+    every feed — the silent failure mode this pins)."""
+    import jax.numpy as jnp
+
+    blocks = [audio[:, :SR], audio[:, SR:2 * SR]]
+    ref = StreamingRestorer(**stages, batch=1)
+    want = np.concatenate([ref.feed(b) for b in blocks]
+                          + [ref.flush()], axis=1)
+
+    s = StreamingRestorer(**stages, batch=1, compute_dtype="bfloat16")
+    got = np.concatenate([s.feed(b) for b in blocks] + [s.flush()], axis=1)
+    assert got.dtype == np.float32
+    assert got.shape == want.shape
+    scale = max(np.abs(want).max(), 1e-3)
+    assert np.abs(got - want).max() <= 0.05 * scale
+    for h, c in s._lstm_carry:
+        assert h.dtype == jnp.bfloat16 and c.dtype == jnp.bfloat16
+    assert s._dec_hist_buf.dtype == jnp.bfloat16
+    # reset_stream's mask must not promote the carries back to f32
+    s.reset_stream(0)
+    for h, c in s._lstm_carry:
+        assert h.dtype == jnp.bfloat16
+
+    with pytest.raises(ValueError, match="compute_dtype"):
+        StreamingRestorer(**stages, compute_dtype="float16")
