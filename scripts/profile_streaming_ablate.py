@@ -31,8 +31,13 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
-    batch = int(argv[0]) if argv else 16
-    block_s = float(argv[1]) if len(argv) > 1 else 1.0
+    # leading numeric args: batch, block_seconds; the rest select configs
+    nums = []
+    while argv and argv[0].replace(".", "", 1).isdigit():
+        nums.append(argv.pop(0))
+    batch = int(nums[0]) if nums else 16
+    block_s = float(nums[1]) if len(nums) > 1 else 1.0
+    names = argv
 
     import numpy as np
     import jax
@@ -60,9 +65,11 @@ def main(argv=None):
 
     grouped_decode = stereo_separator.decode_grouped
 
-    for name in ("stream_ungrouped", "stream_grouped",
-                 "stream_lstm_scan", "stream_lstm_pallas",
-                 "stream_bf16", "stream_bf16_src"):
+    all_configs = ("stream_ungrouped", "stream_grouped",
+                   "stream_lstm_scan", "stream_lstm_pallas",
+                   "stream_bf16", "stream_bf16_src",
+                   "stream_bf16_src_int8")
+    for name in (names or all_configs):
         saved = None
         impl = None
         kwargs = {}
@@ -70,6 +77,9 @@ def main(argv=None):
             kwargs = {"compute_dtype": "bfloat16"}
         elif name == "stream_bf16_src":
             kwargs = {"compute_dtype": "bfloat16", "source_rate": True}
+        elif name == "stream_bf16_src_int8":
+            kwargs = {"compute_dtype": "bfloat16", "source_rate": True,
+                      "quantize_int8": True}
         if name == "stream_grouped":
             # force the grouped decoder through the production call site
             stereo_separator.decode, saved = (
