@@ -113,6 +113,18 @@ def _arm_watchdog(deadline_s: float):
     threading.Thread(target=run, daemon=True, name="bench-watchdog").start()
 
 
+# Arm the kill handlers and print the initial partial record the moment
+# the SCRIPT starts executing (script mode only — ablation scripts import
+# helpers `from bench import ...` and must not inherit signal handlers or
+# stray output). This closes the startup window: the only remaining
+# unprotected span is the interpreter+sitecustomize jax import BEFORE any
+# bench code can run (~seconds; an external timeout fires minutes in).
+if __name__ == "__main__":
+    signal.signal(signal.SIGTERM, _emergency_dump)
+    signal.signal(signal.SIGINT, _emergency_dump)
+    _print_record()
+
+
 def _ensure_backend(max_wait_s: float):
     """Survive a TPU/relay outage at bench time (the axon backend can raise
     UNAVAILABLE or hang in init for hours — CLAUDE.md). Probes the backend
@@ -290,10 +302,13 @@ def _train_throughput(model_name: str, basis: str, batch: int = 2,
 
 
 def _streaming_throughput(stages, batch: int = 16, block_s: float = 1.0,
-                          blocks: int = 6, basis: str = "wall") -> dict:
+                          blocks: int = 6, basis: str = "wall",
+                          label: str = "streaming", **kwargs) -> dict:
     """Batched live-stream serving: B concurrent streams fed 1-s blocks
     through one compiled step. Reports per-block time and how many realtime
-    streams that supports."""
+    streams that supports. `label` prefixes the stat keys and `kwargs` go
+    to StreamingRestorer — the bf16+source-rate throughput preset rides
+    the same harness (label="streaming_bf16_src")."""
     from ml_audio_restoration_tpu.pipeline.streaming import StreamingRestorer
 
     sr = 22050
@@ -304,7 +319,7 @@ def _streaming_throughput(stages, batch: int = 16, block_s: float = 1.0,
     rng = np.random.default_rng(0)
     s = StreamingRestorer(denoiser=stages["denoiser"],
                           super_resolution=stages["super_resolution"],
-                          stereo=stages["stereo"], batch=batch)
+                          stereo=stages["stereo"], batch=batch, **kwargs)
     feed = lambda: s.feed(rng.normal(size=(batch, n)).astype(np.float32) * 0.1)
     _sync(feed())  # compile (includes the short first-drain variant)
     _sync(feed())
@@ -323,9 +338,9 @@ def _streaming_throughput(stages, batch: int = 16, block_s: float = 1.0,
         _sync(out)
         per_block = (time.perf_counter() - start) / blocks
     return {
-        "streaming_batch": batch,
-        "streaming_block_time_s": round(per_block, 4),
-        "streaming_streams_at_realtime": int(batch * block_s / per_block),
+        f"{label}_batch": batch,
+        f"{label}_block_time_s": round(per_block, 4),
+        f"{label}_streams_at_realtime": int(batch * block_s / per_block),
     }, basis
 
 
@@ -704,6 +719,18 @@ def main():
             bases["streaming_streams_at_realtime"] = basis
         except RuntimeError as e:
             record_error("streaming_streams_at_realtime", e)
+    # the streaming throughput preset (bf16 compute + source-rate stereo —
+    # measured 1049 vs 541 realtime streams device-side, docs/PERFORMANCE.md
+    # "bf16 streaming"); f32 above stays the BASELINE-comparable contract
+    if budget_ok("streaming_bf16_src_streams_at_realtime"):
+        try:
+            stream_stats, basis = _streaming_throughput(
+                stages, basis=basis_now(), label="streaming_bf16_src",
+                compute_dtype="bfloat16", source_rate=True)
+            extra.update(stream_stats)
+            bases["streaming_bf16_src_streams_at_realtime"] = basis
+        except RuntimeError as e:
+            record_error("streaming_bf16_src_streams_at_realtime", e)
 
     # multi-file directory serving: decode(i+1) and write(i-1) are pipelined
     # around the device running file i (pipeline/restore.py

@@ -54,22 +54,32 @@ def _env(**extra):
     return env
 
 
-def test_sigterm_leaves_parseable_record():
+def test_sigterm_leaves_parseable_record(tmp_path):
     # A polite external `timeout` kill: SIGTERM while bench is still
     # probing the backend. The handler must dump a parseable record.
-    p = subprocess.Popen(
-        [sys.executable, "bench.py", "2"], cwd=REPO,
-        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
-        env=_env(MLAR_BENCH_BACKEND_WAIT_S="600"))
+    # bench.py arms its handlers and prints the initial partial record the
+    # moment the script starts executing; wait for that sentinel before
+    # killing (a SIGTERM during the interpreter/jax-import startup window
+    # cannot be caught by anyone — a loaded machine made a fixed sleep
+    # land there).
+    out_file = tmp_path / "bench_out"
+    with open(out_file, "w") as fh:
+        p = subprocess.Popen(
+            [sys.executable, "bench.py", "2"], cwd=REPO,
+            stdout=fh, stderr=subprocess.DEVNULL, text=True,
+            env=_env(MLAR_BENCH_BACKEND_WAIT_S="600"))
     try:
-        time.sleep(3.0)  # signal handlers are armed first thing in main()
+        deadline = time.time() + 120
+        while time.time() < deadline and out_file.stat().st_size == 0:
+            time.sleep(0.25)
+        assert out_file.stat().st_size > 0, "no initial record within 120s"
         p.send_signal(signal.SIGTERM)
-        out, _ = p.communicate(timeout=60)
+        p.wait(timeout=60)
     finally:
         if p.poll() is None:
             p.kill()
             p.wait()
-    rec = _last_record(out)
+    rec = _last_record(out_file.read_text())
     _assert_valid(rec)
     assert p.returncode == 0
 
