@@ -146,14 +146,14 @@ def _train_bwd(residuals, g):
 
     res, w_hh = residuals
     dout, dhf, dcf = g
-    dgx_bm, dwhh, dh0, dc0 = lstm_recurrence_pallas_bwd(
-        res, w_hh, dout, (dhf, dcf))
-    # gates cotangent back in TIME-MAJOR. It stays f32 even for bf16
-    # primal gates (a dtype can't ride in custom_vjp residuals, and the
-    # f32 cotangent flows into the projection VJP at higher precision —
-    # JAX accepts the widening; exercised by the bf16 AMP train A/B)
-    return (jnp.transpose(dgx_bm, (1, 0, 2)), dwhh.astype(w_hh.dtype),
-            dh0, dc0)
+    dgx_tm, dwhh, dh0, dc0 = lstm_recurrence_pallas_bwd(
+        res, w_hh, dout, (dhf, dcf), dgx_time_major=True)
+    # gates cotangent in the kernel's native TIME-MAJOR layout (= the
+    # primal's). It stays f32 even for bf16 primal gates (a dtype can't
+    # ride in custom_vjp residuals, and the f32 cotangent flows into the
+    # projection VJP at higher precision — JAX accepts the widening;
+    # exercised by the bf16 AMP train A/B)
+    return dgx_tm, dwhh.astype(w_hh.dtype), dh0, dc0
 
 
 lstm_recurrence_train.defvjp(_train_fwd, _train_bwd)

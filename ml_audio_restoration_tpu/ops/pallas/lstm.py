@@ -387,10 +387,16 @@ def lstm_recurrence_pallas_train(gates_x, w_hh, carry=None, *,
 
 
 def lstm_recurrence_pallas_bwd(res, w_hh, dout, dcarry=None, *,
+                               dgx_time_major: bool = False,
                                interpret: bool = False):
     """Backward recurrence. res: from lstm_recurrence_pallas_train.
     dout: [B, T, H] cotangent of the output; dcarry: optional (dhf, dcf).
-    Returns (dgates_x [B,T,4H], dw_hh, dh0 [B,H], dc0 [B,H])."""
+    Returns (dgates_x, dw_hh, dh0 [B,H], dc0 [B,H]); dgates_x is
+    [B,T,4H], or [T,B,4H] with dgx_time_major=True — the custom-VJP
+    wrapper's primal gates are time-major, and returning the kernel's
+    native layout directly avoids a transpose round trip XLA
+    materialized at ~10x roofline (18 ms/step at the stereo train
+    shape)."""
     acts, cseq, hseq, h0, c0, t, b, block_t = res
     tp, bp, g4 = acts.shape
     h_dim = g4 // 4
@@ -439,5 +445,7 @@ def lstm_recurrence_pallas_bwd(res, w_hh, dout, dcarry=None, *,
         ],
         interpret=interpret,
     )(acts, cseq, cprev, hprev, do_tm, w_hh, dhf, dcf)
-    return (jnp.transpose(dgx[:t, :b], (1, 0, 2)), dwhh,
-            dh0[:b], dc0[:b])
+    dgx = dgx[:t, :b]
+    if not dgx_time_major:
+        dgx = jnp.transpose(dgx, (1, 0, 2))
+    return dgx, dwhh, dh0[:b], dc0[:b]
