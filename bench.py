@@ -61,6 +61,8 @@ _RECORD: dict = {
     "extra": {"partial": "killed before first measurement"},
 }
 _FINISHED = False
+_PROMOTING = False        # a recovered-TPU child run owns the record now
+_WATCHDOG_DEADLINE = 0.0  # absolute time.time() the watchdog fires at
 
 
 def _print_record():
@@ -102,9 +104,18 @@ def _arm_watchdog(deadline_s: float):
     """Self-terminate with a record before any external kill can strike.
     Runs on its own thread so it fires even when the main thread is stuck
     inside a non-returning C call (hung relay RPC)."""
+    global _WATCHDOG_DEADLINE
+    _WATCHDOG_DEADLINE = time.time() + deadline_s
+
     def run():
         time.sleep(deadline_s)
         if not _FINISHED:
+            if _PROMOTING:
+                # a recovered-accelerator child run is streaming ITS record
+                # lines through our stdout; dumping the stale parent record
+                # now would make the CPU fallback the last parseable line.
+                # The child is self-bounded by its own watchdog — just go.
+                os._exit(0)
             _RECORD.setdefault("extra", {})["partial"] = (
                 f"watchdog dump at {int(deadline_s)}s")
             _print_record()
@@ -125,47 +136,145 @@ if __name__ == "__main__":
     _print_record()
 
 
-def _ensure_backend(max_wait_s: float):
-    """Survive a TPU/relay outage at bench time (the axon backend can raise
-    UNAVAILABLE or hang in init for hours — CLAUDE.md). Probes the backend
-    in a SUBPROCESS (a hung init cannot be interrupted in-process) until it
-    answers or `max_wait_s` elapses; on timeout, forces the CPU backend so
-    the bench still emits its JSON line, clearly labeled. Returns None when
-    the backend is live, else a description of the fallback."""
-    import subprocess
+class _BackendProber:
+    """Background accelerator probe (VERDICT r04 item 1: never abandon the
+    accelerator for the whole run after one wait window).
 
-    probe_src = ("import jax, jax.numpy as jnp; x = jnp.ones((500, 500)); "
+    A daemon thread probes the backend in a SUBPROCESS (a hung init cannot
+    be interrupted in-process) and keeps probing for as long as the bench
+    runs — a relay that answers 10 s after the initial wait window expires
+    still flips `live`, and main() promotes the record back to the TPU.
+    Per-attempt timeout is a constant 300 s (clears documented congestion:
+    >90 s trivial-matmul round trips + ~20 s subprocess jax import) and is
+    deliberately NOT clamped to any wait budget — the r04 defect was a
+    240 s total wait silently capping the 300 s congestion-safe attempt,
+    misclassifying a congested-but-live relay as an outage."""
+
+    PROBE_SRC = ("import jax, jax.numpy as jnp; x = jnp.ones((500, 500)); "
                  "print(float((x @ x).sum()))")
 
-    # Per-attempt timeout must clear CONGESTION (documented: trivial matmul
-    # round trips >90 s on bad relay days, plus ~20 s subprocess jax import)
-    # so a slow-but-live relay is never misclassified as an outage — the
-    # bench's device-basis machinery handles slowness; this fallback is for
-    # a backend that never answers at all.
-    def ready(timeout_s=300.0):
+    def __init__(self):
+        self.live = threading.Event()
+        self._stop = threading.Event()
+
+    def start(self):
+        threading.Thread(target=self._run, daemon=True,
+                         name="bench-backend-prober").start()
+        return self
+
+    def stop(self):
+        self._stop.set()
+
+    def _run(self):
+        import subprocess
+
+        # test knobs (tests/test_bench_record.py outage-simulation): a fake
+        # probe command whose exit code scripts the outage->recovery arc,
+        # and a short retry interval so the simulation runs in seconds
+        fake = os.environ.get("MLAR_BENCH_PROBE_CMD")
+        argv = (["/bin/sh", "-c", fake] if fake
+                else [sys.executable, "-c", self.PROBE_SRC])
+        interval = float(os.environ.get("MLAR_BENCH_PROBE_INTERVAL_S", "20"))
+        while not self._stop.is_set() and not self.live.is_set():
+            try:
+                r = subprocess.run(argv, timeout=300.0, capture_output=True)
+                if r.returncode == 0:
+                    self.live.set()
+                    return
+            except (subprocess.TimeoutExpired, OSError):
+                pass
+            self._stop.wait(interval)
+
+
+def _ensure_backend(max_wait_s: float, prober: _BackendProber):
+    """Survive a TPU/relay outage at bench time (the axon backend can raise
+    UNAVAILABLE or hang in init for hours — CLAUDE.md). Waits up to
+    `max_wait_s` for the background prober's first success; on timeout,
+    forces the CPU backend so the bench still emits its JSON line, clearly
+    labeled — while the prober KEEPS probing so main() can promote back to
+    the accelerator the moment it answers. Returns None when the backend is
+    live, else a description of the fallback."""
+    if prober.live.wait(timeout=max_wait_s):
+        return None
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    return (f"cpu (accelerator backend unavailable for "
+            f"{int(max_wait_s)}s; wall numbers are CPU-host "
+            f"throughput, NOT the TPU measurement)")
+
+
+def _await_recovery_and_promote(prober: _BackendProber,
+                                seconds_arg: float) -> bool:
+    """CPU-fallback tail (VERDICT r04 item 1b): keep waiting on the
+    background prober for the rest of the watchdog window; when the
+    accelerator answers, re-run the FULL bench in a fresh subprocess (the
+    in-process jax backend is already pinned to CPU and cannot be unpinned)
+    with stdout INHERITED — the child's progressive record lines land
+    directly on our stdout after the labeled CPU-fallback lines, and the
+    driver parses the LAST parseable line, so a successful child run IS the
+    round's record. Returns True when a child ran and owns the record."""
+    global _PROMOTING
+    import subprocess
+
+    # the child needs enough window to probe (fast — backend verified live)
+    # plus compile+measure at least a headline; below this floor a child
+    # would only add noise before its own watchdog fires
+    min_useful_s = 150.0
+    margin_s = 30.0  # parent bookkeeping + child SIGTERM-dump headroom
+    deadline = _WATCHDOG_DEADLINE - margin_s
+    while time.time() < deadline - min_useful_s:
+        if prober.live.wait(timeout=10.0):
+            break
+    if not prober.live.is_set():
+        _RECORD["extra"]["recovery"] = (
+            "accelerator never answered within the watchdog window")
+        return False
+    remaining = deadline - time.time()
+    if remaining < 60.0:
+        # recovered, but too late for a child run to add signal before the
+        # watchdog — promoting now would risk an orphan child outliving us
+        _RECORD["extra"]["recovery"] = (
+            "accelerator recovered too late in the watchdog window")
+        return False
+    child_watchdog = max(min_useful_s - 30.0, remaining - 10.0)
+    # derive the child's hard budget from its window, but never INFLATE an
+    # explicitly-set cap (a test or a bounded local session sets the env)
+    child_hard = max(60.0, child_watchdog - 200.0)
+    if "MLAR_BENCH_HARD_BUDGET_S" in os.environ:
+        child_hard = min(child_hard,
+                         float(os.environ["MLAR_BENCH_HARD_BUDGET_S"]))
+    env = dict(os.environ)
+    env.update(
+        MLAR_BENCH_NO_PROMOTE="1",   # no recursive promotion
+        MLAR_BENCH_PROMOTED="1",     # child labels its record as promoted
+        MLAR_BENCH_BACKEND_WAIT_S="120",
+        MLAR_BENCH_WATCHDOG_S=str(round(child_watchdog, 1)),
+        MLAR_BENCH_HARD_BUDGET_S=str(round(child_hard, 1)),
+    )
+    _RECORD["extra"]["recovery"] = (
+        f"accelerator recovered; promoted TPU re-run with "
+        f"{int(child_watchdog)}s budget")
+    _PROMOTING = True
+    p = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), str(seconds_arg)],
+        env=env)  # stdout/stderr inherited: child record lines ARE ours
+    try:
+        p.wait(timeout=remaining)
+    except subprocess.TimeoutExpired:
+        p.terminate()  # child's SIGTERM handler dumps its best-known record
         try:
-            r = subprocess.run([sys.executable, "-c", probe_src],
-                               timeout=timeout_s, capture_output=True)
-            return r.returncode == 0
+            p.wait(timeout=20.0)
         except subprocess.TimeoutExpired:
-            return False
-
-    deadline = time.time() + max_wait_s
-    while True:
-        # never let one probe attempt outlive the whole wait budget (the
-        # kill-proofing contract: a cold run self-bounds) — a relay that
-        # takes longer than the budget to answer is treated as an outage
-        # and the run proceeds on the labeled CPU fallback
-        if ready(timeout_s=min(300.0, max(5.0, deadline - time.time()))):
-            return None
-        if time.time() > deadline:
-            import jax
-
-            jax.config.update("jax_platforms", "cpu")
-            return (f"cpu (accelerator backend unavailable for "
-                    f"{int(max_wait_s)}s; wall numbers are CPU-host "
-                    f"throughput, NOT the TPU measurement)")
-        time.sleep(min(60.0, max(1.0, deadline - time.time())))
+            p.kill()
+            p.wait()
+    if p.returncode != 0:
+        # child crashed before kill-proofing could land a useful line —
+        # make the parent's labeled CPU record the last parseable line again
+        _PROMOTING = False
+        _RECORD["extra"]["recovery"] += f" (child rc={p.returncode})"
+        return False
+    return True
 
 
 def _make_audio(seconds: float, sr: int = 22050):
@@ -229,7 +338,8 @@ _TRAIN_BENCH = {
 }
 
 
-def _make_trainer(model_name: str, batch: int, chunk_s: float, steps: int):
+def _make_trainer(model_name: str, batch: int, chunk_s: float, steps: int,
+                  compute_dtype: str = "float32"):
     import jax
 
     from ml_audio_restoration_tpu.config import TrainConfig, ArtifactConfig
@@ -259,7 +369,7 @@ def _make_trainer(model_name: str, batch: int, chunk_s: float, steps: int):
     return Trainer(
         model_name, params, state,
         DataLoader(Toy(), batch, num_workers=1, shuffle=False),
-        config=TrainConfig(model=model_name),
+        config=TrainConfig(model=model_name, compute_dtype=compute_dtype),
         artifact_config=ArtifactConfig(), sample_rate=sr)
 
 
@@ -360,9 +470,18 @@ def main():
         "MLAR_BENCH_WATCHDOG_S",
         str(backend_wait_s + hard_budget_default + 120.0))))
 
-    backend_fallback = _ensure_backend(backend_wait_s)
+    prober = _BackendProber().start()
+    backend_fallback = _ensure_backend(backend_wait_s, prober)
+    if backend_fallback is None:
+        prober.stop()
 
     import jax
+
+    if os.environ.get("MLAR_BENCH_FORCE_CPU") == "1":
+        # test-only knob (outage-simulation tests): compute on the CPU host
+        # regardless of probe outcome so the recovery-path test is fast and
+        # deterministic; the record is labeled so it can't be misread
+        jax.config.update("jax_platforms", "cpu")
 
     from ml_audio_restoration_tpu.utils.cache import (
         enable_persistent_compile_cache)
@@ -374,11 +493,14 @@ def main():
         denoiser, super_resolution, stereo_separator)
     from ml_audio_restoration_tpu.pipeline import RestorationPipeline
 
-    seconds = float(sys.argv[1]) if len(sys.argv) > 1 else 120.0
+    seconds_arg = float(sys.argv[1]) if len(sys.argv) > 1 else 120.0
+    seconds = seconds_arg
     if backend_fallback:
-        # CPU-host throughput is not the measurement anyway (labeled); keep
-        # the fallback run short enough that the record always lands
-        seconds = min(seconds, 30.0)
+        # CPU-host throughput is not the measurement anyway (labeled); cut
+        # the fallback to the bone (VERDICT r04 item 1d: r04's CPU fallback
+        # ate the whole hard budget and skipped all 19 extras) — the budget
+        # belongs to the recovery wait + promoted TPU re-run instead
+        seconds = min(seconds, 10.0)
     # soft budget: once exceeded, remaining extras switch from multi-
     # iteration wall timing to one traced device-span run each (they are
     # never skipped); the hard budget stops everything but the summary
@@ -404,6 +526,12 @@ def main():
     extra = {"device": str(jax.devices()[0]), "audio_seconds": seconds}
     if backend_fallback:
         extra["backend_fallback"] = backend_fallback
+    if os.environ.get("MLAR_BENCH_PROMOTED") == "1":
+        # this run IS the recovered-accelerator re-run a CPU-fallback parent
+        # launched; label it so the round record shows the path it took
+        extra["promoted_after_recovery"] = True
+    if os.environ.get("MLAR_BENCH_FORCE_CPU") == "1":
+        extra["forced_cpu"] = True
     # from here on the live `extra` dict IS the record's extra: any kill /
     # watchdog dump carries everything measured so far
     _RECORD["extra"] = extra
@@ -451,13 +579,33 @@ def main():
     # device-span trace carries the headline instead
     full = RestorationPipeline(**stages, config=cfg)
     times1 = _time_pipeline(full, audio, sr,
-                            warmup=1 if congested else 2,
-                            iters=1 if congested else 4)
+                            warmup=1 if (congested or backend_fallback)
+                            else 2,
+                            iters=1 if (congested or backend_fallback)
+                            else 4)
     wall = min(times1)
     extra["full_pipeline_wall_s"] = round(wall, 4)
     # first full-pipeline measurement lands -> provisional record on stdout
     # immediately (the driver parses the tail's last JSON line)
     _publish(seconds / wall)
+
+    if backend_fallback:
+        # labeled CPU headline is down; every extra would be CPU-host noise.
+        # Hand the rest of the watchdog window to the recovery wait: if the
+        # accelerator answers, a fresh subprocess re-runs the REAL bench and
+        # its record lines (printed after ours) become the round's record.
+        extra["skipped"] = ["cpu fallback: extras skipped pending "
+                           "accelerator recovery"]
+        _publish()
+        promoted = (os.environ.get("MLAR_BENCH_NO_PROMOTE") != "1"
+                    and _await_recovery_and_promote(prober, seconds_arg))
+        prober.stop()
+        global _FINISHED
+        _FINISHED = True
+        if not promoted:
+            extra.pop("provisional", None)
+            _publish()
+        return
     # device-basis headline: stable round-over-round even on a bad relay day
     # (sum of module spans — the slab path runs several programs per call)
     try:
@@ -506,7 +654,7 @@ def main():
             xrt, basis = measure_pipeline(pipe)
             extra[f"{name}_xrt"] = round(xrt, 1)
             bases[f"{name}_xrt"] = basis
-        except RuntimeError as e:
+        except Exception as e:  # noqa: BLE001 - one extra must not kill the record
             record_error(name, e)
     _publish()
 
@@ -541,7 +689,7 @@ def main():
                 seconds / (dev16_ms / 1e3), 1)
         except RuntimeError:
             pass  # CPU backend
-      except RuntimeError as e:
+      except Exception as e:  # noqa: BLE001 - one extra must not kill the record
         record_error("bf16_full_pipeline_xrt", e)
     # provisional upgrade: a parity-satisfying bf16 wall win is the usual
     # final headline — reflect it in the kill-time record immediately
@@ -557,7 +705,7 @@ def main():
             xrt, basis = measure_pipeline(fast)
             extra["stereo_subchunk_xrt"] = round(xrt, 1)
             bases["stereo_subchunk_xrt"] = basis
-        except RuntimeError as e:
+        except Exception as e:  # noqa: BLE001 - one extra must not kill the record
             record_error("stereo_subchunk_xrt", e)
 
     # the config/fast_serve.yaml preset (bf16 + 0.25 s stereo windows +
@@ -572,7 +720,7 @@ def main():
             xrt, basis = measure_pipeline(fs)
             extra["fast_serve_xrt"] = round(xrt, 1)
             bases["fast_serve_xrt"] = basis
-        except RuntimeError as e:
+        except Exception as e:  # noqa: BLE001 - one extra must not kill the record
             record_error("fast_serve_xrt", e)
     if budget_ok("fast_serve_int8_xrt"):
         try:
@@ -581,7 +729,7 @@ def main():
             xrt, basis = measure_pipeline(qp)
             extra["fast_serve_int8_xrt"] = round(xrt, 1)
             bases["fast_serve_int8_xrt"] = basis
-        except RuntimeError as e:
+        except Exception as e:  # noqa: BLE001 - one extra must not kill the record
             record_error("fast_serve_int8_xrt", e)
 
     # source-rate stereo (config/fast_serve_src.yaml): the side is
@@ -594,7 +742,7 @@ def main():
             xrt, basis = measure_pipeline(sp)
             extra["fast_serve_src_xrt"] = round(xrt, 1)
             bases["fast_serve_src_xrt"] = basis
-        except RuntimeError as e:
+        except Exception as e:  # noqa: BLE001 - one extra must not kill the record
             record_error("fast_serve_src_xrt", e)
     _publish()
 
@@ -661,7 +809,7 @@ def main():
                 extra["serve_latency_p99_ms"] = round(lats[-1], 1)
                 extra["serve_latency_requests"] = len(lats)
                 bases["serve_latency_p50_ms"] = "wall"
-              except (RuntimeError, OSError) as e:
+              except Exception as e:  # noqa: BLE001 - one extra must not kill the record
                 record_error("serve_latency_p50_ms", e)
             finally:
                 srv.shutdown()
@@ -687,7 +835,7 @@ def main():
             continue  # not break: every skipped label must be RECORDED
         try:
             extra[tag], bases[tag] = _train_throughput(fam, basis_now())
-        except RuntimeError as e:
+        except Exception as e:  # noqa: BLE001 - one extra must not kill the record
             record_error(tag, e)
 
     # batch-16 train throughput, ALL THREE families (VERDICT r03 item 9 —
@@ -705,7 +853,7 @@ def main():
         try:
             extra[tag], bases[tag] = _train_throughput(
                 fam, basis_now(), batch=16, steps=12)
-        except RuntimeError as e:
+        except Exception as e:  # noqa: BLE001 - one extra must not kill the record
             record_error(tag, e)
     _publish()
 
@@ -717,7 +865,7 @@ def main():
                                                         basis=basis_now())
             extra.update(stream_stats)
             bases["streaming_streams_at_realtime"] = basis
-        except RuntimeError as e:
+        except Exception as e:  # noqa: BLE001 - one extra must not kill the record
             record_error("streaming_streams_at_realtime", e)
     # the streaming throughput preset (bf16 compute + source-rate stereo —
     # measured 1049 vs 541 realtime streams device-side, docs/PERFORMANCE.md
@@ -729,7 +877,7 @@ def main():
                 compute_dtype="bfloat16", source_rate=True)
             extra.update(stream_stats)
             bases["streaming_bf16_src_streams_at_realtime"] = basis
-        except RuntimeError as e:
+        except Exception as e:  # noqa: BLE001 - one extra must not kill the record
             record_error("streaming_bf16_src_streams_at_realtime", e)
 
     # multi-file directory serving: decode(i+1) and write(i-1) are pipelined
@@ -754,7 +902,7 @@ def main():
             extra["directory_serve_xrt"] = round(n_files * seconds / w, 1)
             extra["directory_files"] = n_files
             bases["directory_serve_xrt"] = "wall"
-        except RuntimeError as e:
+        except Exception as e:  # noqa: BLE001 - one extra must not kill the record
             record_error("directory_serve_xrt", e)
 
     # re-measure at the end: the shared dev relay drifts by >50% between
@@ -808,7 +956,6 @@ def main():
         extra.pop("skipped", None)
     extra["bases"] = bases
 
-    global _FINISHED
     _FINISHED = True
     extra.pop("provisional", None)
     _publish(xrt)

@@ -23,6 +23,8 @@ import sys
 import time
 from pathlib import Path
 
+import pytest
+
 REPO = Path(__file__).resolve().parent.parent
 
 
@@ -52,6 +54,76 @@ def _env(**extra):
     env = dict(os.environ)
     env.update(extra)
     return env
+
+
+def test_backend_prober_flips_live_on_recovery(tmp_path, monkeypatch):
+    # VERDICT r04 item 1: the prober must keep probing past any wait window
+    # and flip `live` the moment the (simulated) accelerator answers.
+    import bench
+
+    sentinel = tmp_path / "backend_up"
+    monkeypatch.setenv("MLAR_BENCH_PROBE_CMD", f"test -f {sentinel}")
+    monkeypatch.setenv("MLAR_BENCH_PROBE_INTERVAL_S", "0.2")
+    prober = bench._BackendProber().start()
+    try:
+        assert not prober.live.wait(timeout=1.5), (
+            "prober reported live while the simulated backend was down")
+        sentinel.touch()
+        assert prober.live.wait(timeout=15), (
+            "prober never recovered after the simulated backend came up")
+    finally:
+        prober.stop()
+
+
+@pytest.mark.slow
+def test_cpu_fallback_promotes_to_recovered_backend(tmp_path):
+    """Outage -> CPU fallback -> recovery -> promoted re-run (VERDICT r04
+    item 1b). The probe command is a sentinel-file check so the outage and
+    the recovery are scripted; MLAR_BENCH_FORCE_CPU keeps the promoted
+    child's compute on the CPU host (fast, deterministic) — the promotion
+    MACHINERY (background prober, child re-exec, record streaming, labels)
+    is exactly the production path. The driver's parse (last JSON line)
+    must see the promoted child's record, not the CPU fallback."""
+    sentinel = tmp_path / "backend_up"
+    out_file = tmp_path / "bench_out"
+    with open(out_file, "w") as fh:
+        p = subprocess.Popen(
+            [sys.executable, "bench.py", "2"], cwd=REPO,
+            stdout=fh, stderr=subprocess.DEVNULL, text=True,
+            env=_env(MLAR_BENCH_PROBE_CMD=f"test -f {sentinel}",
+                     MLAR_BENCH_PROBE_INTERVAL_S="0.5",
+                     MLAR_BENCH_BACKEND_WAIT_S="3",
+                     MLAR_BENCH_FORCE_CPU="1",
+                     MLAR_BENCH_WATCHDOG_S="540",
+                     MLAR_BENCH_HARD_BUDGET_S="1",
+                     MLAR_BENCH_BUDGET_S="1"))
+    try:
+        # wait for the labeled CPU fallback to land, then "restore" the
+        # accelerator; the still-running prober must pick it up
+        deadline = time.time() + 300
+        while time.time() < deadline:
+            if "backend_fallback" in out_file.read_text():
+                break
+            time.sleep(0.5)
+        else:
+            raise AssertionError(
+                f"no CPU fallback within 300s:\n{out_file.read_text()[-2000:]}")
+        sentinel.touch()
+        p.wait(timeout=520)
+    finally:
+        if p.poll() is None:
+            p.kill()
+            p.wait()
+    stdout = out_file.read_text()
+    rec = _last_record(stdout)
+    _assert_valid(rec)
+    assert p.returncode == 0
+    extra = rec.get("extra", {})
+    assert extra.get("promoted_after_recovery") is True, (
+        f"last record is not the promoted child's:\n{stdout[-2000:]}")
+    assert "backend_fallback" not in extra
+    assert not extra.get("provisional")
+    assert rec["value"] > 0
 
 
 def test_sigterm_leaves_parseable_record(tmp_path):
