@@ -104,10 +104,18 @@ def _fast_bwd(residuals, g):
     gates_tm, w_hh, h0, c0 = residuals
 
     def f(gx, w, h, c):
-        out, (hf, cf) = lstm_recurrence_scan(gx, w, carry=(h, c),
-                                             return_carry=True,
-                                             time_major=True)
-        return out, hf, cf
+        # f32 carries (the Pallas primal's state dtype) so a bf16 caller's
+        # recompute matches the kernel's internal precision
+        out, (hf, cf) = lstm_recurrence_scan(
+            gx, w, carry=(h.astype(jnp.float32), c.astype(jnp.float32)),
+            return_carry=True, time_major=True)
+        # match the primal's dtype contract (out at the gates dtype,
+        # carries f32 — ops/pallas/lstm.py) so jax.vjp accepts the
+        # primal's cotangents under bf16 compute; without the casts any
+        # grad through a bf16 impl='pallas' LSTM fails with a cotangent
+        # dtype ValueError
+        return out.astype(gx.dtype), hf.astype(jnp.float32), \
+            cf.astype(jnp.float32)
 
     _, vjp = jax.vjp(f, gates_tm, w_hh, h0, c0)
     return vjp(g)

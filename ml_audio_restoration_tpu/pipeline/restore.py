@@ -184,6 +184,14 @@ class RestorationPipeline:
         batch is sharded across it (multi-chip serving scale-out; the
         reference is strictly single-device, inference.py:59-95)."""
         self.config = config or PipelineConfig()
+        if self.config.lstm_impl not in (None, "scan", "pallas"):
+            # 'pallas_train' is the TRAINING kernel: it materializes the
+            # activation + cell sequences as residual outputs (~5x the
+            # output HBM traffic) and must never serve inference; typos
+            # would otherwise silently route the scan fallback
+            raise ValueError(
+                f"PipelineConfig.lstm_impl={self.config.lstm_impl!r}: "
+                "serving accepts None (auto), 'scan' or 'pallas'")
         self.denoiser = denoiser
         self.super_resolution = super_resolution
         self.stereo = stereo

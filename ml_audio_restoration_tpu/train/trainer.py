@@ -93,6 +93,13 @@ class Trainer:
             on_tpu = jax.devices()[0].platform == "tpu"
             impl = self.cfg.lstm_impl or (
                 "pallas_train" if on_tpu else "auto")
+            if impl == "pallas":
+                # the INFERENCE kernel under grad recomputes the scan
+                # forward in its VJP (paying both kernels) and rejects
+                # bf16 cotangents outright — an explicit 'pallas' means
+                # "the Pallas recurrence", which for the differentiated
+                # step is the fused train kernel
+                impl = "pallas_train"
             self._apply_kwargs = {"lstm_impl": impl}
             # no-grad render/eval forwards take the inference kernel (no
             # residual writes); an explicit config choice applies to both

@@ -59,6 +59,7 @@ def test_cli_restore_smoke(data_dir, tmp_path):
     assert data.shape[0] == 2 * SR
 
 
+@pytest.mark.slow
 def test_cli_stream_smoke(data_dir, tmp_path, capsys):
     """`cli stream`: two recordings of different lengths ride as lockstep
     streams (the shorter zero-padded, trimmed back on save); int8 scales
@@ -92,6 +93,7 @@ def test_cli_stream_smoke(data_dir, tmp_path, capsys):
     assert set(json.load(open(scales))) == {"denoiser"}
 
 
+@pytest.mark.slow
 def test_cli_stream_rewrites_undercovering_scales(data_dir, tmp_path,
                                                   recwarn):
     """An --int8-scales file calibrated with a stage disabled is
@@ -439,6 +441,7 @@ def test_profiler_trace_writes_xplane(tmp_path):
         xplane_top_ops(str(tmp_path / "nope"))
 
 
+@pytest.mark.slow
 def test_measured_presets_load_and_run(data_dir, tmp_path):
     """The measured-win presets (VERDICT r02 item 6) load and actually run:
     fast_serve through the pipeline CLI, stereo_fast_train one step."""

@@ -401,6 +401,40 @@ class TestPallasLSTM:
             plstm.lstm_recurrence_pallas_train = orig_t
             plstm.lstm_recurrence_pallas_bwd = orig_b
 
+    def test_pallas_inference_impl_grads_bf16(self, rng):
+        """Regression (ADVICE r04): grad through a bf16 impl='pallas' LSTM
+        used to fail with a cotangent dtype ValueError — the Pallas primal
+        outputs at the gates dtype (bf16) while _fast_bwd's scan recompute
+        returned f32. The recompute now casts to the primal's dtype
+        contract; grads must flow and match the scan's within bf16 noise."""
+        import jax
+        from ml_audio_restoration_tpu import ops
+        from ml_audio_restoration_tpu.ops.pallas import lstm as plstm
+
+        orig = plstm.lstm_recurrence_pallas
+        plstm.lstm_recurrence_pallas = lambda *a, **k: orig(
+            *a, **{**k, "interpret": True})
+        try:
+            p = ops.lstm_init(jax.random.PRNGKey(0), 8, 4)
+            p16 = jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.bfloat16), p)
+            x = jnp.asarray(
+                rng.normal(size=(2, 60, 8)) * 0.3).astype(jnp.bfloat16)
+
+            def loss(params, impl):
+                return jnp.sum(
+                    ops.lstm(x, params, impl=impl).astype(jnp.float32) ** 2)
+
+            got = jax.grad(lambda p_: loss(p_, "pallas"))(p16)
+            want = jax.grad(lambda p_: loss(p_, "scan"))(p16)
+            for k in want:
+                np.testing.assert_allclose(
+                    _np(got[k]).astype(np.float32),
+                    _np(want[k]).astype(np.float32),
+                    atol=0.15, rtol=0.1, err_msg=k)
+        finally:
+            plstm.lstm_recurrence_pallas = orig
+
     def test_scan_impl_grads_flow(self, rng):
         import jax
         from ml_audio_restoration_tpu import ops

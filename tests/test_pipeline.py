@@ -440,6 +440,7 @@ def test_restore_many_full_config_combos(pipeline_stages, rng):
                                    atol=1e-6, rtol=0)
 
 
+@pytest.mark.slow
 def test_restore_many_int8(pipeline_stages, rng):
     """Coalescing composes with int8 serving: scales auto-calibrate on the
     first recording (shared _ensure_int8) and the combined program runs the
@@ -751,6 +752,23 @@ def test_stereo_sub_cfg_uses_effective_rate():
     doubled = stereo_sub_cfg(cfg, stage_len=10 ** 9, f=2, sample_rate=44100)
     assert same == base
     assert abs(doubled[0] - 2 * base[0]) <= 4  # packing-grid rounding
+
+
+def test_pipeline_rejects_training_lstm_impl():
+    """Regression (ADVICE r04): PipelineConfig.lstm_impl was never
+    validated — 'pallas_train' (the training kernel, which materializes
+    acts+cell-seq residuals at ~5x the output HBM traffic) or any typo
+    would flow silently into serving. The pipeline must reject anything
+    outside {None, 'scan', 'pallas'} at construction."""
+    import pytest as _pytest
+
+    from ml_audio_restoration_tpu.pipeline import RestorationPipeline
+
+    for bad in ("pallas_train", "palas", "auto "):
+        with _pytest.raises(ValueError, match="lstm_impl"):
+            RestorationPipeline(config=PipelineConfig(lstm_impl=bad))
+    for ok in (None, "scan", "pallas"):
+        RestorationPipeline(config=PipelineConfig(lstm_impl=ok))
 
 
 def test_apply_stereo_small_batch_falls_back_from_pallas():

@@ -151,6 +151,105 @@ def test_denoiser_training_restores_heldout_quality():
     assert m["lsd_restored"] < m["lsd_degraded"] - 5.0, m
 
 
+def _wide_stereo_clip(rng, n, sr):
+    """Two independent 2-tone stacks, one panned hard-ish left and one
+    hard-ish right (constant-power), plus independent low-level noise per
+    channel — targets land at genuinely wide statistics (corpus mean
+    corr ~0.33, width ~0.34; a single-pan corpus measured corr 0.985 /
+    width 0.048, a degenerate gate)."""
+    t = np.arange(n) / sr
+
+    def stack():
+        x = np.zeros(n, np.float32)
+        for _ in range(2):
+            f = rng.uniform(120, sr * 0.4)
+            x += rng.uniform(0.15, 0.3) * np.sin(
+                2 * np.pi * f * t + rng.uniform(0, 6.28))
+        return x.astype(np.float32)
+
+    s1, s2 = stack(), stack()
+    th1 = rng.uniform(0, np.pi / 8)
+    th2 = rng.uniform(3 * np.pi / 8, np.pi / 2)
+    left = s1 * np.cos(th1) + s2 * np.cos(th2) + 0.02 * rng.normal(size=n)
+    right = s1 * np.sin(th1) + s2 * np.sin(th2) + 0.02 * rng.normal(size=n)
+    out = np.stack([left, right]).astype(np.float32)
+    out *= 0.5 / max(1e-6, np.abs(out).max())
+    return out.astype(np.float32)
+
+
+class _StereoCorpus:
+    pairing = "mono_target_stereo"
+
+    def __init__(self, n, seed):
+        rng = np.random.default_rng(seed)
+        self.items = [_wide_stereo_clip(rng, CHUNK, SR) for _ in range(n)]
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, i):
+        return {"stereo": self.items[i]}
+
+
+@pytest.mark.slow
+def test_stereo_training_matches_target_statistics():
+    """Third-model gate (VERDICT r04 item 3): the StereoSeparator is the
+    headline quality feature (mid-exact upmix, +3.6 dB chain SNR —
+    docs/RESULTS.md) yet a stereo-loss-weight regression would have passed
+    all 401 round-4 tests. Short fixed-seed stats-match training
+    (config/stereo_width.yaml semantics: stats_match_weight=1.0,
+    losses/stereo.py::stereo_stats_match_loss) must land the upmix's
+    width/correlation far closer to the target statistics than the
+    mono-duplicate baseline (corr 1.0, width 0.0), and the mid-exact
+    serving mode must keep the input mid bit-near-exactly.
+
+    Calibrated in the suite's env (2026-08-20): target corr 0.331 /
+    width 0.342 -> baseline distance 1.011; model distance 0.445 @10
+    epochs, 0.164 @20, 0.202 @30 (gate: <0.6x baseline at 20 epochs).
+    Protects train/trainer.py's stereo loss wiring (reference
+    src/training/stereo_losses.py:7-87, trainer.py:227-254)."""
+    from ml_audio_restoration_tpu.audio import load_audio, normalize_audio
+    from ml_audio_restoration_tpu.evaluate import evaluate_stereo
+    from ml_audio_restoration_tpu.models import stereo_separator
+
+    losses, stage = _train(
+        "stereo_separator", stereo_separator, _StereoCorpus(16, 100),
+        epochs=20, lr=5e-4, sr=SR, acfg=ArtifactConfig(),
+        stats_match_weight=1.0)
+    assert losses[-1] < 0.8 * losses[0], (
+        f"training barely moved the loss: {losses[0]:.2f}->{losses[-1]:.2f}")
+
+    held = _held_out(_wide_stereo_clip, 2.0, SR)
+    pipe = RestorationPipeline(
+        stereo=stage,
+        config=PipelineConfig(chunk_seconds=1.0, overlap_seconds=0.05,
+                              enable_super_resolution=False))
+    m = evaluate_stereo(pipe, [held], sample_rate=SR, seconds=2.0)
+    dist = (abs(m["correlation_upmix"] - m["correlation_target"])
+            + abs(m["width_upmix"] - m["width_target"]))
+    baseline = abs(1.0 - m["correlation_target"]) + m["width_target"]
+    assert dist < 0.6 * baseline, (
+        f"upmix statistics no closer to target than a mono duplicate: "
+        f"model distance {dist:.3f} vs baseline {baseline:.3f} ({m})")
+
+    # mid-exactness: the stereo_mid_exact serving mode rebuilds L/R around
+    # the true input mid — the upmix cannot degrade mono fidelity
+    # (calibrated dev 1.5e-8; gate well above float noise, far below
+    # audible)
+    pipe_me = RestorationPipeline(
+        stereo=stage,
+        config=PipelineConfig(chunk_seconds=1.0, overlap_seconds=0.05,
+                              enable_super_resolution=False,
+                              stereo_mid_exact=True))
+    stereo, _ = load_audio(held, SR, mono=False)
+    mono = np.asarray(normalize_audio(stereo)).mean(
+        axis=0, keepdims=True)[:, :2 * SR]
+    up, _ = pipe_me.restore(mono, SR)
+    up = np.asarray(up)[:, :mono.shape[1]]
+    mid = (up[0] + up[1]) / 2
+    assert np.abs(mid - mono[0]).max() < 1e-5
+
+
 @pytest.mark.slow
 def test_super_resolution_beats_linear_interpolation():
     losses, stage = _train(

@@ -186,6 +186,7 @@ def test_pipeline_int8_autocalibrates_and_tracks_f32(rng_module):
     assert pq._int8_version == v
 
 
+@pytest.mark.slow
 def test_pipeline_int8_subchunk_stereo_stays_float(rng_module):
     """At sub-chunked stereo windows (fast_serve), int8 applies to the
     denoiser/SR only — the stereo stage runs the same plain float path as
@@ -234,6 +235,7 @@ def test_pipeline_int8_with_source_rate_stereo(rng_module):
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pipeline_int8_scales_roundtrip(tmp_path, rng_module):
     audio = (rng_module.normal(size=(1, 11025)) * 0.15).astype(np.float32)
     cfg = PipelineConfig(chunk_seconds=0.4, quantize_int8=True)
@@ -297,6 +299,7 @@ def test_pipeline_int8_stale_scales_clear_error(tmp_path, rng_module):
         pq.restore(audio)
 
 
+@pytest.mark.slow
 def test_pipeline_int8_missing_stage_scales_recalibrate(tmp_path,
                                                         rng_module):
     """A loaded scales file calibrated with a stage disabled (e.g. a
@@ -395,6 +398,7 @@ def test_streaming_int8_preloaded_scales_respect_packed_gate(rng_module):
     np.testing.assert_array_equal(want, out)
 
 
+@pytest.mark.slow
 def test_warmup_with_uncovered_scales_skips_not_crashes(rng_module):
     """warmup() must run the same scales-coverage gate as restore(): a
     loaded scales file lacking an enabled stage previously KeyErrored the

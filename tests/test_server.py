@@ -25,6 +25,13 @@ from ml_audio_restoration_tpu.pipeline.server import (restore_over_http,
 
 SR = 22050
 
+# fast-lane contract (VERDICT r04 item 4): the daemon tests dominate the
+# suite's wall time (37 tests, thread/socket waits, a subprocess CLI smoke)
+# — they run in the full lane only; `pytest -m "not slow"` is the <15 min
+# iteration lane. Server coverage in the fast lane comes from
+# test_streaming.py (the compute path the daemons wrap).
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def dn_stage():

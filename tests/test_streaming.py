@@ -278,6 +278,7 @@ def test_streaming_int8_close_to_float(stages, audio):
     assert np.max(np.abs(got - gotf)) > 0
 
 
+@pytest.mark.slow
 def test_streaming_int8_scales_interchange_with_pipeline(stages, audio,
                                                          tmp_path):
     """The streaming and batch pipelines run the SAME packed forwards, so

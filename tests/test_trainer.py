@@ -177,6 +177,105 @@ def test_optional_stereo_losses_enabled(tmp_path):
     assert np.isfinite(loss)
 
 
+def test_explicit_pallas_impl_maps_to_train_kernel():
+    """Regression (ADVICE r04): TrainConfig.lstm_impl='pallas' is the
+    INFERENCE kernel — under grad it recomputes the scan forward (double
+    cost) and rejects bf16 cotangents. The Trainer must route an explicit
+    'pallas' to the fused train kernel for the differentiated step while
+    keeping it for the no-grad render/eval forwards."""
+    ds = ToyDataset(n=4, key="stereo", ch=2)
+    ds.pairing = "mono_target_stereo"
+    params, state = stereo_separator.init(jax.random.PRNGKey(0))
+    loader = DataLoader(ds, batch_size=4, num_workers=1, seed=0)
+    cfg = TrainConfig(model="stereo_separator", lstm_impl="pallas")
+    tr = Trainer("stereo_separator", params, state, loader, None, config=cfg,
+                 artifact_config=_quiet_artifacts())
+    assert tr._apply_kwargs == {"lstm_impl": "pallas_train"}
+    assert tr._eval_apply_kwargs == {"lstm_impl": "pallas"}
+
+
+@pytest.mark.slow
+def test_pallas_train_loss_trajectory_tracks_scan():
+    """VERDICT r04 item 2: pallas_train became the stereo training default
+    on a 6-step trajectory; this pins a 52-step trajectory (real Trainer,
+    interpret-mode kernels) against the scan under stated bounds.
+
+    Calibrated 2026-08-21 (CHUNK=512, batch 4, lr 1e-3, stats-match loss):
+    step-1 losses IDENTICAL (exact gradients at init), step-2 rel diff
+    2e-5, then chaotic Adam amplification of ~1e-5 f32 reassociation noise
+    peaks at 13.7% (step 30) and ends ~9% — the trajectories are
+    different-but-equivalent optimization paths, which is why final
+    QUALITY equivalence is certified separately at full budget
+    (scripts/pallas_train_cert.py, docs/RESULTS.md). A kernel-gradient
+    BUG shows up here as step-1/2 divergence or a non-learning arm."""
+    from ml_audio_restoration_tpu.ops.pallas import lstm as plstm
+
+    chunk = 512
+    steps = 52
+
+    def sine(i, n):
+        t = np.arange(n) / 22050
+        x = (0.3 * np.sin(2 * np.pi * (150 + 9 * i) * t)).astype(np.float32)
+        return np.stack([x, 0.5 * x])
+
+    class DS:
+        pairing = "mono_target_stereo"
+
+        def __len__(self):
+            return 16
+
+        def __getitem__(self, i):
+            return {"stereo": sine(i, chunk)}
+
+    shims = {}
+    for fn in ("lstm_recurrence_pallas_train", "lstm_recurrence_pallas_bwd",
+               "lstm_recurrence_pallas"):
+        shims[fn] = getattr(plstm, fn)
+        setattr(plstm, fn,
+                (lambda o: lambda *a, **k: o(*a, **{**k, "interpret": True})
+                 )(shims[fn]))
+    try:
+        def run(impl):
+            params, state = stereo_separator.init(jax.random.PRNGKey(0))
+            loader = DataLoader(DS(), batch_size=4, num_workers=1, seed=0)
+            cfg = TrainConfig(model="stereo_separator", learning_rate=1e-3,
+                              lstm_impl=impl, stats_match_weight=1.0)
+            tr = Trainer("stereo_separator", params, state, loader, None,
+                         config=cfg, artifact_config=_quiet_artifacts(),
+                         sample_rate=22050)
+            losses = []
+            key = jax.random.PRNGKey(7)
+            step = 0
+            while step < steps:
+                for b in tr.train_loader:
+                    tr.state, m = tr._train_step(
+                        tr.state, b, jax.random.fold_in(key, step))
+                    losses.append(float(m["loss"]))
+                    step += 1
+                    if step >= steps:
+                        break
+            return np.array(losses)
+
+        scan = run("scan")
+        pallas = run("pallas_train")
+    finally:
+        for fn, orig in shims.items():
+            setattr(plstm, fn, orig)
+
+    rel = np.abs(pallas - scan) / np.maximum(np.abs(scan), 1e-6)
+    # exact gradients at init: the first update must match to float noise
+    assert rel[0] < 1e-6, f"step-1 loss diverged: {scan[0]} vs {pallas[0]}"
+    assert rel[1] < 1e-3, f"step-2 loss diverged: {scan[1]} vs {pallas[1]}"
+    # chaotic-but-bounded thereafter (calibrated max 0.137)
+    assert rel.max() < 0.25, (
+        f"trajectory divergence {rel.max():.3f} at step {rel.argmax()} "
+        "exceeds the calibrated chaotic band")
+    assert rel[-1] < 0.2, f"final-step divergence {rel[-1]:.3f}"
+    # both arms must actually learn
+    assert scan[-5:].mean() < 0.6 * scan[0]
+    assert pallas[-5:].mean() < 0.6 * pallas[0]
+
+
 def test_log_audio_samples(tmp_path):
     """Regression: audio logging must be jitted (eager apply stalls) and
     fold_in keys must be non-negative (epoch-10 crash)."""
