@@ -108,7 +108,10 @@ def _held_out(make, seconds, sr):
     rng = np.random.default_rng(999)
     d = tempfile.mkdtemp(prefix="qgate_")
     path = os.path.join(d, "held.wav")
-    save_audio(path, make(rng, int(seconds * sr), sr)[None], sr)
+    clip = make(rng, int(seconds * sr), sr)
+    if clip.ndim == 1:  # mono makers return [T]; the stereo maker [2, T]
+        clip = clip[None]
+    save_audio(path, clip, sr)
     return path
 
 
