@@ -115,17 +115,30 @@ def batch_norm_train(x, scale, bias, running_mean, running_var, *,
 
     If `axis_name` is given, batch statistics are synchronized across that
     mesh axis (sync-BN over the data-parallel axis via psum).
+
+    Statistics are computed in f32 REGARDLESS of x's dtype (the standard
+    AMP contract, torch autocast keeps *_norm in f32): in bf16 the
+    E[x2] - E[x]2 cancellation loses all ~3 significant digits whenever
+    var << mean^2, goes negative, and rsqrt(v + eps) turns the whole
+    forward NaN — reproduced at step 2 of a bf16 denoiser gate run
+    (2026-08-21). The clamp guards the same cancellation at f32 precision.
+    Output returns in x's dtype; running stats stay f32.
     """
+    f32 = jnp.float32
+    xf = x.astype(f32)
     n = x.shape[0] * x.shape[1]
-    m = jnp.mean(x, axis=(0, 1))
-    sq = jnp.mean(jnp.square(x), axis=(0, 1))
+    m = jnp.mean(xf, axis=(0, 1))
+    sq = jnp.mean(jnp.square(xf), axis=(0, 1))
     if axis_name is not None:
         m = lax.pmean(m, axis_name)
         sq = lax.pmean(sq, axis_name)
         n = n * lax.psum(1, axis_name)
-    v = sq - jnp.square(m)
-    y = (x - m) * lax.rsqrt(v + eps) * scale + bias
+    v = jnp.maximum(sq - jnp.square(m), 0.0)
+    y = ((xf - m) * lax.rsqrt(v + eps) * scale.astype(f32)
+         + bias.astype(f32)).astype(x.dtype)
     unbiased = v * (n / max(n - 1, 1))
-    new_mean = (1 - momentum) * running_mean + momentum * m
-    new_var = (1 - momentum) * running_var + momentum * unbiased
+    new_mean = (1 - momentum) * running_mean + momentum * m.astype(
+        running_mean.dtype)
+    new_var = (1 - momentum) * running_var + momentum * unbiased.astype(
+        running_var.dtype)
     return y, new_mean, new_var

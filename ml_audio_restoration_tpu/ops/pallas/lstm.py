@@ -96,7 +96,8 @@ def _lstm_kernel(gx_ref, whh_ref, h0_ref, c0_ref, out_ref, hf_ref, cf_ref,
     jax.lax.fori_loop(0, block_t, step, 0)
 
 
-def _auto_block_t(bp: int, g4: int, h_dim: int, itemsize: int) -> int:
+def _auto_block_t(bp: int, g4: int, h_dim: int, itemsize: int,
+                  t: int = 0) -> int:
     """Largest block_t in {64, ..., 1} whose VMEM working set fits a ~8 MB
     budget inside the ~16 MB scoped-VMEM limit. Accounted per grid step:
     gates-in + out blocks (x2 — Pallas double-buffers grid blocks), plus
@@ -106,14 +107,29 @@ def _auto_block_t(bp: int, g4: int, h_dim: int, itemsize: int) -> int:
     config); at the f32 batch-640 sub-chunked shape it reaches 4 —
     block_t=8 there measured a 16.25 MB
     scoped allocation against the 16 MB limit (bench 2026-08-20), which
-    is why the budget prices every buffer, not just the gates."""
+    is why the budget prices every buffer, not just the gates.
+
+    When the true step count `t` is given, a block length that DIVIDES t
+    is preferred within one halving of the budget-best size: padding t up
+    to the block grid materializes a full copy of the gates array
+    (measured 0.55 ms per streaming feed at T=22048->22080, 2.2 ms per
+    stereo train step at T=44100->44160 — round-5 itemization), while one
+    halving only doubles the tiny per-block grid overhead. Beyond one
+    halving the extra grid steps cost more than the pad (T=44100's
+    largest fitting divisor is 4 — keep 64 and pad)."""
     budget = 8 * 1024 * 1024
     resident = (h_dim * g4 + 6 * bp * h_dim) * 4  # w_hh + h0/c0/hf/cf/scratch
+    best = 1
     for bt in (64, 32, 16, 8, 4, 2, 1):
         working = 2 * bt * bp * (g4 + h_dim) * itemsize + resident
         if working <= budget or bt == 1:
-            return bt
-    return 1
+            best = bt
+            break
+    if t:
+        for bt in (best, max(1, best // 2)):
+            if t % bt == 0:
+                return bt
+    return best
 
 
 def lstm_recurrence_pallas(gates_x, w_hh, carry=None, *, block_t: int = 0,
@@ -142,7 +158,8 @@ def lstm_recurrence_pallas(gates_x, w_hh, carry=None, *, block_t: int = 0,
     bp = _round_up(b, 8)
     dtype = gates_x.dtype
     if block_t <= 0:
-        block_t = _auto_block_t(bp, g4, h_dim, jnp.dtype(dtype).itemsize)
+        block_t = _auto_block_t(bp, g4, h_dim, jnp.dtype(dtype).itemsize,
+                                t=t)
     tp = _round_up(t, block_t)
 
     gx = gates_x if time_major else jnp.transpose(gates_x, (1, 0, 2))
@@ -309,15 +326,24 @@ def _lstm_train_bwd_kernel(acts_ref, cseq_ref, cprev_ref, hprev_ref,
         dwhh_ref[:] = dw_ref[:]
 
 
-def _auto_block_t_train(bp: int, h_dim: int) -> int:
+def _auto_block_t_train(bp: int, h_dim: int, t: int = 0) -> int:
     """Block sizing for the training kernels (all f32): the backward
-    streams 8H-wide inputs + 4H-wide dgx per step, double-buffered."""
+    streams 8H-wide inputs + 4H-wide dgx per step, double-buffered.
+    Same divide-t-within-one-halving preference as _auto_block_t (the
+    2-s stereo T=44100 divides by neither 64 nor 32, so the default
+    shape keeps 64 and pays the 2.2 ms pad — other T shapes benefit)."""
     budget = 8 * 1024 * 1024
     resident = (h_dim * 4 * h_dim + 8 * bp * h_dim + 4 * h_dim * h_dim) * 4
+    best = 1
     for bt in (64, 32, 16, 8, 4, 2, 1):
         if 2 * bt * bp * 12 * h_dim * 4 + resident <= budget or bt == 1:
-            return bt
-    return 1
+            best = bt
+            break
+    if t:
+        for bt in (best, max(1, best // 2)):
+            if t % bt == 0:
+                return bt
+    return best
 
 
 def lstm_recurrence_pallas_train(gates_x, w_hh, carry=None, *,
@@ -337,7 +363,7 @@ def lstm_recurrence_pallas_train(gates_x, w_hh, carry=None, *,
     h_dim = g4 // 4
     bp = _round_up(b, 8)
     if block_t <= 0:
-        block_t = _auto_block_t_train(bp, h_dim)
+        block_t = _auto_block_t_train(bp, h_dim, t=t)
     tp = _round_up(t, block_t)
 
     # gates stream at their OWN dtype (bf16 under AMP = half the read
