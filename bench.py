@@ -49,9 +49,10 @@ sys.path.insert(0, ".")
 #     the only protection that works while the main thread is wedged inside
 #     a C-level jax/relay call, where Python signal handlers cannot run;
 #   * worst-case defaults are cut so a cold run self-bounds well inside any
-#     plausible external timeout (backend wait 240 s, hard budget 360 s,
+#     plausible external timeout (backend wait 240 s, hard budget 420 s,
 #     watchdog = wait + hard + 120 s; all env-overridable for long local
-#     measurement sessions).
+#     measurement sessions). Even if an external kill lands first, the
+#     progressive record lines already printed still parse.
 
 _RECORD: dict = {
     "metric": "full_pipeline_xrt",
@@ -464,8 +465,13 @@ def main():
     # past the hard budget, so the cut budgets cost completeness only on a
     # congested relay — where wall numbers were weather anyway.
     backend_wait_s = float(os.environ.get("MLAR_BENCH_BACKEND_WAIT_S", "240"))
+    # 420 (was 360): a congested-relay run burns ~230 s on the in-process
+    # congestion probe alone (r5 measured) and then hard-skipped every
+    # train/streaming extra; with progressive records + SIGTERM dump the
+    # cost of running slightly longer than an external timeout is zero
+    # (the last printed snapshot still parses), so the budget leans larger
     hard_budget_default = float(
-        os.environ.get("MLAR_BENCH_HARD_BUDGET_S", "360"))
+        os.environ.get("MLAR_BENCH_HARD_BUDGET_S", "420"))
     _arm_watchdog(float(os.environ.get(
         "MLAR_BENCH_WATCHDOG_S",
         str(backend_wait_s + hard_budget_default + 120.0))))
@@ -735,15 +741,28 @@ def main():
     # source-rate stereo (config/fast_serve_src.yaml): the side is
     # predicted at the pre-SR rate — half the LSTM steps, measured 1708x
     # device-side (docs/PERFORMANCE.md "Source-rate stereo")
+    src_cfg = dataclasses.replace(fs_cfg, stereo_source_rate=True)
     if budget_ok("fast_serve_src_xrt"):
         try:
-            src_cfg = dataclasses.replace(fs_cfg, stereo_source_rate=True)
             sp = RestorationPipeline(**stages, config=src_cfg)
             xrt, basis = measure_pipeline(sp)
             extra["fast_serve_src_xrt"] = round(xrt, 1)
             bases["fast_serve_src_xrt"] = basis
         except Exception as e:  # noqa: BLE001 - one extra must not kill the record
             record_error("fast_serve_src_xrt", e)
+    # ...and composed with int8 conv stacks — the fastest measured serving
+    # configuration (2106x device in the round-4 ablate runs); previously
+    # only the ablate scripts measured it, so the official record lacked
+    # the best number the repo ships
+    if budget_ok("fast_serve_src_int8_xrt"):
+        try:
+            qsrc_cfg = dataclasses.replace(src_cfg, quantize_int8=True)
+            qsp = RestorationPipeline(**stages, config=qsrc_cfg)
+            xrt, basis = measure_pipeline(qsp)
+            extra["fast_serve_src_int8_xrt"] = round(xrt, 1)
+            bases["fast_serve_src_int8_xrt"] = basis
+        except Exception as e:  # noqa: BLE001 - one extra must not kill the record
+            record_error("fast_serve_src_int8_xrt", e)
     _publish()
 
     # coalesced short-request serving (restore_many — the HTTP daemon's
@@ -825,6 +844,30 @@ def main():
             except RuntimeError:
                 skipped.append("no device plane at serve_latency_p50_ms")
 
+
+    # concurrent-stream serving: B live streams batched through one compiled
+    # streaming step (pipeline/streaming.py)
+    if budget_ok("streaming_streams_at_realtime"):
+        try:
+            stream_stats, basis = _streaming_throughput(stages,
+                                                        basis=basis_now())
+            extra.update(stream_stats)
+            bases["streaming_streams_at_realtime"] = basis
+        except Exception as e:  # noqa: BLE001 - one extra must not kill the record
+            record_error("streaming_streams_at_realtime", e)
+    # the streaming throughput preset (bf16 compute + source-rate stereo —
+    # measured 1049 vs 541 realtime streams device-side, docs/PERFORMANCE.md
+    # "bf16 streaming"); f32 above stays the BASELINE-comparable contract
+    if budget_ok("streaming_bf16_src_streams_at_realtime"):
+        try:
+            stream_stats, basis = _streaming_throughput(
+                stages, basis=basis_now(), label="streaming_bf16_src",
+                compute_dtype="bfloat16", source_rate=True)
+            extra.update(stream_stats)
+            bases["streaming_bf16_src_streams_at_realtime"] = basis
+        except Exception as e:  # noqa: BLE001 - one extra must not kill the record
+            record_error("streaming_bf16_src_streams_at_realtime", e)
+
     # training throughput, all three families (BASELINE config 5 is the
     # denoiser one: batch 2, 2-s chunks, combined time-MSE + spectral loss;
     # on-device degradation included for the denoiser)
@@ -856,29 +899,6 @@ def main():
         except Exception as e:  # noqa: BLE001 - one extra must not kill the record
             record_error(tag, e)
     _publish()
-
-    # concurrent-stream serving: B live streams batched through one compiled
-    # streaming step (pipeline/streaming.py)
-    if budget_ok("streaming_streams_at_realtime"):
-        try:
-            stream_stats, basis = _streaming_throughput(stages,
-                                                        basis=basis_now())
-            extra.update(stream_stats)
-            bases["streaming_streams_at_realtime"] = basis
-        except Exception as e:  # noqa: BLE001 - one extra must not kill the record
-            record_error("streaming_streams_at_realtime", e)
-    # the streaming throughput preset (bf16 compute + source-rate stereo —
-    # measured 1049 vs 541 realtime streams device-side, docs/PERFORMANCE.md
-    # "bf16 streaming"); f32 above stays the BASELINE-comparable contract
-    if budget_ok("streaming_bf16_src_streams_at_realtime"):
-        try:
-            stream_stats, basis = _streaming_throughput(
-                stages, basis=basis_now(), label="streaming_bf16_src",
-                compute_dtype="bfloat16", source_rate=True)
-            extra.update(stream_stats)
-            bases["streaming_bf16_src_streams_at_realtime"] = basis
-        except Exception as e:  # noqa: BLE001 - one extra must not kill the record
-            record_error("streaming_bf16_src_streams_at_realtime", e)
 
     # multi-file directory serving: decode(i+1) and write(i-1) are pipelined
     # around the device running file i (pipeline/restore.py
