@@ -119,6 +119,15 @@ class TrainConfig:
     # verified exact vs the scan VJP), lax.scan elsewhere. 'scan' forces
     # the reference formulation; ignored by the conv-only families.
     lstm_impl: Optional[str] = None
+    # packed (space-to-depth) convs in the DENOISER train step: None routes
+    # by backend — True on TPU (the C=32/64 stages are lane-padded 4x/2x in
+    # HBM; the packed train forward measured the isolated stages 2.2x and
+    # the full step 59.2 -> 31.8 ms = 540 -> 1006 audio-s/s —
+    # docs/PERFORMANCE.md round-5 "Train-step rooflines"), False elsewhere/
+    # for other families. Outputs, BN stats and gradients equal the plain
+    # path up to float reassociation
+    # (models/denoiser.py::apply_train_packed).
+    packed_convs: Optional[bool] = None
     # data-parallel mesh axis size (1 = single chip)
     data_parallel: int = 1
     sync_batchnorm: bool = False

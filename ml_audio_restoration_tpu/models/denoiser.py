@@ -113,8 +113,15 @@ def encode(params, state, x, train: bool = False,
 
 
 def apply(params, state, x, train: bool = False,
-          axis_name: str | None = None):
-    """x: [B, T, in_ch] -> ([B, T, out_ch], new_state)."""
+          axis_name: str | None = None, packed: bool = False):
+    """x: [B, T, in_ch] -> ([B, T, out_ch], new_state).
+
+    packed=True routes TRAIN-mode forwards through apply_train_packed
+    (2.2x on the lane-padded low-C stages — round-5 probe) when the shape
+    qualifies; eval forwards and non-qualifying shapes use this plain
+    path (serving has its own packed path, apply_packed)."""
+    if packed and train and x.shape[1] % 4 == 0 and x.shape[2] == 1:
+        return apply_train_packed(params, state, x, axis_name)
     input_audio = x
     new_state = {"encoder": [], "decoder": []}
 
@@ -340,6 +347,114 @@ def apply_packed(params, state, x, q=None):
     denoised = qconv("final", h, fc["w"], fc["b"], op=packed_conv_r,
                      requant=False, r_in=4, r_out=1, padding=0, t_in=t)
     return denoised * (1.0 - combined * 0.9)
+
+
+def apply_train_packed(params, state, x, axis_name: str | None = None):
+    """TRAIN-mode forward with the C<=64 stages r-packed — same block
+    structure as apply_packed (round 3, eval/folded-BN) but with live
+    batch-norm statistics (ops/conv.py::batch_norm_train_packed: exact
+    per-channel stats over the (r, C) reshape) and no weight folding, so
+    outputs, running-stat updates AND gradients equal apply(train=True) up
+    to float reassociation (pinned by tests/test_framework.py).
+
+    Motivation (round-5 train-step roofline, docs/PERFORMANCE.md): the
+    dominant train-step fusions are C=32/64 NWC tensors lane-padded
+    4x/2x in HBM; the isolated probe (scripts/pack_train_probe.py)
+    measured the packed formulation 2.2x faster fwd+bwd on exactly these
+    stages. Requires t % 4 == 0 and mono in/out (the Trainer falls back
+    to apply() otherwise). x: [B, t, 1] -> ([B, t, 1], new_state)."""
+    from ..ops import batch_norm_train_packed
+
+    b_sz, t, cin = x.shape
+    assert t % 4 == 0 and cin == 1, (t, cin)
+    enc_p, enc_s = params["encoder"], state["encoder"]
+    dec_p, dec_s = params["decoder"], state["decoder"]
+    new_state = {"encoder": [None, None, None], "decoder": [None, None, None]}
+
+    def bn_lrelu(p, s, h, r, c):
+        y, nm, nv = batch_norm_train_packed(
+            h, r, c, p["bn"]["scale"], p["bn"]["bias"],
+            s["bn"]["mean"], s["bn"]["var"], axis_name=axis_name)
+        return leaky_relu(y), {"bn": {"mean": nm, "var": nv}}
+
+    def block(p, s, h, r, c, split=None):
+        """Train double-conv block at packing r; `split`=(skip, up, w_cols)
+        runs c1 as a kernel-split sum over the two concat halves instead of
+        materializing the packed concat (same trick as apply_packed)."""
+        cw, cb = p["c1"]["conv"]["w"], p["c1"]["conv"]["b"]
+        if split is None:
+            h = packed_conv(h, cw, cb, r=r, padding=1)
+        else:
+            skip, up, c_skip = split
+            h = (packed_conv(skip, cw[:, :c_skip], None, r=r, padding=1)
+                 + packed_conv(up, cw[:, c_skip:], cb, r=r, padding=1))
+        h, s1 = bn_lrelu(p["c1"], s["c1"], h, r, c)
+        h = packed_conv(h, p["c2"]["conv"]["w"], p["c2"]["conv"]["b"],
+                        r=r, padding=1)
+        h, s2 = bn_lrelu(p["c2"], s["c2"], h, r, c)
+        return h, {"c1": s1, "c2": s2}
+
+    # encoder: enc0 at r4 (entered via the rate-raising fused conv),
+    # enc1 at r2; each packed pool halves the rate, so enc1's pool exits
+    # exactly to the plain layout for the C>=128 middle
+    h = packed_conv_r(x, enc_p[0]["c1"]["conv"]["w"],
+                      enc_p[0]["c1"]["conv"]["b"], r_in=1, r_out=4,
+                      padding=1, t_in=t)
+    h, s1 = bn_lrelu(enc_p[0]["c1"], enc_s[0]["c1"], h, 4, 32)
+    h = packed_conv(h, enc_p[0]["c2"]["conv"]["w"],
+                    enc_p[0]["c2"]["conv"]["b"], r=4, padding=1)
+    skip0, s2 = bn_lrelu(enc_p[0]["c2"], enc_s[0]["c2"], h, 4, 32)
+    new_state["encoder"][0] = {"c1": s1, "c2": s2}
+    h = packed_max_pool2(skip0, 32)                          # r4 -> r2
+
+    skip1, ns = block(enc_p[1], enc_s[1], h, 2, 64)
+    new_state["encoder"][1] = ns
+    h = packed_max_pool2(skip1, 64)                          # r2 -> plain
+
+    # plain middle (C>=128 is already lane-dense): enc2 -> bottleneck ->
+    # up0 -> dec0, the same code path as apply()
+    h, ns = double_conv_block_apply(enc_p[2], enc_s[2], h, True, axis_name)
+    new_state["encoder"][2] = ns
+    skip2 = h
+    h = max_pool1d(h)
+    h, ns = double_conv_block_apply(params["bottleneck"],
+                                    state["bottleneck"], h, True, axis_name)
+    new_state["bottleneck"] = ns
+    up0 = params["up"][0]
+    h = conv_transpose1d(h, up0["w"], up0["b"], stride=2, padding=0)
+    if h.shape[1] != skip2.shape[1]:
+        h = jnp.pad(h, ((0, 0), (0, skip2.shape[1] - h.shape[1]), (0, 0)))
+    h = jnp.concatenate([skip2, h], axis=-1)
+    h, ns = double_conv_block_apply(dec_p[0], dec_s[0], h, True, axis_name)
+    new_state["decoder"][0] = ns
+
+    # packed decoder: the k2/s2 up-convs raise the packing rate in place
+    up1 = params["up"][1]
+    h = packed_conv_transpose(h, up1["w"], up1["b"], r_in=1, r_out=2,
+                              stride=2, padding=0, t_in=t // 4)
+    h, ns = block(dec_p[1], dec_s[1], None, 2, 64, split=(skip1, h, 64))
+    new_state["decoder"][1] = ns
+
+    up2 = params["up"][2]
+    h = packed_conv_transpose(h, up2["w"], up2["b"], r_in=2, r_out=4,
+                              stride=2, padding=0, t_in=t // 2)
+    h, ns = block(dec_p[2], dec_s[2], None, 4, 32, split=(skip0, h, 32))
+    new_state["decoder"][2] = ns
+
+    # transient detector (no BN) + analytic impulses + suppression
+    l0, l1, l2 = params["transient_detector"]
+    td = leaky_relu(packed_conv(h, l0["w"], l0["b"], r=4, padding=1))
+    td = leaky_relu(packed_conv(td, l1["w"], l1["b"], r=4, padding=1))
+    td = jax.nn.sigmoid(packed_conv_r(td, l2["w"], l2["b"], r_in=4,
+                                      r_out=1, padding=1, t_in=t))
+
+    imp = _detect_impulses_dense(x[..., 0])
+    combined = jnp.maximum(td, imp[..., None])
+
+    fc = params["final_conv"]
+    denoised = packed_conv_r(h, fc["w"], fc["b"], r_in=4, r_out=1,
+                             padding=0, t_in=t)
+    return denoised * (1.0 - combined * 0.9), new_state
 
 
 def lax_max_pool_int8(x):

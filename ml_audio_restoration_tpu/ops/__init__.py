@@ -8,6 +8,7 @@ from .conv import (
     leaky_relu,
     batch_norm,
     batch_norm_train,
+    batch_norm_train_packed,
 )
 from .interp import interp_linear, upsample_linear
 from .stft import hann_window, frame, stft, stft_magnitude, istft
@@ -39,6 +40,7 @@ __all__ = [
     "leaky_relu",
     "batch_norm",
     "batch_norm_train",
+    "batch_norm_train_packed",
     "interp_linear",
     "upsample_linear",
     "hann_window",

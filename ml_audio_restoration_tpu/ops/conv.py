@@ -142,3 +142,40 @@ def batch_norm_train(x, scale, bias, running_mean, running_var, *,
     new_var = (1 - momentum) * running_var + momentum * unbiased.astype(
         running_var.dtype)
     return y, new_mean, new_var
+
+
+def batch_norm_train_packed(xp, r: int, c: int, scale, bias, running_mean,
+                            running_var, *, eps: float = 1e-5,
+                            momentum: float = 0.1,
+                            axis_name: str | None = None):
+    """batch_norm_train on an r-packed [B, Tp, r*C] tensor (phase-major
+    j*C+c layout — ops/packed.py::pack).
+
+    The packed tensor holds exactly the plain tensor's elements (requires
+    every phase valid, i.e. the unpacked length is a multiple of r — the
+    packed train path asserts t % 4 == 0 upstream), so per-original-channel
+    statistics are the same mean over the (..., r, C) reshape and the
+    y / running-stat updates equal batch_norm_train(unpack(xp)) up to float
+    reassociation. Statistics in f32, same contract as batch_norm_train."""
+    f32 = jnp.float32
+    b_, tp, rc = xp.shape
+    assert rc == r * c, (rc, r, c)
+    xf = xp.astype(f32)
+    g = xf.reshape(b_, tp, r, c)
+    n = b_ * tp * r
+    m = jnp.mean(g, axis=(0, 1, 2))
+    sq = jnp.mean(jnp.square(g), axis=(0, 1, 2))
+    if axis_name is not None:
+        m = lax.pmean(m, axis_name)
+        sq = lax.pmean(sq, axis_name)
+        n = n * lax.psum(1, axis_name)
+    v = jnp.maximum(sq - jnp.square(m), 0.0)
+    inv = lax.rsqrt(v + eps)
+    y = ((xf - jnp.tile(m, r)) * jnp.tile(inv * scale.astype(f32), r)
+         + jnp.tile(bias.astype(f32), r)).astype(xp.dtype)
+    unbiased = v * (n / max(n - 1, 1))
+    new_mean = (1 - momentum) * running_mean + momentum * m.astype(
+        running_mean.dtype)
+    new_var = (1 - momentum) * running_var + momentum * unbiased.astype(
+        running_var.dtype)
+    return y, new_mean, new_var

@@ -89,6 +89,15 @@ class Trainer:
         # impl kwarg)
         self._apply_kwargs = {}
         self._eval_apply_kwargs = {}
+        if model_name == "denoiser":
+            # packed (space-to-depth) train forward for the lane-padded
+            # low-C stages (TrainConfig.packed_convs: None = auto on TPU).
+            # apply() itself falls back to the plain path for eval
+            # forwards and non-qualifying shapes (t % 4, channels).
+            on_tpu = jax.devices()[0].platform == "tpu"
+            if (self.cfg.packed_convs
+                    if self.cfg.packed_convs is not None else on_tpu):
+                self._apply_kwargs = {"packed": True}
         if model_name == "stereo_separator":
             on_tpu = jax.devices()[0].platform == "tpu"
             impl = self.cfg.lstm_impl or (

@@ -42,7 +42,9 @@ class TestPythonCodec:
         assert gsr == sr
         np.testing.assert_array_equal(got, _quantized(sig, 16))
 
-    @pytest.mark.parametrize("bits", [8, 16, 24, 32])
+    @pytest.mark.parametrize(
+        "bits", [8, 16, 24,
+                 pytest.param(32, marks=pytest.mark.slow)])
     def test_bit_depths_roundtrip(self, tmp_path, stereo_signal, bits):
         sig, sr = stereo_signal
         p = tmp_path / f"b{bits}.flac"
@@ -146,7 +148,12 @@ class TestNativeDecoder:
                                     dict(stereo_mode="right_side"),
                                     dict(stereo_mode="mid_side"),
                                     dict(bits=24), dict(bits=8),
-                                    dict(bits=32), dict(lpc_order=8),
+                                    # 32-bit is the slow outlier (~87 s:
+                                    # widest residuals, escape-heavy) —
+                                    # full lane only
+                                    pytest.param(dict(bits=32),
+                                                 marks=pytest.mark.slow),
+                                    dict(lpc_order=8),
                                     dict(force_verbatim=True),
                                     dict(use_escape=True)])
     def test_bit_identical_to_python(self, tmp_path, stereo_signal, kw):

@@ -458,6 +458,7 @@ def test_restore_many_int8(pipeline_stages, rng):
                                    atol=1e-6, rtol=0)
 
 
+@pytest.mark.slow
 def test_staged_pipeline_matches_single_device(pipeline_stages):
     """Pipeline-parallel serving (one stage per device, slabs streamed
     through with device hops) must produce the single-device pipeline's
@@ -548,6 +549,7 @@ def test_restore_directory_matches_restore_file(pipeline_stages, tmp_path):
         assert a == b, f"file {i} differs (coalesce=1)"
 
 
+@pytest.mark.slow
 def test_packed_convs_match_plain_bf16(pipeline_stages):
     """The packed paths must also be equivalent under the bf16 serving mode
     (the headline config): packed-vs-plain deviation stays an order below

@@ -165,6 +165,7 @@ def _stages(seed=11):
     return {"denoiser": dn, "super_resolution": sr, "stereo": st}
 
 
+@pytest.mark.slow
 def test_pipeline_int8_autocalibrates_and_tracks_f32(rng_module):
     audio = (rng_module.normal(size=(1, 22050)) * 0.15).astype(np.float32)
     base = PipelineConfig(chunk_seconds=0.4, overlap_seconds=0.05)
@@ -207,6 +208,7 @@ def test_pipeline_int8_subchunk_stereo_stays_float(rng_module):
     assert float(np.abs(a - b).mean()) / denom < 0.05
 
 
+@pytest.mark.slow
 def test_pipeline_int8_with_source_rate_stereo(rng_module):
     """int8 + stereo_source_rate: calibration runs the stereo stage on the
     PRE-SR signal (what it will actually consume), quantized serving
