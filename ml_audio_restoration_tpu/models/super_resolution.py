@@ -61,8 +61,15 @@ def init(key, upscale_factor: int = 2, channels: int = 1,
 
 
 def apply(params, state, x, train: bool = False,
-          axis_name: str | None = None):
-    """x: [B, T, ch] -> ([B, T*upscale, ch], new_state)."""
+          axis_name: str | None = None, packed: bool = False):
+    """x: [B, T, ch] -> ([B, T*upscale, ch], new_state).
+
+    packed=True routes TRAIN-mode forwards through apply_train_packed
+    (the whole model is C=32 at 4x lane padding — round-5 train roofline)
+    when the shape qualifies; eval forwards and non-qualifying shapes use
+    this plain path (serving has its own packed path, apply_packed)."""
+    if packed and train and x.shape[1] % 4 == 0 and x.shape[2] == 1:
+        return apply_train_packed(params, state, x, axis_name)
     upscale = 2 ** len(params["upsample"])  # one transpose-conv per ×2 stage
     new_state = {"blocks": []}
 
@@ -203,6 +210,64 @@ def apply_packed(params, state, x, q=None):
                 op=packed_conv_r, requant=False, r_in=r, r_out=1, padding=3,
                 t_in=t_cur)
     return out + _upsample_linear_conv(x, 1, t, 2 ** len(params["upsample"]))
+
+
+def apply_train_packed(params, state, x, axis_name: str | None = None):
+    """TRAIN-mode forward fully r-packed (round 5) — the whole model is
+    C=32, lane-padded 4x in plain NWC, and apply_packed's structure (stem
+    enters packed, upsamples double the rate, recon exits fused) carries
+    over directly with live batch-norm statistics
+    (ops/conv.py::batch_norm_train_packed) instead of folded weights.
+    Outputs, BN running-stat updates and gradients equal apply(train=True)
+    up to float reassociation (tests/test_trainer.py). Requires t % 4 == 0
+    and channels == 1 (the Trainer falls back to apply() otherwise)."""
+    from ..ops import batch_norm_train_packed
+
+    b_sz, t, cin = x.shape
+    assert t % 4 == 0 and cin == 1, (t, cin)
+    c = params["initial"]["w"].shape[2]
+    r = 4
+    new_state = {"blocks": []}
+
+    def bn(bn_p, bn_s, h, rr):
+        y, nm, nv = batch_norm_train_packed(
+            h, rr, c, bn_p["scale"], bn_p["bias"],
+            bn_s["mean"], bn_s["var"], axis_name=axis_name)
+        return y, {"mean": nm, "var": nv}
+
+    h0 = leaky_relu(packed_conv_r(x, params["initial"]["w"],
+                                  params["initial"]["b"], r_in=1, r_out=r,
+                                  padding=3, t_in=t))
+    h = h0
+    for p, s in zip(params["blocks"], state["blocks"]):
+        res = h
+        h = packed_conv(h, p["conv1"]["w"], p["conv1"]["b"], r=r, padding=1)
+        h, bn1 = bn(p["bn1"], s["bn1"], h, r)
+        h = leaky_relu(h)
+        h = packed_conv(h, p["conv2"]["w"], p["conv2"]["b"], r=r, padding=1)
+        h, bn2 = bn(p["bn2"], s["bn2"], h, r)
+        h = h + res
+        new_state["blocks"].append({"bn1": bn1, "bn2": bn2})
+
+    h = packed_conv(h, params["middle"]["conv"]["w"],
+                    params["middle"]["conv"]["b"], r=r, padding=1)
+    h, mid_bn = bn(params["middle"]["bn"], state["middle"]["bn"], h, r)
+    new_state["middle"] = {"bn": mid_bn}
+    h = h0 + h
+
+    t_cur = t
+    for up in params["upsample"]:
+        h = leaky_relu(packed_conv_transpose(
+            h, up["w"], up["b"], r_in=r, r_out=2 * r, stride=2, padding=1,
+            t_in=t_cur))
+        r, t_cur = 2 * r, 2 * t_cur
+    h = leaky_relu(packed_conv(h, params["hf"]["w"], params["hf"]["b"],
+                               r=r, padding=2))
+    out = packed_conv_r(h, params["recon"]["w"], params["recon"]["b"],
+                        r_in=r, r_out=1, padding=3, t_in=t_cur)
+    return (out + _upsample_linear_conv(x, 1, t,
+                                        2 ** len(params["upsample"])),
+            new_state)
 
 
 def packed_amax(params, state, x):

@@ -89,7 +89,7 @@ class Trainer:
         # impl kwarg)
         self._apply_kwargs = {}
         self._eval_apply_kwargs = {}
-        if model_name == "denoiser":
+        if model_name in ("denoiser", "super_resolution"):
             # packed (space-to-depth) train forward for the lane-padded
             # low-C stages (TrainConfig.packed_convs: None = auto on TPU).
             # apply() itself falls back to the plain path for eval

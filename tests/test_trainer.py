@@ -222,6 +222,49 @@ def test_packed_train_forward_matches_plain():
     np.testing.assert_array_equal(np.asarray(ye), np.asarray(yp))
 
 
+def test_packed_train_forward_matches_plain_super_resolution():
+    """SR is C=32 end-to-end (4x lane padding everywhere); its packed
+    train forward is a linear mirror of the serving path and measures
+    essentially exact (out 3e-7, worst grad rel 1e-4 — no pooling/concat
+    depth to amplify reassociation). Covers x2 and x4 upscale stacks."""
+    import jax.numpy as jnp
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 2048, 1)) * 0.3
+    for factor in (2, 4):
+        params, state = super_resolution.init(jax.random.PRNGKey(factor),
+                                              upscale_factor=factor)
+        ya, sa = super_resolution.apply(params, state, x, train=True)
+        yb, sb = super_resolution.apply_train_packed(params, state, x)
+        assert ya.shape == yb.shape == (2, 2048 * factor, 1)
+        assert float(jnp.abs(ya - yb).max()) < 1e-5
+        for a, b in zip(jax.tree_util.tree_leaves(sa),
+                        jax.tree_util.tree_leaves(sb)):
+            assert float(jnp.abs(a - b).max()) < 1e-5
+
+    def loss(p):
+        y, _ = super_resolution.apply_train_packed(p, state, x)
+        return jnp.sum(jnp.square(y))
+
+    def loss_plain(p):
+        y, _ = super_resolution.apply(p, state, x, train=True)
+        return jnp.sum(jnp.square(y))
+
+    ga = jax.grad(loss_plain)(params)
+    gb = jax.grad(loss)(params)
+    for (ka, a), (kb, b) in zip(
+            sorted((jax.tree_util.keystr(k), v) for k, v in
+                   jax.tree_util.tree_leaves_with_path(ga)),
+            sorted((jax.tree_util.keystr(k), v) for k, v in
+                   jax.tree_util.tree_leaves_with_path(gb))):
+        assert ka == kb
+        if ("']['b']" in ka and "bn" not in ka and "upsample" not in ka
+                and "initial" not in ka and "hf" not in ka
+                and "recon" not in ka):
+            continue  # conv-bias before BN: true grad is zero
+        d = float(jnp.abs(a - b).max())
+        assert d / (float(jnp.abs(a).max()) + 1e-9) < 1e-2, ka
+
+
 def test_explicit_pallas_impl_maps_to_train_kernel():
     """Regression (ADVICE r04): TrainConfig.lstm_impl='pallas' is the
     INFERENCE kernel — under grad it recomputes the scan forward (double
