@@ -117,17 +117,118 @@ def decode(params, state, h, train: bool = False,
 
 
 def apply(params, state, x, train: bool = False,
-          axis_name: str | None = None, lstm_impl: str = "auto"):
+          axis_name: str | None = None, lstm_impl: str = "auto",
+          packed: bool = False):
     """x: [B, T, 1] -> ([B, T, 2], new_state). Channel order: (L, R).
 
     lstm_impl: recurrence implementation ('auto'|'scan'|'pallas') — the
     serving pipeline routes to the Pallas kernel on TPU where it measured
-    faster (ops/lstm.py::lstm docstring); training keeps 'auto' (scan)."""
+    faster (ops/lstm.py::lstm docstring); training routes 'pallas_train'
+    (the fused fwd+bwd VJP) through the Trainer.
+
+    packed=True routes TRAIN-mode forwards through apply_train_packed
+    (the stereo analogue of the round-5 denoiser/SR lane-padding fix)
+    when the shape qualifies; eval forwards and non-qualifying shapes use
+    this plain path (serving has its own packed path, apply_packed)."""
+    if packed and train and x.shape[1] % 4 == 0 and x.shape[2] == 1:
+        return apply_train_packed(params, state, x, axis_name=axis_name,
+                                  lstm_impl=lstm_impl)
     h, new_state = encode(params, state, x, train, axis_name)
     h = stacked_lstm(h, params["lstm"], impl=lstm_impl)  # [B, T, H]
     stereo, (left_s, right_s) = decode(params, state, h, train, axis_name)
     new_state["left"], new_state["right"] = left_s, right_s
     return stereo, new_state
+
+
+def apply_train_packed(params, state, x, axis_name: str | None = None,
+                       lstm_impl: str = "auto"):
+    """TRAIN-mode forward with the lane-padded conv stages r-packed — the
+    stereo analogue of denoiser/super_resolution.apply_train_packed,
+    mirroring the serving path's block structure (encode_packed /
+    _decoder_apply_packed) with LIVE batch-norm statistics
+    (ops/conv.py::batch_norm_train_packed) and no weight folding, so
+    outputs, running-stat updates AND gradients equal apply(train=True)
+    up to float reassociation (pinned by tests/test_trainer.py).
+
+    Packing map (base_channels c=32, full 22.05 kHz rate throughout —
+    stereo has no pooling): stem out C=c enters r=4 via the rate-raising
+    fused conv; dilated block 0 (C=2c) stays r=4; block 1's dilated conv
+    exits fused to plain (C=4c is lane-dense); blocks 1..3 and the LSTM
+    run the plain path (the recurrence is latency-bound, and
+    'pallas_train' carries its own layout). Each decoder re-enters packed
+    space at l1 (r=2), runs l2/l3 packed (C=2c/c move lane-dense), and
+    the final conv exits fused to plain [B, T, 1]. Every rate change is
+    fused into a boundary conv — no standalone pack/unpack relayout
+    exists anywhere (the round-3 lesson, ops/packed.py docstring).
+
+    Requires t % 4 == 0 and mono input (the apply() router falls back
+    otherwise). x: [B, t, 1] -> ([B, t, 2], new_state)."""
+    from ..ops import batch_norm_train_packed
+
+    b_sz, t, cin = x.shape
+    assert t % 4 == 0 and cin == 1, (t, cin)
+    c = params["stem"]["conv"]["w"].shape[2]          # base_channels
+
+    def bn_lrelu(p, s, h, r, c_out):
+        y, nm, nv = batch_norm_train_packed(
+            h, r, c_out, p["bn"]["scale"], p["bn"]["bias"],
+            s["bn"]["mean"], s["bn"]["var"], axis_name=axis_name)
+        return leaky_relu(y), {"bn": {"mean": nm, "var": nv}}
+
+    # ---- encoder: stem + block 0 at r=4, fused exit at block 1's dilated
+    new_state = {"blocks": [None] * len(params["blocks"])}
+    stem = params["stem"]
+    h = packed_conv_r(x, stem["conv"]["w"], stem["conv"]["b"],
+                      r_in=1, r_out=4, padding=3, t_in=t)
+    h, new_state["stem"] = bn_lrelu(stem, state["stem"], h, 4, c)
+    p0, s0 = params["blocks"][0], state["blocks"][0]
+    h = packed_conv(h, p0["dilated"]["conv"]["w"], p0["dilated"]["conv"]["b"],
+                    r=4, padding=1)
+    h, sd = bn_lrelu(p0["dilated"], s0["dilated"], h, 4, 2 * c)
+    h = packed_conv(h, p0["pointwise"]["conv"]["w"],
+                    p0["pointwise"]["conv"]["b"], r=4, padding=0)
+    h, sp = bn_lrelu(p0["pointwise"], s0["pointwise"], h, 4, 2 * c)
+    new_state["blocks"][0] = {"dilated": sd, "pointwise": sp}
+
+    p1, s1 = params["blocks"][1], state["blocks"][1]
+    h = packed_conv_r(h, p1["dilated"]["conv"]["w"],
+                      p1["dilated"]["conv"]["b"], r_in=4, r_out=1,
+                      padding=2, dilation=2, t_in=t)   # -> plain [B, t, 4c]
+    h, sd = bn_lrelu(p1["dilated"], s1["dilated"], h, 1, 4 * c)
+    h, sp = conv_bn_lrelu_apply(p1["pointwise"], s1["pointwise"], h, True,
+                                padding=0, axis_name=axis_name)
+    new_state["blocks"][1] = {"dilated": sd, "pointwise": sp}
+    for i, (p, s, dil) in enumerate(zip(params["blocks"][2:],
+                                        state["blocks"][2:],
+                                        _DILATIONS[2:]), start=2):
+        h, sd = conv_bn_lrelu_apply(p["dilated"], s["dilated"], h, True,
+                                    padding=dil, dilation=dil,
+                                    axis_name=axis_name)
+        h, sp = conv_bn_lrelu_apply(p["pointwise"], s["pointwise"], h, True,
+                                    padding=0, axis_name=axis_name)
+        new_state["blocks"][i] = {"dilated": sd, "pointwise": sp}
+
+    # ---- recurrence: plain layout, training impl routed by the caller
+    h = stacked_lstm(h, params["lstm"], impl=lstm_impl)  # [B, t, H]
+
+    # ---- dual decoders at r=2, boundary-fused both ways
+    def decoder(p, s):
+        hp = packed_conv_r(h, p["l1"]["conv"]["w"], p["l1"]["conv"]["b"],
+                           r_in=1, r_out=2, padding=3, t_in=t)
+        hp, s1_ = bn_lrelu(p["l1"], s["l1"], hp, 2, 4 * c)
+        hp = packed_conv(hp, p["l2"]["conv"]["w"], p["l2"]["conv"]["b"],
+                         r=2, padding=3)
+        hp, s2_ = bn_lrelu(p["l2"], s["l2"], hp, 2, 2 * c)
+        hp = packed_conv(hp, p["l3"]["conv"]["w"], p["l3"]["conv"]["b"],
+                         r=2, padding=3)
+        hp, s3_ = bn_lrelu(p["l3"], s["l3"], hp, 2, c)
+        out = packed_conv_r(hp, p["final"]["w"], p["final"]["b"],
+                            r_in=2, r_out=1, padding=3, t_in=t)
+        return out, {"l1": s1_, "l2": s2_, "l3": s3_}
+
+    left, new_state["left"] = decoder(params["left"], state["left"])
+    right, new_state["right"] = decoder(params["right"], state["right"])
+    return jnp.concatenate([left, right], axis=-1), new_state
 
 
 # ---------------------------------------------------- grouped dual decoders

@@ -110,6 +110,12 @@ class Trainer:
                 # step is the fused train kernel
                 impl = "pallas_train"
             self._apply_kwargs = {"lstm_impl": impl}
+            # packed (space-to-depth) conv stages compose with the fused
+            # recurrence: the LSTM runs plain either way, only the
+            # lane-padded conv stages change formulation
+            if (self.cfg.packed_convs
+                    if self.cfg.packed_convs is not None else on_tpu):
+                self._apply_kwargs["packed"] = True
             # no-grad render/eval forwards take the inference kernel (no
             # residual writes); an explicit config choice applies to both
             self._eval_apply_kwargs = {"lstm_impl": self.cfg.lstm_impl or (

@@ -33,7 +33,9 @@ def _xplane_device_times(logdir: str) -> dict:
 
 
 def profile_family(model_name: str, batch: int = 16, chunk_s: float = 2.0,
-                   warmup: int = 2, steps: int = 4) -> dict:
+                   warmup: int = 2, steps: int = 4, **cfg_kw) -> dict:
+    """`cfg_kw` forwards to TrainConfig — e.g. packed_convs=False /
+    compute_dtype='bfloat16' for the packed/AMP train A/Bs."""
     import jax
 
     from bench import _TRAIN_BENCH  # single source of pairing/shape truth
@@ -65,7 +67,7 @@ def profile_family(model_name: str, batch: int = 16, chunk_s: float = 2.0,
     trainer = Trainer(
         model_name, params, state,
         DataLoader(Toy(), batch, num_workers=1, shuffle=False),
-        config=TrainConfig(model=model_name),
+        config=TrainConfig(model=model_name, **cfg_kw),
         artifact_config=ArtifactConfig(), sample_rate=sr)
 
     batches = list(trainer.train_loader)

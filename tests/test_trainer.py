@@ -265,6 +265,66 @@ def test_packed_train_forward_matches_plain_super_resolution():
         assert d / (float(jnp.abs(a).max()) + 1e-9) < 1e-2, ka
 
 
+def test_packed_train_forward_matches_plain_stereo():
+    """Stereo apply_train_packed (round 5: the last remaining lane-padded
+    train path — stem/block-0 at r=4, dual decoders at r=2, every rate
+    change fused into a boundary conv) must reproduce apply(train=True):
+    outputs and BN running-stat updates to float tolerance; weight/BN
+    grads within the reassociation band (measured worst 0.8% rel on the
+    block-0 pointwise BN bias). Conv-bias-before-BN grads excluded (true
+    grad is zero); the LSTM and C>=128 stages are the same code path so
+    their grads agree to float noise."""
+    params, state = stereo_separator.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 4096, 1)) * 0.3
+
+    ya, sa = stereo_separator.apply(params, state, x, train=True)
+    yb, sb = stereo_separator.apply_train_packed(params, state, x)
+    assert ya.shape == yb.shape == (2, 4096, 2)
+    assert float(jnp.abs(ya - yb).max()) < 1e-4
+    for a, b in zip(jax.tree_util.tree_leaves(sa),
+                    jax.tree_util.tree_leaves(sb)):
+        assert float(jnp.abs(a - b).max()) < 1e-5
+
+    def loss(p, fn, **kw):
+        y, _ = fn(p, state, x, **kw)
+        return jnp.sum(jnp.square(y))
+
+    ga = jax.grad(lambda p: loss(p, stereo_separator.apply, train=True))(
+        params)
+    gb = jax.grad(lambda p: loss(p, stereo_separator.apply_train_packed))(
+        params)
+    flat = lambda g: sorted(
+        (jax.tree_util.keystr(k), v)
+        for k, v in jax.tree_util.tree_leaves_with_path(g))
+    for (ka, a), (kb, b) in zip(flat(ga), flat(gb)):
+        assert ka == kb
+        if "']['b']" in ka and "bn" not in ka and "lstm" not in ka:
+            continue  # conv-bias before BN: true grad is zero
+        d = float(jnp.abs(a - b).max())
+        assert d / (float(jnp.abs(a).max()) + 1e-9) < 5e-2, ka
+
+    # router: packed only takes effect for qualifying TRAIN forwards
+    ye, _ = stereo_separator.apply(params, state, x, train=False, packed=True)
+    yp, _ = stereo_separator.apply(params, state, x, train=False)
+    np.testing.assert_array_equal(np.asarray(ye), np.asarray(yp))
+
+
+def test_stereo_trainer_routes_packed_with_train_kernel():
+    """The stereo Trainer composes packed convs with the fused-VJP
+    recurrence: packed_convs=True adds packed=True alongside lstm_impl
+    in the differentiated step's kwargs (auto keeps CPU plain)."""
+    ds = ToyDataset(n=4, key="stereo", ch=2)
+    ds.pairing = "mono_target_stereo"
+    params, state = stereo_separator.init(jax.random.PRNGKey(0))
+    loader = DataLoader(ds, batch_size=4, num_workers=1, seed=0)
+    cfg = TrainConfig(model="stereo_separator", packed_convs=True)
+    tr = Trainer("stereo_separator", params, state, loader, None, config=cfg,
+                 artifact_config=_quiet_artifacts())
+    assert tr._apply_kwargs == {"lstm_impl": "auto", "packed": True}
+    loss = tr.train_epoch(jax.random.PRNGKey(0))
+    assert np.isfinite(loss)
+
+
 def test_explicit_pallas_impl_maps_to_train_kernel():
     """Regression (ADVICE r04): TrainConfig.lstm_impl='pallas' is the
     INFERENCE kernel — under grad it recomputes the scan forward (double
